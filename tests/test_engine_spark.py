@@ -1,0 +1,237 @@
+"""Spark engine tests: tiling vs Python oracle, PIP vs brute force,
+kNN vs brute force, encode/decode round trip, sketch ops vs
+brute-force oracles, checkpoint resume."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from vtzero_spark.engine import assemble, joins, knn, simsearch, synth, textops, tiling
+from vtzero_spark.engine.synth import EXTENT, WORLD, ZOOM
+from vtzero_spark.mvt import geometry as G
+from vtzero_spark.mvt import tile as T
+from vtzero_spark.mvt import values as V
+
+
+@pytest.fixture(scope="module")
+def images_pd(spark, sf_dir):
+    return synth.images(spark, sf_dir).toPandas().sort_values("iid").reset_index(drop=True)
+
+
+def test_images_deterministic_and_unique(images_pd):
+    assert images_pd["iid"].is_unique
+    assert images_pd["image_id"].is_unique
+    iid = images_pd["iid"].to_numpy()
+    assert np.array_equal(images_pd["wx"].to_numpy(), (iid * 48271 + 11) % WORLD)
+    assert np.array_equal(images_pd["wy"].to_numpy(), (iid * 69621 + 23) % WORLD)
+
+
+def test_tile_assign_python_oracle(spark, sf_dir, images_pd):
+    buf = 64
+    assigned = tiling.assign_tiles(
+        synth.images(spark, sf_dir), zoom=ZOOM, extent=EXTENT, buffer=buf
+    ).select("iid", "x", "y", "loc_x", "loc_y").toPandas()
+    got = {tuple(r) for r in assigned.itertuples(index=False)}
+    want = set()
+    for iid, wx, wy in images_pd[["iid", "wx", "wy"]].itertuples(index=False):
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                tx, ty = wx // EXTENT + dx, wy // EXTENT + dy
+                if not (0 <= tx < 16 and 0 <= ty < 16):
+                    continue
+                lx, ly = wx - tx * EXTENT, wy - ty * EXTENT
+                if -buf <= lx < EXTENT + buf and -buf <= ly < EXTENT + buf:
+                    want.add((iid, tx, ty, lx, ly))
+    assert got == want
+
+
+def test_buffered_coords_can_exceed_extent(spark, sf_dir):
+    # fixtures 053-056 semantics: buffered copies carry out-of-extent coords
+    a = tiling.assign_tiles(
+        synth.images(spark, sf_dir), buffer=64
+    ).where((F.col("loc_x") < 0) | (F.col("loc_x") >= EXTENT)).count()
+    assert a > 0
+
+
+def test_pip_vs_bruteforce(spark, sf_dir, images_pd):
+    polys_pd = synth.polygons(spark, sf_dir).toPandas()
+    got = joins.pip_join(
+        synth.images(spark, sf_dir), synth.polygons(spark, sf_dir)
+    ).select("iid", "pid").toPandas()
+    got_set = {tuple(r) for r in got.itertuples(index=False)}
+    want = set()
+    for iid, wx, wy in images_pd[["iid", "wx", "wy"]].itertuples(index=False):
+        for pid, cx, cy, r in polys_pd[["pid", "cx", "cy", "r"]].itertuples(index=False):
+            if abs(wx - cx) + abs(wy - cy) <= r:
+                want.add((iid, pid))
+    assert got_set == want
+
+
+def test_pip_salted_equals_broadcast(spark, sf_dir):
+    pts = synth.images(spark, sf_dir)
+    polys = synth.polygons(spark, sf_dir)
+    a = set(map(tuple, joins.pip_join(pts, polys).select("iid", "pid").collect()))
+    b = set(map(tuple, joins.pip_join(pts, polys, salt=4).select("iid", "pid").collect()))
+    assert a == b
+
+
+def test_point_in_ring_udf_nonconvex(spark):
+    # concave "arrow" ring; even-odd semantics
+    ring_x = [0, 10, 5, 10, 0, 0]
+    ring_y = [0, 0, 5, 10, 10, 0]
+    pts = [(1, 1, True), (9, 5, False), (1, 9, True), (4, 5, True), (11, 5, False)]
+    df = spark.createDataFrame(
+        [(x, y, ring_x, ring_y) for x, y, _ in pts],
+        "px int, py int, rx array<int>, ry array<int>",
+    )
+    out = df.withColumn(
+        "inside", joins.point_in_ring_udf("px", "py", "rx", "ry")
+    ).collect()
+    got = [bool(r["inside"]) for r in out]
+    assert got == [e for _, _, e in pts]
+
+
+def test_knn_vs_bruteforce(spark, sf_dir, images_pd):
+    queries = synth.knn_queries(spark, sf_dir, 10)
+    out = knn.knn_join(
+        spark, synth.images(spark, sf_dir), queries, k=3, world=WORLD,
+        point_id="iid",
+    ).toPandas()
+    qpd = queries.toPandas()
+    pts = images_pd[["iid", "wx", "wy"]].to_numpy()
+    for qid, qx, qy in qpd.itertuples(index=False):
+        d = (pts[:, 1] - qx) ** 2 + (pts[:, 2] - qy) ** 2
+        order = np.lexsort((pts[:, 0], d))[:3]
+        want = [(int(pts[i, 0]), int(d[i])) for i in order]
+        sub = out[out["qid"] == qid].sort_values("rank")
+        got = list(zip(sub["iid"].astype(int), sub["dist_sq"].astype(int)))
+        assert got == want, f"qid={qid}"
+
+
+def test_encode_decode_roundtrip_spark(spark, sf_dir):
+    """End-to-end through the Spark pipeline: encoded tiles decode back
+    to the same features with vtzero-exact bytes structure."""
+    import __spark_entry__ as em
+
+    feats = em._features(spark, sf_dir, buffer=0)
+    fsel = feats.select("z", "x", "y", "layer_name", "feature_ordinal",
+                        "feature_id", "geom_type", "loc_x", "loc_y", "props")
+    layers = assemble.encode_layers(fsel)
+    tiles = assemble.encode_tiles(layers)
+    row = tiles.orderBy("z", "x", "y").first()
+    # decode the first tile via the pure codec and check vtzero invariants
+    parsed = T.parse_tile(bytes(row["tile_bytes"]))
+    assert len(parsed) == row["num_layers"]
+    names = [ly.name for ly in parsed]
+    assert names == sorted(names)  # deterministic layer order
+    ly = parsed[0]
+    assert ly.version == 2 and ly.extent == EXTENT
+    assert ly.keys == [b"phash", b"fmt", b"caption"]
+    f0 = ly.features[0]
+    parts, _ = G.decode_geometry(f0.geom_type, f0.geometry, f0.geometry_nbytes)
+    assert parts[0].shape == (1, 2)
+    props = dict(ly.properties(f0))
+    t, v = V.decode_value(props[b"phash"])
+    assert t == V.VT_UINT
+    # feature ids within a layer are ordinal-sorted (insertion order)
+    ids = [f.id for f in ly.features]
+    assert ids == sorted(ids)
+    # Spark-side decode agrees with plan-side counts
+    decoded = assemble.decode_tiles(tiles)
+    n_dec = decoded.where(F.col("decode_status") == "ok").count()
+    n_src = fsel.count()
+    assert n_dec == n_src
+
+
+def test_minhash_lsh_vs_bruteforce(spark):
+    rows = []
+    base = "the quick brown fox jumps over the lazy dog and runs away fast"
+    for i in range(30):
+        if i % 3 == 0:
+            text = base  # exact dup cluster
+        elif i % 3 == 1:
+            text = base.replace("fox", f"fox{i}")  # near dup
+        else:
+            text = f"completely different document number {i} " * 3
+        rows.append((i, text))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = textops.minhash_lsh_pairs(docs, threshold_x1000=900).toPandas()
+    got_pairs = {(a, b) for a, b in zip(got["doc_id"], got["other_id"])}
+    # brute force true Jaccard on 3-gram shingles of first 64 chars
+    def sh(t):
+        p = t[:64]
+        return {p[i:i + 3] for i in range(max(1, len(p) - 2))}
+
+    true_pairs = set()
+    for i in range(30):
+        for j in range(i + 1, 30):
+            a, b = sh(rows[i][1]), sh(rows[j][1])
+            if len(a & b) / len(a | b) >= 0.95:
+                true_pairs.add((i, j))
+    # LSH with 16 bands x 4 rows at jaccard>=0.95 has >99.99% recall;
+    # the estimator threshold 0.9 keeps all true pairs
+    assert true_pairs <= got_pairs
+    # and no wildly-false positives (est >= 0.9 but true < 0.5)
+    for i, j in got_pairs:
+        a, b = sh(rows[i][1]), sh(rows[j][1])
+        assert len(a & b) / len(a | b) >= 0.5
+
+
+def test_simhash_neardup(spark):
+    rows = [(1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "alpha beta gamma delta epsilon eta"),
+            (4, "totally unrelated words here now")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = textops.simhash_neardup_pairs(docs, max_hamming=8).toPandas()
+    got = {(a, b) for a, b in zip(pairs["doc_id"], pairs["other_id"])}
+    assert (1, 2) in got  # identical docs -> hamming 0
+    assert (1, 4) not in got and (2, 4) not in got
+
+
+def test_ann_topk_self_consistency(spark, sf_dir):
+    emb = synth.load(spark, sf_dir, "embeddings")
+    out = simsearch.ann_topk(emb, n_queries=4, k=3).toPandas()
+    assert set(out["qid"]) == {0, 1, 2, 3}
+    for qid, grp in out.groupby("qid"):
+        assert list(grp.sort_values("rank")["rank"]) == [1, 2, 3]
+        d = grp.sort_values("rank")["dist_q"].to_numpy()
+        assert (np.diff(d) >= 0).all()
+        assert qid not in set(grp["vec_id"])  # self excluded
+
+
+def test_cosine_topk_matches_numpy(spark, sf_dir):
+    emb = synth.load(spark, sf_dir, "embeddings")
+    out = simsearch.cosine_topk_udf(emb, n_queries=2, k=3).toPandas()
+    pdf = emb.toPandas()
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    norm = np.linalg.norm(mat, axis=1)
+    for qid in (0, 1):
+        qv = mat[ids == qid][0]
+        cos = mat @ qv / (norm * np.linalg.norm(qv))
+        mask = ids != qid
+        order = np.lexsort((ids[mask], -cos[mask]))[:3]
+        want = list(ids[mask][order])
+        sub = out[out["qid"] == qid].sort_values("rank")
+        assert list(sub["vec_id"]) == want
+
+
+def test_checkpoint_resume(spark, sf_dir, tmp_path):
+    from vtzero_spark.engine import checkpoint as cp
+
+    src = synth.images(spark, sf_dir)
+    out_dir = str(tmp_path / "ckpt")
+
+    def xform(df):
+        return df.groupBy("layer_name").agg(F.count("*").alias("n"))
+
+    r1 = cp.run_with_checkpoint(spark, src, xform, out_dir, "image_id", n_buckets=4,
+                                lineage={"input": sf_dir})
+    assert r1["buckets_run"] == 4 and r1["buckets_skipped"] == 0
+    r2 = cp.run_with_checkpoint(spark, src, xform, out_dir, "image_id", n_buckets=4)
+    assert r2["buckets_run"] == 0 and r2["buckets_skipped"] == 4
+    total = cp.read_checkpointed(spark, out_dir).agg(F.sum("n")).collect()[0][0]
+    assert total == src.count()

@@ -1,0 +1,167 @@
+"""Cell-indexed spatial joins: point-in-polygon (broadcast + salted)
+and raster<->vector tile-alignment joins.
+
+Scale design (north_rule):
+- small polygon sets: the cell->polygon covering index is exploded and
+  **broadcast** (vtzero's small-table linear-scan-vs-hash-index
+  threshold philosophy, builder_impl.hpp:67-71, mapped to Spark's
+  broadcast-vs-shuffle decision);
+- hot cells / huge polygon sets: **salted repartition join** — probe
+  side gets a deterministic salt, the covering index is replicated
+  per salt value — plus AQE skew-join splitting (enabled in
+  session.py) as the runtime backstop.
+
+The exact refine step is pure column math: an integer cross-product
+convex point-in-ring test (no UDF, stays inside whole-stage codegen).
+Ring orientation follows vtzero's y-down shoelace convention
+(geometry.hpp:120-123,161-169). General (non-convex) rings get a
+vectorized ray-casting pandas UDF fallback.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+
+from .synth import EXTENT
+
+
+def polygon_cell_index(polys: DataFrame, cell: int = EXTENT) -> DataFrame:
+    """Explode each polygon's bbox into covering cells.
+
+    Uses (cx, cy, r) bbox columns (L-inf bound of the ring). Output:
+    one row per (cell_x, cell_y, pid, ring) — the broadcastable
+    covering index ("cells" side of FIXTURES.md F2).
+    """
+    return (
+        polys.withColumn(
+            "cell_x",
+            F.explode(F.sequence(
+                F.expr(f"(cx - r) div {cell}"), F.expr(f"(cx + r) div {cell}")
+            )),
+        )
+        .withColumn(
+            "cell_y",
+            F.explode(F.sequence(
+                F.expr(f"(cy - r) div {cell}"), F.expr(f"(cy + r) div {cell}")
+            )),
+        )
+    )
+
+
+def _convex_inside_expr(px: str, py: str, ring: str = "ring"):
+    """Integer cross-product test: point on-or-inside a convex closed
+    ring (uniform cross sign over all edges, zeros allowed)."""
+    crosses = (
+        f"zip_with(slice({ring}, 1, size({ring}) - 1),"
+        f"         slice({ring}, 2, size({ring}) - 1),"
+        f"         (a, b) -> (b.x - a.x) * ({py} - a.y) - ({px} - a.x) * (b.y - a.y))"
+    )
+    return F.expr(
+        f"forall({crosses}, c -> c >= 0) or forall({crosses}, c -> c <= 0)"
+    )
+
+
+def pip_join(
+    points: DataFrame,
+    polys: DataFrame,
+    cell: int = EXTENT,
+    salt: int | None = None,
+    point_id: str = "image_id",
+) -> DataFrame:
+    """Point-in-polygon join: points (wx, wy) x polygons (pid, cx, cy,
+    r, ring) -> one row per containment (boundary inclusive).
+
+    salt=None: broadcast the covering index (small polygon sets).
+    salt=N: salted repartition join for hot cells — the index is
+    replicated N times, the probe side picks a deterministic salt from
+    its point id, so result rows are identical to the unsalted join.
+    """
+    index = polygon_cell_index(polys, cell)
+    pts = (
+        points.withColumn("cell_x", F.expr(f"wx div {cell}"))
+        .withColumn("cell_y", F.expr(f"wy div {cell}"))
+    )
+    if salt is None:
+        joined = pts.join(F.broadcast(index), ["cell_x", "cell_y"])
+    else:
+        index_salted = index.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        )
+        pts_salted = pts.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(point_id)), F.lit(salt)).cast("int")
+        )
+        joined = pts_salted.join(index_salted, ["cell_x", "cell_y", "_salt"]).drop("_salt")
+    return (
+        joined.where(_convex_inside_expr("wx", "wy"))
+        .drop("cell_x", "cell_y")
+    )
+
+
+def pip_join_sql(points_cte: str, polys_cte: str = "polys") -> str:
+    """DuckDB mirror: diamonds are L1 balls, so the exact predicate is
+    |wx-cx| + |wy-cy| <= r (boundary inclusive) — equivalent to the
+    engine's convex cross-product refine for these rings."""
+    return f"""
+  SELECT p.image_id, q.pid
+  FROM {points_cte} p, {polys_cte} q
+  WHERE abs(p.wx - q.cx) + abs(p.wy - q.cy) <= q.r"""
+
+
+# ------------------------------------------------- general-ring refine
+
+@F.pandas_udf(BooleanType())
+def point_in_ring_udf(px: pd.Series, py: pd.Series, ring_x: pd.Series, ring_y: pd.Series) -> pd.Series:
+    """Vectorized even-odd ray casting for arbitrary (non-convex)
+    rings; boundary points count as inside. Batch-level numpy; the
+    Spark-facing fallback when rings aren't convex."""
+    import numpy as np
+
+    out = np.zeros(len(px), dtype=bool)
+    pxv = px.to_numpy()
+    pyv = py.to_numpy()
+    for i in range(len(px)):
+        rx = np.asarray(ring_x.iloc[i], dtype=np.int64)
+        ry = np.asarray(ring_y.iloc[i], dtype=np.int64)
+        x, y = int(pxv[i]), int(pyv[i])
+        ax, ay = rx[:-1], ry[:-1]
+        bx, by = rx[1:], ry[1:]
+        # boundary: collinear and within segment bbox
+        cross = (bx - ax) * (y - ay) - (x - ax) * (by - ay)
+        on_seg = (cross == 0) & (np.minimum(ax, bx) <= x) & (x <= np.maximum(ax, bx)) \
+            & (np.minimum(ay, by) <= y) & (y <= np.maximum(ay, by))
+        if on_seg.any():
+            out[i] = True
+            continue
+        # even-odd rule
+        cond = (ay > y) != (by > y)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = ax + (y - ay) * (bx - ax) / np.where(by - ay == 0, 1, by - ay)
+        out[i] = bool(np.count_nonzero(cond & (x < xint)) % 2)
+    return pd.Series(out)
+
+
+# ------------------------------------------------- raster <-> vector
+
+def raster_vector_join(
+    raster_df: DataFrame,
+    vector_df: DataFrame,
+    zoom_r: int,
+    zoom_v: int,
+    raster_key: tuple[str, str] = ("rx", "ry"),
+    vector_key: tuple[str, str] = ("x", "y"),
+) -> DataFrame:
+    """Align raster tiles (finer zoom_r) with vector tiles (zoom_v)
+    by ancestor arithmetic and join — a pure shuffle-on-tile-key hash
+    join, broadcastable when the vector side is small."""
+    assert zoom_r >= zoom_v
+    shift = zoom_r - zoom_v
+    rx, ry = raster_key
+    r = (
+        raster_df.withColumn("x", F.expr(f"{rx} div {1 << shift}"))
+        .withColumn("y", F.expr(f"{ry} div {1 << shift}"))
+    )
+    return r.join(vector_df, list(vector_key))

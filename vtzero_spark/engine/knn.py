@@ -1,0 +1,137 @@
+"""kNN lookup by iterative k-ring expansion with early termination.
+
+Per BASELINE.json north_star: "kNN runs as iterative k-ring expansion
+with early termination". Each round is one hash join between the
+unfinished queries' ring-r cells and the cell-bucketed points; the
+driver loop only ever collects per-query completion flags (bounded by
+the number of queries, never by data size), so the operator stays
+distributed at 10^12-point scale.
+
+Correctness bound: after exploring all cells with Chebyshev cell
+distance <= r, any unexplored point is at Euclidean distance
+>= r*cell + 1, so a query is finished once it holds k candidates with
+kth distance <= r*cell (integer-exact). Ties broken by point id, the
+same total order the brute-force oracle uses, so the result rows match
+exactly.
+
+Distances use the engine's integer world coordinates, i.e. vtzero's
+decoded int32 coordinate space (SURVEY §2.11).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .synth import EXTENT
+
+
+def knn_join(
+    spark: SparkSession,
+    points: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    cell: int = EXTENT,
+    world: int | None = None,
+    point_id: str = "image_id",
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Exact k nearest points for each query.
+
+    points: (point_id, wx, wy); queries: (qid, qx, qy).
+    Returns (qid, point_id, dist_sq, rank) with rank 1..k ordered by
+    (dist_sq, point_id).
+    """
+    pts = (
+        points.select(
+            point_id,
+            F.col("wx").cast("long").alias("wx"),
+            F.col("wy").cast("long").alias("wy"),
+        )
+        .withColumn("cell_x", F.expr(f"wx div {cell}"))
+        .withColumn("cell_y", F.expr(f"wy div {cell}"))
+        .repartition("cell_x", "cell_y")
+        .persist()
+    )
+    q_all = queries.select(
+        "qid",
+        F.col("qx").cast("long").alias("qx"),
+        F.col("qy").cast("long").alias("qy"),
+        F.expr(f"qx div {cell}").alias("qcx"),
+        F.expr(f"qy div {cell}").alias("qcy"),
+    ).persist()
+
+    acc: DataFrame | None = None
+    unfinished = q_all
+    max_cells = None
+    if world is not None:
+        max_cells = world // cell
+
+    for r in range(max_rounds):
+        # ring-r cells around each unfinished query (8r cells, 1 at r=0)
+        ring = (
+            unfinished.withColumn("_dx", F.explode(F.sequence(F.lit(-r), F.lit(r))))
+            .withColumn("_dy", F.explode(F.sequence(F.lit(-r), F.lit(r))))
+            .where(F.greatest(F.abs(F.col("_dx")), F.abs(F.col("_dy"))) == r)
+            .withColumn("cell_x", F.col("qcx") + F.col("_dx"))
+            .withColumn("cell_y", F.col("qcy") + F.col("_dy"))
+            .drop("_dx", "_dy")
+        )
+        if max_cells is not None:
+            ring = ring.where(
+                (F.col("cell_x") >= 0) & (F.col("cell_x") < max_cells)
+                & (F.col("cell_y") >= 0) & (F.col("cell_y") < max_cells)
+            )
+        cand = ring.join(pts, ["cell_x", "cell_y"]).select(
+            "qid",
+            F.col(point_id),
+            (
+                (F.col("wx") - F.col("qx")) * (F.col("wx") - F.col("qx"))
+                + (F.col("wy") - F.col("qy")) * (F.col("wy") - F.col("qy"))
+            ).alias("dist_sq"),
+        )
+        acc = cand if acc is None else acc.unionByName(cand)
+        acc = acc.persist()
+
+        # early-termination check: kth candidate within the certified radius
+        w = Window.partitionBy("qid").orderBy("dist_sq", point_id)
+        kth = (
+            acc.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == k)
+            .select("qid", F.col("dist_sq").alias("kth_d"))
+        )
+        bound = (r * cell) * (r * cell)
+        finished_rows = kth.where(F.col("kth_d") <= bound).select("qid").collect()
+        finished = [row["qid"] for row in finished_rows]
+        if finished:
+            unfinished = unfinished.where(~F.col("qid").isin(finished))
+        if unfinished.limit(1).count() == 0:
+            break
+        if max_cells is not None and r >= 2 * max_cells:
+            break
+
+    w = Window.partitionBy("qid").orderBy("dist_sq", point_id)
+    out = (
+        acc.dropDuplicates(["qid", point_id])
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+    pts.unpersist()
+    q_all.unpersist()
+    return out
+
+
+def knn_sql(points_cte: str, queries_cte: str, k: int = 5,
+            point_id: str = "image_id") -> str:
+    """DuckDB brute-force oracle with the identical total order."""
+    return f"""
+  SELECT qid, {point_id},
+         (p.wx - q.qx) * (p.wx - q.qx) + (p.wy - q.qy) * (p.wy - q.qy) AS dist_sq,
+         CAST(row_number() OVER (
+           PARTITION BY qid
+           ORDER BY (p.wx - q.qx) * (p.wx - q.qx) + (p.wy - q.qy) * (p.wy - q.qy),
+                    {point_id}
+         ) AS INT) AS rank
+  FROM {points_cte} p CROSS JOIN {queries_cte} q
+  QUALIFY rank <= {k}"""

@@ -1,0 +1,163 @@
+"""Similarity search over the embeddings table (array<float> column).
+
+Two tiers per the training-pipeline requirement:
+- exact brute-force top-k on integer-quantized vectors (oracle-exact:
+  floor(x*1024) quantization makes Spark and DuckDB agree bit-for-bit,
+  no FP summation-order hazards);
+- LSH sign-bucketed variants as the scale path (bucket prune, then
+  exact refine within buckets) plus a true-cosine vectorized pandas
+  UDF path for float-precision ranking.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+QUANT = 1024
+
+_QEXPR = f"transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * {QUANT}) AS BIGINT))"
+_QSQL = f"list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * {QUANT}) AS BIGINT))"
+
+
+def quantized(emb: DataFrame) -> DataFrame:
+    return emb.select("vec_id", "label", F.expr(_QEXPR).alias("q"))
+
+
+def ann_topk(
+    emb: DataFrame, n_queries: int = 8, k: int = 5
+) -> DataFrame:
+    """Brute-force exact top-k by quantized squared L2, queries = the
+    first n_queries vectors, self excluded, ties broken by vec_id.
+
+    The query side is broadcast (tiny); the scan side stays
+    partition-parallel — this is the correct plan at any scale when
+    the query set is small."""
+    q = quantized(emb)
+    queries = q.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), F.col("q").alias("qv")
+    )
+    joined = q.crossJoin(F.broadcast(queries)).where(F.col("vec_id") != F.col("qid"))
+    dist = joined.withColumn(
+        "dist_q",
+        F.expr("aggregate(zip_with(q, qv, (a, b) -> (a - b) * (a - b)),"
+               " CAST(0 AS BIGINT), (acc, v) -> acc + v)"),
+    )
+    w = Window.partitionBy("qid").orderBy("dist_q", "vec_id")
+    return (
+        dist.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "vec_id", "dist_q", "rank")
+    )
+
+
+def ann_topk_sql(n_queries: int = 8, k: int = 5) -> str:
+    return f"""
+WITH q AS (SELECT vec_id, {_QSQL} AS q FROM embeddings),
+qq AS (SELECT vec_id AS qid, q AS qv FROM q WHERE vec_id < {n_queries})
+SELECT qid, vec_id,
+       CAST(list_sum(list_transform(list_zip(q.q, qq.qv),
+            p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist_q,
+       CAST(row_number() OVER (
+         PARTITION BY qid
+         ORDER BY list_sum(list_transform(list_zip(q.q, qq.qv),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))), vec_id
+       ) AS INT) AS rank
+FROM q CROSS JOIN qq
+WHERE q.vec_id != qq.qid
+QUALIFY rank <= {k}
+"""
+
+
+def embed_neardup_pairs(emb: DataFrame, nbits: int = 4, max_dist_q: int = 6_000_000) -> DataFrame:
+    """Embedding near-dup candidates: sign-LSH bucket on the first
+    ``nbits`` quantized dims (bucket join — the scale path), exact
+    quantized-L2 refine. Integer-exact, oracle-matched."""
+    q = quantized(emb)
+    bucket_expr = " + ".join(
+        f"(CASE WHEN element_at(q, {i + 1}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(nbits)
+    )
+    b = q.withColumn("bucket", F.expr(bucket_expr))
+    a2 = b.alias("a")
+    b2 = b.alias("b")
+    return (
+        a2.join(b2, "bucket")
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn(
+            "dist_q",
+            F.expr("aggregate(zip_with(a.q, b.q, (x, y) -> (x - y) * (x - y)),"
+                   " CAST(0 AS BIGINT), (acc, v) -> acc + v)"),
+        )
+        .where(F.col("dist_q") <= max_dist_q)
+        .select(F.col("a.vec_id").alias("vec_id"),
+                F.col("b.vec_id").alias("other_id"), "dist_q")
+    )
+
+
+def embed_neardup_sql(nbits: int = 4, max_dist_q: int = 6_000_000) -> str:
+    bucket = " + ".join(
+        f"(CASE WHEN q[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(nbits)
+    )
+    return f"""
+WITH q AS (SELECT vec_id, {_QSQL} AS q FROM embeddings),
+b AS (SELECT vec_id, q, {bucket} AS bucket FROM q)
+SELECT a.vec_id AS vec_id, b.vec_id AS other_id,
+       CAST(list_sum(list_transform(list_zip(a.q, b.q),
+            p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist_q
+FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE CAST(list_sum(list_transform(list_zip(a.q, b.q),
+      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) <= {max_dist_q}
+"""
+
+
+# ------------------------------------------------- float cosine (UDF path)
+
+def cosine_topk_udf(emb: DataFrame, n_queries: int = 8, k: int = 5) -> DataFrame:
+    """True float cosine top-k via a vectorized numpy pandas UDF: the
+    query matrix rides along as a broadcast literal inside the closure;
+    each Arrow batch does one (batch x dim) @ (dim x nq) matmul. This is
+    the high-throughput path when exactness-vs-oracle isn't required."""
+    qrows = (
+        emb.where(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qnorm[qnorm == 0] = 1.0
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            cos = (mat @ qmat.T) / norms[:, None] / qnorm[None, :]
+            vec_ids = pdf["vec_id"].to_numpy(np.int64)
+            recs = []
+            for j, qid in enumerate(qids):
+                mask = vec_ids != qid
+                order = np.lexsort((vec_ids[mask], -cos[mask, j]))[:k]
+                sel = np.flatnonzero(mask)[order]
+                for rank, idx in enumerate(sel):
+                    recs.append({"qid": int(qid), "vec_id": int(vec_ids[idx]),
+                                 "cosine": float(cos[idx, j]), "rank": rank + 1})
+            yield pd.DataFrame(recs, columns=["qid", "vec_id", "cosine", "rank"])
+
+    partial = emb.select("vec_id", "embedding").mapInPandas(
+        batch_fn, schema="qid long, vec_id long, cosine double, rank int"
+    )
+    # per-batch top-k -> global top-k (classic two-phase exact top-k)
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        partial.withColumn("grank", F.row_number().over(w))
+        .where(F.col("grank") <= k)
+        .select("qid", "vec_id", "cosine", F.col("grank").alias("rank"))
+    )

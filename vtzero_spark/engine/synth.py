@@ -1,0 +1,172 @@
+"""Deterministic synthesis of the `images` input table and join targets.
+
+`BASELINE.json input_hint` mandates an input table
+(image_id, bytes, w, h, fmt, caption, phash) of image+caption pairs.
+No external data is allowed, so the table is derived *deterministically*
+from the driver-generated TPC-H-ish parquet via pure integer column
+math (LCG mixers). Every derivation here is also expressible in ANSI
+SQL, so the DuckDB oracle can reproduce the exact same table — that is
+what makes the spatial queries hash-checkable end to end.
+
+World model: integer world of 2^16 units per axis = 2^ZOOM tiles of
+EXTENT=4096 tile-local units at ZOOM=4 (the MVT default extent,
+layer.hpp:60). An image's footprint is a point at (wx, wy) derived
+from its id; the raster side uses ZOOM_R=6 (1024-unit tiles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ZOOM = 4
+EXTENT = 4096
+WORLD = (1 << ZOOM) * EXTENT  # 65536
+ZOOM_R = 6
+RASTER_TILE = WORLD >> ZOOM_R  # 1024
+
+# LCG multipliers (public-domain constants: glibc / MS / Park-Miller)
+_AX, _BX = 48271, 11
+_AY, _BY = 69621, 23
+_AP, _BP = 1103515245, 12345
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def images(spark: SparkSession, sf_dir: str, with_bytes: bool = False) -> DataFrame:
+    """The image+caption input table, derived from lineitem.
+
+    One image per lineitem row; iid = l_orderkey*8 + l_linenumber is
+    unique. All columns are integer/LCG math so the DuckDB oracle can
+    derive the identical table (see images_sql()).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem,
+    # so dedupe the derived key first; every other column is a pure
+    # function of iid, keeping the DISTINCT cheap and the oracle exact.
+    df = li.select(
+        (F.col("l_orderkey") * F.lit(8) + F.col("l_linenumber")).alias("iid")
+    ).distinct()
+    df = df.select(
+        "iid",
+        F.format_string("img%012d", F.col("iid")).alias("image_id"),
+        ((F.col("iid") * _AX + _BX) % WORLD).alias("wx"),
+        ((F.col("iid") * _AY + _BY) % WORLD).alias("wy"),
+        ((F.col("iid") * _AP + _BP) % 2147483648).alias("phash"),
+        F.element_at(
+            F.array(F.lit(16), F.lit(32), F.lit(64), F.lit(256)),
+            (F.col("iid") % 4 + 1).cast("int"),
+        ).alias("w"),
+        F.element_at(
+            F.array(F.lit(16), F.lit(32), F.lit(64), F.lit(256)),
+            (F.col("iid") % 3 + 1).cast("int"),
+        ).alias("h"),
+        F.when(F.col("iid") % 4 == 0, F.lit("jpeg")).otherwise(F.lit("png")).alias("fmt"),
+        F.concat(F.lit("cap "), F.col("iid").cast("string")).alias("caption"),
+        F.concat(F.lit("L"), (F.col("iid") % 3).cast("string")).alias("layer_name"),
+    )
+    if with_bytes:
+        from .payload import with_image_bytes
+
+        df = with_image_bytes(df)
+    return df
+
+
+def images_sql(alias: str = "images") -> str:
+    """DuckDB CTE reproducing images() exactly (minus bytes)."""
+    return f"""
+iid_base AS (
+  SELECT DISTINCT (l_orderkey * 8 + l_linenumber) AS iid FROM lineitem
+),
+{alias} AS (
+  SELECT
+    iid,
+    printf('img%012d', iid) AS image_id,
+    (iid * {_AX} + {_BX}) % {WORLD} AS wx,
+    (iid * {_AY} + {_BY}) % {WORLD} AS wy,
+    (iid * {_AP} + {_BP}) % 2147483648 AS phash,
+    ([16,32,64,256])[CAST(iid % 4 + 1 AS INT)] AS w,
+    ([16,32,64,256])[CAST(iid % 3 + 1 AS INT)] AS h,
+    CASE WHEN iid % 4 = 0 THEN 'jpeg' ELSE 'png' END AS fmt,
+    'cap ' || CAST(iid AS VARCHAR) AS caption,
+    'L' || CAST(iid % 3 AS VARCHAR) AS layer_name
+  FROM iid_base
+)"""
+
+
+# ------------------------------------------------------------- polygons
+
+_PCX, _PCBX = 2654435761 % WORLD, 101  # keep products < 2^63 for DuckDB
+_PCY, _PCBY = 40503, 4099
+
+
+def polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic convex join targets (integer diamonds) from nation.
+
+    polygon k = L1 ball (diamond) centered at an LCG point with radius
+    2000 + (k%5)*3000; represented as a closed 5-point ring (CW in
+    y-down tile space => positive shoelace area = outer ring per
+    geometry.hpp:161-169). One deliberately huge polygon (k==0 gets
+    radius 30000) drives join skew for the salted path.
+    """
+    n = load(spark, sf_dir, "nation")
+    df = n.select(
+        F.col("n_nationkey").cast("long").alias("pid"),
+        ((F.col("n_nationkey") * _PCX + _PCBX) % WORLD).alias("cx"),
+        ((F.col("n_nationkey") * _PCY + _PCBY) % WORLD).alias("cy"),
+        F.when(F.col("n_nationkey") == 0, F.lit(30000))
+        .otherwise(F.lit(2000) + (F.col("n_nationkey") % 5) * 3000)
+        .alias("r"),
+    )
+    # closed ring, CW in y-down space: (cx, cy-r) -> (cx+r, cy) -> (cx, cy+r) -> (cx-r, cy)
+    ring = F.array(
+        F.struct((F.col("cx")).alias("x"), (F.col("cy") - F.col("r")).alias("y")),
+        F.struct((F.col("cx") + F.col("r")).alias("x"), (F.col("cy")).alias("y")),
+        F.struct((F.col("cx")).alias("x"), (F.col("cy") + F.col("r")).alias("y")),
+        F.struct((F.col("cx") - F.col("r")).alias("x"), (F.col("cy")).alias("y")),
+        F.struct((F.col("cx")).alias("x"), (F.col("cy") - F.col("r")).alias("y")),
+    )
+    return df.withColumn("ring", ring)
+
+
+def polygons_sql(alias: str = "polys") -> str:
+    """DuckDB CTE with the same centers/radii (diamond PIP is the
+    L1-ball predicate, so the oracle needs no explicit ring)."""
+    return f"""
+{alias} AS (
+  SELECT
+    CAST(n_nationkey AS BIGINT) AS pid,
+    (n_nationkey * {_PCX} + {_PCBX}) % {WORLD} AS cx,
+    (n_nationkey * {_PCY} + {_PCBY}) % {WORLD} AS cy,
+    CASE WHEN n_nationkey = 0 THEN 30000
+         ELSE 2000 + (n_nationkey % 5) * 3000 END AS r
+  FROM nation
+)"""
+
+
+# ------------------------------------------------------------- kNN queries
+
+_QAX, _QBX = 16807, 7
+_QAY, _QBY = 28411, 13
+
+
+def knn_queries(spark: SparkSession, sf_dir: str, n_queries: int = 20) -> DataFrame:
+    n = load(spark, sf_dir, "nation").where(F.col("n_nationkey") < n_queries)
+    return n.select(
+        F.col("n_nationkey").cast("long").alias("qid"),
+        ((F.col("n_nationkey") * _QAX + _QBX) % WORLD).alias("qx"),
+        ((F.col("n_nationkey") * _QAY + _QBY) % WORLD).alias("qy"),
+    )
+
+
+def knn_queries_sql(alias: str = "queries", n_queries: int = 20) -> str:
+    return f"""
+{alias} AS (
+  SELECT
+    CAST(n_nationkey AS BIGINT) AS qid,
+    (n_nationkey * {_QAX} + {_QBX}) % {WORLD} AS qx,
+    (n_nationkey * {_QAY} + {_QBY}) % {WORLD} AS qy
+  FROM nation WHERE n_nationkey < {n_queries}
+)"""
