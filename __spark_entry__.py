@@ -19,12 +19,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from vtzero_spark.engine import assemble, joins, knn, simsearch, synth, textops, tiling
+from vtzero_spark.engine import (
+    assemble, cells, geomops, joins, knn, simsearch, synth, textops, tiling,
+)
 from vtzero_spark.engine.synth import EXTENT, WORLD, ZOOM, ZOOM_R
 
 BUFFER = 64  # tile-edge buffer (vtzero fixtures 053-056 semantics)
 K_NN = 5
 N_QUERIES = 20
+CELL_LEVEL = 4  # quadkey level with the same 4096-unit cells as EXTENT
 
 
 # ------------------------------------------------------------ features
@@ -160,6 +163,73 @@ def q_dict_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("z", "x", "y", "layer_name", "fmt", "value_idx")
 
 
+def _geom_roundtrip(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
+    """images -> rect/path footprints -> MVT encode -> decode ->
+    vectorized geometry stats, aggregated per layer. Exercises the
+    polygon / linestring builders (builder.hpp:778-1141) and the full
+    decoder (§2.5) end-to-end on the distributed path."""
+    img = synth.images(spark, sf_dir)
+    assigned = tiling.assign_tiles(img, zoom=ZOOM, extent=EXTENT, buffer=0)
+    feats = (geomops.rect_footprint_features(assigned) if kind == "rect"
+             else geomops.path_features(assigned))
+    tiles = assemble.encode_tiles(assemble.encode_layers(feats))
+    decoded = assemble.decode_tiles(tiles)
+    stats = geomops.geometry_stats(decoded.where(F.col("decode_status") == "ok"))
+    return stats.where(F.col("decode_status") == "ok").groupBy(
+        "z", "x", "y", "layer_name"
+    ).agg(
+        F.count("*").alias("n_features"),
+        F.sum("n_points").alias("n_points"),
+        F.sum("sum_x").alias("sum_x"),
+        F.sum("sum_y").alias("sum_y"),
+        F.sum("area2").alias("area2"),
+    )
+
+
+def q_polygon_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _geom_roundtrip(spark, sf_dir, "rect")
+
+
+def q_linestring_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _geom_roundtrip(spark, sf_dir, "path")
+
+
+def q_streets_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vtzero-streets analog (examples/vtzero-streets.cpp:22-78):
+    property-equality filter (fmt == 'png') then re-encode — the
+    output layers' dictionaries are rebuilt on the filtered subset,
+    the distributed property_mapper (property_mapper.hpp:31-99)."""
+    f = _features(spark, sf_dir).where(F.col("fmt") == "png")
+    layers = assemble.encode_layers(
+        f.select("z", "x", "y", "layer_name", "feature_ordinal", "feature_id",
+                 "geom_type", "loc_x", "loc_y", "props")
+    )
+    return layers.select(
+        "z", "x", "y", "layer_name", "num_features",
+        F.col("value_table_size").cast("long").alias("value_table_size"),
+    )
+
+
+def q_cell_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadkey (S2-analog) cell ids at two levels + parent arithmetic;
+    pure column math, oracle reproduces the bit-interleave exactly."""
+    img = synth.images(spark, sf_dir)
+    with_cell = cells.point_cells(img, CELL_LEVEL + 2, WORLD, out="cell6")
+    return with_cell.select(
+        "image_id",
+        "cell6",
+        cells.parent_cell(cells.parent_cell(F.col("cell6"))).alias("cell4"),
+        cells.cell_level(F.col("cell6")).alias("level"),
+    )
+
+
+def q_pip_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIP join keyed on the quadkey cell id — identical rows to q_pip."""
+    pts = synth.images(spark, sf_dir)
+    polys = synth.polygons(spark, sf_dir)
+    return cells.pip_join_cells(pts, polys, CELL_LEVEL, WORLD).select("image_id", "pid")
+
+
 def q_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = synth.images(spark, sf_dir)
     polys = synth.polygons(spark, sf_dir)
@@ -269,6 +339,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_counts": q_roundtrip_counts,
         "feature_lookup": q_feature_lookup,
         "dict_encode": q_dict_encode,
+        "polygon_roundtrip": q_polygon_roundtrip,
+        "linestring_roundtrip": q_linestring_roundtrip,
+        "streets_filter": q_streets_filter,
+        "cell_index": q_cell_index,
+        "pip_cells": q_pip_cells,
         "pip": q_pip,
         "pip_salted": q_pip_salted,
         "knn": q_knn,
@@ -297,6 +372,7 @@ def oracle_sql() -> dict[str, str]:
     polys = synth.polygons_sql("polys")
     qcte = synth.knn_queries_sql("queries", N_QUERIES)
     assigned = f"assigned AS ({tiling.assign_tiles_sql('images', ZOOM, EXTENT, BUFFER)})"
+    assigned0 = f"assigned0 AS ({tiling.assign_tiles_sql('images', ZOOM, EXTENT, 0)})"
     shift = 1 << (ZOOM_R - ZOOM)
     rt = WORLD >> ZOOM_R
 
@@ -355,6 +431,49 @@ SELECT z, x, y, layer_name, fmt,
        CAST(row_number() OVER (PARTITION BY z, x, y, layer_name ORDER BY first_ord) - 1
             AS BIGINT) AS value_idx
 FROM firsts
+""",
+        "polygon_roundtrip": f"""
+WITH {images},
+{assigned0}
+SELECT z, x, y, layer_name, count(*) AS n_features,
+       CAST(5 * count(*) AS BIGINT) AS n_points,
+       CAST(sum(5 * loc_x + 2 * w) AS BIGINT) AS sum_x,
+       CAST(sum(5 * loc_y + 2 * h) AS BIGINT) AS sum_y,
+       CAST(sum(2 * w * h) AS BIGINT) AS area2
+FROM assigned0 GROUP BY z, x, y, layer_name
+""",
+        "linestring_roundtrip": f"""
+WITH {images},
+{assigned0}
+SELECT z, x, y, layer_name, count(*) AS n_features,
+       CAST(3 * count(*) AS BIGINT) AS n_points,
+       CAST(sum(3 * loc_x + 3 * w) AS BIGINT) AS sum_x,
+       CAST(sum(3 * loc_y + h) AS BIGINT) AS sum_y,
+       CAST(0 AS BIGINT) AS area2
+FROM assigned0 GROUP BY z, x, y, layer_name
+""",
+        "streets_filter": f"""
+WITH {images},
+{assigned}
+SELECT z, x, y, layer_name, count(*) AS num_features,
+       count(DISTINCT phash) + 1 + count(DISTINCT caption) AS value_table_size
+FROM assigned WHERE fmt = 'png' GROUP BY z, x, y, layer_name
+""",
+        "cell_index": f"""
+WITH {images},
+c AS (
+  SELECT image_id,
+         CAST({cells.cell_id_sql(f'wx // {WORLD >> (CELL_LEVEL + 2)}', f'wy // {WORLD >> (CELL_LEVEL + 2)}', CELL_LEVEL + 2)} AS BIGINT) AS cell6
+  FROM images
+)
+SELECT image_id, cell6, CAST(cell6 >> 4 AS BIGINT) AS cell4,
+       CAST({CELL_LEVEL + 2} AS INT) AS level
+FROM c
+""",
+        "pip_cells": f"""
+WITH {images},
+{polys}
+{joins.pip_join_sql('images', 'polys')}
 """,
         "pip": f"""
 WITH {images},

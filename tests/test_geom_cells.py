@@ -1,0 +1,125 @@
+"""Polygon/linestring distributed round-trips (engine/geomops.py) and
+the quadkey cell index (engine/cells.py).
+
+The round-trip assertions mirror vtzero's builder/decoder contracts:
+ring orientation and signed area per geometry.hpp:120-123,161-169,
+closing-point re-emission per geometry.hpp:373, cursor continuity per
+builder.hpp:368.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from vtzero_spark.engine import cells, geomops, joins, synth, tiling
+from vtzero_spark.engine.synth import EXTENT, WORLD, ZOOM
+
+
+def _assigned(spark, sf_dir):
+    img = synth.images(spark, sf_dir)
+    return tiling.assign_tiles(img, zoom=ZOOM, extent=EXTENT, buffer=0)
+
+
+# ------------------------------------------------------------- geomops
+
+def test_rect_footprint_roundtrip(spark, sf_dir):
+    from vtzero_spark.engine import assemble
+
+    assigned = _assigned(spark, sf_dir).limit(200)
+    feats = geomops.rect_footprint_features(assigned)
+    tiles = assemble.encode_tiles(assemble.encode_layers(feats))
+    stats = geomops.geometry_stats(
+        assemble.decode_tiles(tiles).where(F.col("decode_status") == "ok")
+    ).toPandas()
+    assert (stats["decode_status"] == "ok").all()
+    # every rectangle decodes to one outer ring of 5 points (closing
+    # point re-emitted) with area2 = 2*w*h > 0
+    assert (stats["n_parts"] == 1).all()
+    assert (stats["n_points"] == 5).all()
+    assert (stats["area2"] > 0).all()
+
+    expected = (
+        _assigned(spark, sf_dir).limit(200)
+        .select(F.col("iid").alias("feature_id"),
+                (2 * F.col("w") * F.col("h")).alias("exp_area2"),
+                (5 * F.col("loc_x") + 2 * F.col("w")).alias("exp_sx"),
+                (5 * F.col("loc_y") + 2 * F.col("h")).alias("exp_sy"))
+        .toPandas().set_index("feature_id")
+    )
+    got = stats.set_index("feature_id")
+    joined = got.join(expected, how="inner")
+    assert len(joined) == len(got)
+    assert (joined["area2"] == joined["exp_area2"]).all()
+    assert (joined["sum_x"] == joined["exp_sx"]).all()
+    assert (joined["sum_y"] == joined["exp_sy"]).all()
+
+
+def test_path_roundtrip(spark, sf_dir):
+    from vtzero_spark.engine import assemble
+
+    assigned = _assigned(spark, sf_dir).limit(200)
+    feats = geomops.path_features(assigned)
+    tiles = assemble.encode_tiles(assemble.encode_layers(feats))
+    stats = geomops.geometry_stats(
+        assemble.decode_tiles(tiles).where(F.col("decode_status") == "ok")
+    ).toPandas()
+    assert (stats["decode_status"] == "ok").all()
+    assert (stats["n_parts"] == 1).all()
+    assert (stats["n_points"] == 3).all()
+    assert (stats["area2"] == 0).all()
+
+
+# --------------------------------------------------------------- cells
+
+def _py_morton(x: int, y: int, level: int) -> int:
+    out = 0
+    for i in range(level):
+        out |= ((x >> i) & 1) << (2 * i)
+        out |= ((y >> i) & 1) << (2 * i + 1)
+    return out
+
+
+@pytest.mark.parametrize("level", [1, 4, 6, 10])
+def test_cell_id_matches_python(spark, level):
+    pts = [(0, 0), (1, 0), (0, 1), (3, 5), ((1 << level) - 1, (1 << level) - 1)]
+    df = spark.createDataFrame(pts, "gx long, gy long")
+    got = df.select(
+        "gx", "gy", cells.cell_id(F.col("gx"), F.col("gy"), level).alias("cell")
+    ).collect()
+    for r in got:
+        assert r["cell"] == (1 << (2 * level)) | _py_morton(r["gx"], r["gy"], level)
+
+
+def test_parent_children_roundtrip(spark):
+    level = 6
+    df = spark.createDataFrame([(13, 27)], "gx long, gy long").select(
+        cells.cell_id(F.col("gx"), F.col("gy"), level).alias("cell")
+    )
+    row = df.select(
+        "cell",
+        cells.parent_cell(F.col("cell")).alias("parent"),
+        cells.children_cells(F.col("cell")).alias("children"),
+        cells.cell_level(F.col("cell")).alias("level"),
+    ).collect()[0]
+    assert row["level"] == level
+    # parent is the level-5 cell of (13>>1, 27>>1)
+    assert row["parent"] == (1 << (2 * (level - 1))) | _py_morton(6, 13, level - 1)
+    # each child's parent is the cell itself
+    assert all(c >> 2 == row["cell"] for c in row["children"])
+    assert len(set(row["children"])) == 4
+
+
+def test_pip_cells_equals_pip_join(spark, sf_dir):
+    pts = synth.images(spark, sf_dir)
+    polys = synth.polygons(spark, sf_dir)
+    a = sorted(
+        cells.pip_join_cells(pts, polys, 4, WORLD)
+        .select("image_id", "pid").distinct().collect()
+    )
+    b = sorted(
+        joins.pip_join(pts, polys).select("image_id", "pid").distinct().collect()
+    )
+    assert a == b
+    assert len(a) > 0

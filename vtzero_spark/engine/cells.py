@@ -1,0 +1,125 @@
+"""Hierarchical quadkey (Morton / Z-order) cell index — the S2/H3
+analog over the tile pyramid.
+
+A cell at level L is one of the 2^L x 2^L grid squares of the integer
+world; its id interleaves the x/y bits and prefixes a level marker:
+
+    cell_id(L, x, y) = (1 << 2L) | morton(x, y)
+
+so ids are self-delimiting across levels (like S2 cell ids), a parent
+is `(cell >> 2)` and the four children are `(cell << 2) | {0,1,2,3}`.
+Everything here is pure column math (bit ops unrolled per level) —
+no UDFs, fully inside whole-stage codegen, and reproducible verbatim
+in the DuckDB oracle (`morton_sql`).
+
+At 10^12-point scale the cell id is the single shuffle/bucket key for
+the spatial joins: covering indexes stay broadcastable per level, and
+skewed (hot) cells split under AQE or the explicit salted path in
+joins.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def morton(x: Column, y: Column, level: int) -> Column:
+    """Interleave the low ``level`` bits of x (even positions) and y
+    (odd positions)."""
+    one = F.lit(1).cast("long")
+    out = F.lit(0).cast("long")
+    for i in range(level):
+        out = out.bitwiseOR(
+            F.shiftleft(F.shiftright(x.cast("long"), i).bitwiseAND(one), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(y.cast("long"), i).bitwiseAND(one), 2 * i + 1)
+        )
+    return out
+
+
+def cell_id(x: Column, y: Column, level: int) -> Column:
+    """Level-prefixed quadkey id of grid cell (x, y) at ``level``."""
+    return F.lit(1 << (2 * level)).cast("long").bitwiseOR(morton(x, y, level))
+
+
+def parent_cell(cell: Column) -> Column:
+    """Parent id one level up (level marker shifts along)."""
+    return F.shiftright(cell.cast("long"), 2)
+
+
+def cell_level(cell: Column) -> Column:
+    """Recover the level from the marker bit: floor(log2(cell)) / 2."""
+    return (F.floor(F.log2(cell.cast("double"))) / 2).cast("int")
+
+
+def children_cells(cell: Column) -> Column:
+    """Array of the four child ids one level down."""
+    base = F.shiftleft(cell.cast("long"), 2)
+    return F.array(*[base.bitwiseOR(F.lit(q).cast("long")) for q in range(4)])
+
+
+def point_cells(df: DataFrame, level: int, world: int,
+                wx: str = "wx", wy: str = "wy",
+                out: str = "cell") -> DataFrame:
+    """Attach the level-``level`` cell id of each point (wx, wy)."""
+    size = world >> level
+    cx = F.expr(f"{wx} div {size}")
+    cy = F.expr(f"{wy} div {size}")
+    return df.withColumn(out, cell_id(cx, cy, level))
+
+
+def bbox_covering(polys: DataFrame, level: int, world: int,
+                  out: str = "cell") -> DataFrame:
+    """Explode each polygon's (cx, cy, r) L-inf bbox into covering cell
+    ids at ``level`` — the broadcastable cell->polygon covering index
+    (SURVEY §2.11)."""
+    size = world >> level
+    n = world // size
+    gx = F.explode(F.sequence(
+        F.greatest(F.lit(0), F.expr(f"(cx - r) div {size}")),
+        F.least(F.lit(n - 1), F.expr(f"(cx + r) div {size}")),
+    ))
+    gy = F.explode(F.sequence(
+        F.greatest(F.lit(0), F.expr(f"(cy - r) div {size}")),
+        F.least(F.lit(n - 1), F.expr(f"(cy + r) div {size}")),
+    ))
+    return (
+        polys.withColumn("_gx", gx)
+        .withColumn("_gy", gy)
+        .withColumn(out, cell_id(F.col("_gx"), F.col("_gy"), level))
+        .drop("_gx", "_gy")
+    )
+
+
+def pip_join_cells(points: DataFrame, polys: DataFrame, level: int,
+                   world: int, point_id: str = "image_id") -> DataFrame:
+    """Point-in-polygon join keyed on the quadkey cell id (single join
+    column instead of (cell_x, cell_y)); identical result rows to
+    joins.pip_join. The covering index is broadcast; the exact refine
+    is the integer cross-product test from joins.py."""
+    from .joins import _convex_inside_expr
+
+    index = bbox_covering(polys, level, world)
+    pts = point_cells(points, level, world)
+    return (
+        pts.join(F.broadcast(index), "cell")
+        .where(_convex_inside_expr("wx", "wy"))
+        .drop("cell")
+    )
+
+
+# ----------------------------------------------------------- SQL mirror
+
+def morton_sql(x: str, y: str, level: int) -> str:
+    """DuckDB expression equal to morton(); `&`, `|`, `<<`, `>>` are
+    plain operators there."""
+    terms = []
+    for i in range(level):
+        terms.append(f"(((({x}) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((({y}) >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+def cell_id_sql(x: str, y: str, level: int) -> str:
+    return f"({1 << (2 * level)} | {morton_sql(x, y, level)})"
