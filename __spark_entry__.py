@@ -29,6 +29,18 @@ K_NN = 5
 N_QUERIES = 20
 CELL_LEVEL = 4  # quadkey level with the same 4096-unit cells as EXTENT
 
+# fixed property schema of the image layers: (key, vtype, column);
+# phash is a uint value (types.hpp:213-234), fmt/caption are strings
+PROP_SPEC = [("phash", 5, "phash"), ("fmt", 1, "fmt"), ("caption", 1, "caption")]
+POINT_COLS = ["z", "x", "y", "layer_name", "feature_ordinal", "feature_id",
+              "loc_x", "loc_y", "phash", "fmt", "caption"]
+
+
+def _encode_image_layers(feats: DataFrame) -> DataFrame:
+    """Hot path: vectorized point-layer encode with the fixed PROP_SPEC
+    (byte-identical to the generic encode_layers, asserted in tests)."""
+    return assemble.encode_point_layers(feats.select(*POINT_COLS), prop_spec=PROP_SPEC)
+
 
 # ------------------------------------------------------------ features
 
@@ -67,11 +79,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full raster->vector pipeline at sf0.001; returns one
     row per encoded MVT tile."""
     feats = _features(spark, "/root/testdata/sf0.001")
-    layers = assemble.encode_layers(
-        feats.select("z", "x", "y", "layer_name", "feature_ordinal",
-                     "feature_id", "geom_type", "loc_x", "loc_y", "props")
-    )
-    tiles = assemble.encode_tiles(layers)
+    tiles = assemble.encode_tiles(_encode_image_layers(feats))
     return tiles.select(
         "z", "x", "y", "num_layers",
         F.octet_length("tile_bytes").alias("tile_size"),
@@ -111,10 +119,7 @@ def q_mvt_layer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dictionary first-appearance dedup inside the encode UDF) — the
     oracle cross-checks the codec's dictionary semantics."""
     f = _features(spark, sf_dir)
-    layers = assemble.encode_layers(
-        f.select("z", "x", "y", "layer_name", "feature_ordinal", "feature_id",
-                 "geom_type", "loc_x", "loc_y", "props")
-    )
+    layers = _encode_image_layers(f)
     return layers.select(
         "z", "x", "y", "layer_name", "num_features",
         F.col("key_table_size").cast("long").alias("key_table_size"),
@@ -127,11 +132,7 @@ def q_roundtrip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-layer feature counts and coordinate sums must equal the
     pre-encode plan-side numbers the oracle computes directly."""
     f = _features(spark, sf_dir)
-    layers = assemble.encode_layers(
-        f.select("z", "x", "y", "layer_name", "feature_ordinal", "feature_id",
-                 "geom_type", "loc_x", "loc_y", "props")
-    )
-    tiles = assemble.encode_tiles(layers)
+    tiles = assemble.encode_tiles(_encode_image_layers(f))
     decoded = assemble.decode_tiles(tiles)
     pts = assemble.decoded_points(decoded.where(F.col("decode_status") == "ok"))
     return pts.groupBy("z", "x", "y", "layer_name").agg(
@@ -200,10 +201,7 @@ def q_streets_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     output layers' dictionaries are rebuilt on the filtered subset,
     the distributed property_mapper (property_mapper.hpp:31-99)."""
     f = _features(spark, sf_dir).where(F.col("fmt") == "png")
-    layers = assemble.encode_layers(
-        f.select("z", "x", "y", "layer_name", "feature_ordinal", "feature_id",
-                 "geom_type", "loc_x", "loc_y", "props")
-    )
+    layers = _encode_image_layers(f)
     return layers.select(
         "z", "x", "y", "layer_name", "num_features",
         F.col("value_table_size").cast("long").alias("value_table_size"),
@@ -298,11 +296,7 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_mvt_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = _features(spark, sf_dir)
-    layers = assemble.encode_layers(
-        feats.select("z", "x", "y", "layer_name", "feature_ordinal", "feature_id",
-                     "geom_type", "loc_x", "loc_y", "props")
-    )
-    tiles = assemble.encode_tiles(layers)
+    tiles = assemble.encode_tiles(_encode_image_layers(feats))
     return tiles.select("z", "x", "y", "num_layers",
                         F.octet_length("tile_bytes").alias("tile_size"))
 

@@ -1,0 +1,42 @@
+"""Vectorized point-layer encoder parity: encode_point_layers must be
+byte-identical to the generic encode_layers (same dictionary order,
+same field emission order) on the flagship feature set."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry
+
+from pyspark.sql import functions as F
+
+from vtzero_spark.engine import assemble
+
+
+def test_fast_point_encode_byte_parity(spark, sf_dir):
+    feats = entry._features(spark, sf_dir)
+
+    generic = assemble.encode_layers(
+        feats.select("z", "x", "y", "layer_name", "feature_ordinal",
+                     "feature_id", "geom_type", "loc_x", "loc_y", "props")
+    ).select("z", "x", "y", "layer_name", "layer_bytes").toPandas()
+
+    fast = entry._encode_image_layers(feats).select(
+        "z", "x", "y", "layer_name", "layer_bytes"
+    ).toPandas()
+
+    key = ["z", "x", "y", "layer_name"]
+    g = generic.set_index(key)["layer_bytes"].map(bytes)
+    f = fast.set_index(key)["layer_bytes"].map(bytes)
+    assert len(g) == len(f) and len(g) > 0
+    joined = g.to_frame("g").join(f.to_frame("f"), how="inner")
+    assert len(joined) == len(g)
+    mismatch = joined[joined["g"] != joined["f"]]
+    assert mismatch.empty, f"{len(mismatch)} layers differ, e.g. {mismatch.index[0]}"
+
+
+def test_fast_encode_tiles_decode_ok(spark, sf_dir):
+    feats = entry._features(spark, sf_dir)
+    tiles = assemble.encode_tiles(entry._encode_image_layers(feats))
+    decoded = assemble.decode_tiles(tiles)
+    bad = decoded.where(F.col("decode_status") != "ok").count()
+    assert bad == 0
+    assert decoded.count() > 0

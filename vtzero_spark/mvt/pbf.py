@@ -117,6 +117,15 @@ def encode_varint_array(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def varint_len_array(values: np.ndarray) -> np.ndarray:
+    """Vectorized LEB128 encoded-length of each uint64 value."""
+    v = np.ascontiguousarray(values, dtype=_U64)
+    n = np.ones(v.shape, dtype=np.int64)
+    for k in range(1, 10):
+        n += (v >= _U64(1) << _U64(7 * k)).astype(np.int64)
+    return n
+
+
 def decode_varint_array(buf: bytes | np.ndarray) -> np.ndarray:
     """Vectorized decode of back-to-back varints -> uint64 array.
 
