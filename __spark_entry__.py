@@ -42,6 +42,12 @@ def _encode_image_layers(feats: DataFrame) -> DataFrame:
     return assemble.encode_point_layers(feats.select(*POINT_COLS), prop_spec=PROP_SPEC)
 
 
+def _encode_image_tiles(feats: DataFrame) -> DataFrame:
+    """Fused single-shuffle layer+tile encode (byte-identical to
+    encode_tiles(_encode_image_layers(...)), asserted in tests)."""
+    return assemble.encode_point_tiles(feats.select(*POINT_COLS), prop_spec=PROP_SPEC)
+
+
 # ------------------------------------------------------------ features
 
 def _features(spark: SparkSession, sf_dir: str, buffer: int = BUFFER) -> DataFrame:
@@ -79,7 +85,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full raster->vector pipeline at sf0.001; returns one
     row per encoded MVT tile."""
     feats = _features(spark, "/root/testdata/sf0.001")
-    tiles = assemble.encode_tiles(_encode_image_layers(feats))
+    tiles = _encode_image_tiles(feats)
     return tiles.select(
         "z", "x", "y", "num_layers",
         F.octet_length("tile_bytes").alias("tile_size"),
@@ -132,7 +138,7 @@ def q_roundtrip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-layer feature counts and coordinate sums must equal the
     pre-encode plan-side numbers the oracle computes directly."""
     f = _features(spark, sf_dir)
-    tiles = assemble.encode_tiles(_encode_image_layers(f))
+    tiles = _encode_image_tiles(f)
     decoded = assemble.decode_tiles(tiles)
     pts = assemble.decoded_points(decoded.where(F.col("decode_status") == "ok"))
     return pts.groupBy("z", "x", "y", "layer_name").agg(
@@ -205,6 +211,21 @@ def q_streets_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return layers.select(
         "z", "x", "y", "layer_name", "num_features",
         F.col("value_table_size").cast("long").alias("value_table_size"),
+    )
+
+
+def q_layer_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_layer_by_name analog (vector_tile.hpp:214-271) run through
+    the real codec: encode tiles, decode them, select the layer named
+    'L1', count its features per tile."""
+    f = _features(spark, sf_dir)
+    tiles = _encode_image_tiles(f)
+    decoded = assemble.decode_tiles(tiles)
+    return (
+        decoded.where((F.col("decode_status") == "ok") & (F.col("layer_name") == "L1"))
+        .groupBy("z", "x", "y")
+        .agg(F.count("*").alias("n_features"),
+             F.min("feature_id").alias("first_feature_id"))
     )
 
 
@@ -296,7 +317,7 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_mvt_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = _features(spark, sf_dir)
-    tiles = assemble.encode_tiles(_encode_image_layers(feats))
+    tiles = _encode_image_tiles(feats)
     return tiles.select("z", "x", "y", "num_layers",
                         F.octet_length("tile_bytes").alias("tile_size"))
 
@@ -336,6 +357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_roundtrip": q_polygon_roundtrip,
         "linestring_roundtrip": q_linestring_roundtrip,
         "streets_filter": q_streets_filter,
+        "layer_lookup": q_layer_lookup,
         "cell_index": q_cell_index,
         "pip_cells": q_pip_cells,
         "pip": q_pip,
@@ -452,6 +474,12 @@ WITH {images},
 SELECT z, x, y, layer_name, count(*) AS num_features,
        count(DISTINCT phash) + 1 + count(DISTINCT caption) AS value_table_size
 FROM assigned WHERE fmt = 'png' GROUP BY z, x, y, layer_name
+""",
+        "layer_lookup": f"""
+WITH {images},
+{assigned}
+SELECT z, x, y, count(*) AS n_features, min(iid) AS first_feature_id
+FROM assigned WHERE layer_name = 'L1' GROUP BY z, x, y
 """,
         "cell_index": f"""
 WITH {images},

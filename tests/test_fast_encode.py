@@ -33,6 +33,36 @@ def test_fast_point_encode_byte_parity(spark, sf_dir):
     assert mismatch.empty, f"{len(mismatch)} layers differ, e.g. {mismatch.index[0]}"
 
 
+def test_fused_tile_encode_byte_parity(spark, sf_dir):
+    feats = entry._features(spark, sf_dir)
+    staged = assemble.encode_tiles(entry._encode_image_layers(feats)).select(
+        "z", "x", "y", "num_layers", "tile_bytes"
+    ).toPandas()
+    fused = entry._encode_image_tiles(feats).select(
+        "z", "x", "y", "num_layers", "tile_bytes"
+    ).toPandas()
+    key = ["z", "x", "y"]
+    s = staged.set_index(key).sort_index()
+    f = fused.set_index(key).sort_index()
+    assert len(s) == len(f) and len(s) > 0
+    assert (s["num_layers"] == f["num_layers"]).all()
+    assert (s["tile_bytes"].map(bytes) == f["tile_bytes"].map(bytes)).all()
+
+
+def test_arrow_tile_encode_byte_parity(spark, sf_dir):
+    feats = entry._features(spark, sf_dir).select(*entry.POINT_COLS)
+    pandas_tiles = assemble.encode_point_tiles(feats, prop_spec=entry.PROP_SPEC) \
+        .select("z", "x", "y", "num_layers", "tile_bytes").toPandas()
+    arrow_tiles = assemble.encode_point_tiles_arrow(feats, prop_spec=entry.PROP_SPEC) \
+        .select("z", "x", "y", "num_layers", "tile_bytes").toPandas()
+    key = ["z", "x", "y"]
+    p = pandas_tiles.set_index(key).sort_index()
+    a = arrow_tiles.set_index(key).sort_index()
+    assert len(p) == len(a) and len(p) > 0
+    assert (p["num_layers"] == a["num_layers"]).all()
+    assert (p["tile_bytes"].map(bytes) == a["tile_bytes"].map(bytes)).all()
+
+
 def test_fast_encode_tiles_decode_ok(spark, sf_dir):
     feats = entry._features(spark, sf_dir)
     tiles = assemble.encode_tiles(entry._encode_image_layers(feats))

@@ -35,6 +35,8 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--out", default="/tmp/vtzero_pipeline_out")
     ap.add_argument("--buckets", type=int, default=8)
+    ap.add_argument("--repeat", type=int, default=1,
+                    help="deterministic input amplification factor")
     ap.add_argument("--fresh", action="store_true",
                     help="wipe --out first (no resume)")
     args = ap.parse_args()
@@ -53,21 +55,21 @@ def main() -> None:
         shutil.rmtree(args.out, ignore_errors=True)
 
     t0 = time.time()
-    img = synth.images(spark, args.sf_dir)
+    img = synth.images(spark, args.sf_dir, repeat=args.repeat)
     n_images = img.count()
 
     # --- stage 1: tile pipeline under checkpoint/resume -----------------
+    prop_spec = [("phash", 5, "phash"), ("fmt", 1, "fmt"), ("caption", 1, "caption")]
+
     def encode_pipeline(part):
         feats = tiling.assign_tiles(part, zoom=ZOOM, extent=EXTENT, buffer=64)
         feats = feats.select(
             "z", "x", "y", "layer_name",
             F.col("iid").alias("feature_ordinal"),
             F.col("iid").alias("feature_id"),
-            F.lit(1).alias("geom_type"),
-            "loc_x", "loc_y",
+            "loc_x", "loc_y", "phash", "fmt", "caption",
         )
-        layers = assemble.encode_layers(feats)
-        return assemble.encode_tiles(layers)
+        return assemble.encode_point_tiles(feats, prop_spec=prop_spec)
 
     lineage = {
         "job": "tile-pipeline", "sf_dir": args.sf_dir,
@@ -84,7 +86,9 @@ def main() -> None:
     polys = synth.polygons(spark, args.sf_dir)
     n_pip = joins.pip_join(img, polys).count()
     queries = synth.knn_queries(spark, args.sf_dir, 20)
-    n_knn = knn.knn_join(spark, img, queries, k=5, world=WORLD).count()
+    # join on the long iid key (narrower shuffle than the image_id string)
+    n_knn = knn.knn_join(spark, img, queries, k=5, world=WORLD,
+                         point_id="iid").count()
     t_joins = time.time() - t1
 
     wall = time.time() - t0

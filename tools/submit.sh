@@ -19,8 +19,10 @@ ZIP=/tmp/vtzero_spark_pyfiles.zip
 rm -f "$ZIP"
 (cd "$REPO" && zip -qr "$ZIP" vtzero_spark -x '*__pycache__*')
 
+mkdir -p /dev/shm/spark-local
 exec /opt/spark/bin/spark-submit \
     --master "local[${CORES}]" \
+    --conf spark.local.dir=/dev/shm/spark-local \
     --conf spark.sql.shuffle.partitions=$(( CORES * 2 )) \
     --conf spark.sql.adaptive.enabled=true \
     --conf spark.sql.execution.arrow.pyspark.enabled=true \

@@ -60,6 +60,12 @@ def run_with_checkpoint(
     bucketed = source.withColumn(
         "_bucket", F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(n_buckets)).cast("int")
     )
+    # Materialize the bucketed source once so each bucket wave scans it
+    # instead of recomputing the lineage n_buckets times. On a real
+    # deployment the source is an Iceberg table partitioned on the
+    # bucket key and this is partition pruning; in local mode a cache
+    # plays that role.
+    bucketed = bucketed.persist()
     ran, rows_total = 0, 0
     for b in range(n_buckets):
         if b in done:
@@ -83,6 +89,7 @@ def run_with_checkpoint(
         os.replace(tmp, os.path.join(_manifest_path(out_dir), f"bucket-{b}.json"))
         ran += 1
         rows_total += n
+    bucketed.unpersist()
     return {
         "buckets_run": ran,
         "buckets_skipped": len(done),

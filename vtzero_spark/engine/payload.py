@@ -171,7 +171,9 @@ def verify_payloads(df: DataFrame) -> DataFrame:
                     ok = p >= (40.0 if r.fmt == "jpeg" else 99.0)
                 except (ValueError, NotImplementedError) as e:
                     p, ok = -1.0, False
-                cap_ok = isinstance(r.caption, str) and r.caption.startswith("cap ")
+                # exact caption equality vs the reference derivation
+                # (caption of image img%012d is "cap <iid>")
+                cap_ok = r.caption == f"cap {int(r.image_id[3:])}"
                 out.append({"image_id": r.image_id, "psnr_db": p,
                             "pixels_ok": bool(ok), "caption_ok": bool(cap_ok)})
             yield pd.DataFrame(out, columns=["image_id", "psnr_db", "pixels_ok", "caption_ok"])

@@ -36,4 +36,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # shuffle/spill on tmpfs when available: the sandbox's disk is the
+    # noisiest shared resource; a real cluster would use local NVMe
+    shm = "/dev/shm/spark-local"
+    try:
+        os.makedirs(shm, exist_ok=True)
+        builder = builder.config("spark.local.dir", shm)
+    except OSError:
+        pass
     return builder.getOrCreate()

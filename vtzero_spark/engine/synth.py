@@ -35,12 +35,18 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def images(spark: SparkSession, sf_dir: str, with_bytes: bool = False) -> DataFrame:
+def images(spark: SparkSession, sf_dir: str, with_bytes: bool = False,
+           repeat: int = 1) -> DataFrame:
     """The image+caption input table, derived from lineitem.
 
     One image per lineitem row; iid = l_orderkey*8 + l_linenumber is
     unique. All columns are integer/LCG math so the DuckDB oracle can
     derive the identical table (see images_sql()).
+
+    ``repeat`` > 1 amplifies the table deterministically (iid' =
+    iid*repeat + k, every derived column re-mixed from iid') — used by
+    the scaling benchmark to make runs compute-dominated without
+    external data.
     """
     li = load(spark, sf_dir, "lineitem")
     # (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem,
@@ -49,6 +55,16 @@ def images(spark: SparkSession, sf_dir: str, with_bytes: bool = False) -> DataFr
     df = li.select(
         (F.col("l_orderkey") * F.lit(8) + F.col("l_linenumber")).alias("iid")
     ).distinct()
+    if repeat > 1:
+        # repartition the narrow iid base BEFORE the multiplying
+        # crossJoin: the shuffle moves 8-byte keys, not the wide
+        # derived rows (bandwidth discipline for the scale runs)
+        reps = spark.range(repeat).select(F.col("id").alias("_rep"))
+        df = (
+            df.repartition(spark.sparkContext.defaultParallelism * 2)
+            .crossJoin(reps)
+            .select((F.col("iid") * repeat + F.col("_rep")).alias("iid"))
+        )
     df = df.select(
         "iid",
         F.format_string("img%012d", F.col("iid")).alias("image_id"),

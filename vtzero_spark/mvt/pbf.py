@@ -153,6 +153,69 @@ def decode_varint_array(buf: bytes | np.ndarray) -> np.ndarray:
     return values
 
 
+# ------------------------------------------------------- vectorized sections
+
+def copy_segments(
+    src: np.ndarray,
+    src_starts: np.ndarray,
+    lengths: np.ndarray,
+    dst: np.ndarray,
+    dst_starts: np.ndarray,
+) -> None:
+    """Scatter n variable-length byte segments src[starts:starts+len] to
+    dst[dst_starts:...] without a per-segment Python loop (repeat +
+    cumsum index arithmetic)."""
+    lengths = np.ascontiguousarray(lengths, dtype=np.int64)
+    total = int(lengths.sum())
+    if total == 0:
+        return
+    seg = np.repeat(np.arange(lengths.size), lengths)
+    within = np.arange(total) - np.repeat(np.cumsum(lengths) - lengths, lengths)
+    dst[np.asarray(dst_starts, dtype=np.int64)[seg] + within] = \
+        src[np.asarray(src_starts, dtype=np.int64)[seg] + within]
+
+
+def pack_len_fields(field: int, payload: np.ndarray, offsets: np.ndarray) -> bytes:
+    """Concatenation of len_field(field, payload[offsets[i]:offsets[i+1]])
+    for every i, fully vectorized. ``field`` must fit a 1-byte key."""
+    assert field < 16
+    key = (field << 3) | WT_LEN
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    lens = np.diff(offsets)
+    n = lens.size
+    if n == 0:
+        return b""
+    lenlens = varint_len_array(lens.astype(_U64))
+    item_lens = 1 + lenlens + lens
+    dst_ends = np.cumsum(item_lens)
+    dst_starts = dst_ends - item_lens
+    out = np.empty(int(dst_ends[-1]), dtype=np.uint8)
+    out[dst_starts] = key
+    lenbuf = np.frombuffer(encode_varint_array(lens.astype(_U64)), dtype=np.uint8)
+    len_srcs = np.cumsum(lenlens) - lenlens
+    copy_segments(lenbuf, len_srcs, lenlens, out, dst_starts + 1)
+    copy_segments(np.asarray(payload, dtype=np.uint8), offsets[:-1], lens,
+                  out, dst_starts + 1 + lenlens)
+    return out.tobytes()
+
+
+def strings_to_buffer(values) -> tuple[np.ndarray, np.ndarray]:
+    """Sequence of str/bytes -> (uint8 buffer, int64 offsets) via Arrow
+    (vectorized utf-8 encode, no per-string Python)."""
+    import pyarrow as pa
+
+    arr = pa.array(values) if not isinstance(values, pa.Array) else values
+    if arr.null_count:
+        raise FormatError("null value in string column")
+    if len(arr) == 0:
+        return np.empty(0, dtype=np.uint8), np.zeros(1, dtype=np.int64)
+    arr = arr.cast(pa.large_binary())
+    bufs = arr.buffers()
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+    offsets = np.frombuffer(bufs[1], dtype=np.int64)[arr.offset:arr.offset + len(arr) + 1]
+    return data, offsets.astype(np.int64)
+
+
 # ---------------------------------------------------------------- field helpers
 
 def tag_key(field: int, wire: int) -> bytes:
