@@ -177,9 +177,9 @@ def _geom_roundtrip(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
     decoder (§2.5) end-to-end on the distributed path."""
     img = synth.images(spark, sf_dir)
     assigned = tiling.assign_tiles(img, zoom=ZOOM, extent=EXTENT, buffer=0)
-    feats = (geomops.rect_footprint_features(assigned) if kind == "rect"
-             else geomops.path_features(assigned))
-    tiles = assemble.encode_tiles(assemble.encode_layers(feats))
+    feats = (geomops.rect_stream_features(assigned) if kind == "rect"
+             else geomops.path_stream_features(assigned))
+    tiles = assemble.encode_geom_tiles(feats)
     decoded = assemble.decode_tiles(tiles)
     stats = geomops.geometry_stats(decoded.where(F.col("decode_status") == "ok"))
     return stats.where(F.col("decode_status") == "ok").groupBy(
@@ -334,6 +334,25 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.cosine_topk_udf(synth.load(spark, sf_dir, "embeddings"))
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate ANN (scale path; recall asserted vs the
+    exact brute force in tests, not oracle-matched)."""
+    return simsearch.ivf_topk(synth.load(spark, sf_dir, "embeddings"))
+
+
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode -> thumbnail + feature-vector extraction
+    (binary column in, binary + array<double> out; Arrow-batched)."""
+    from vtzero_spark.engine import payload
+
+    img = synth.images(spark, sf_dir, with_bytes=True)
+    feats = payload.image_features(img)
+    return feats.groupBy("status", "thumb_w", "thumb_h").agg(
+        F.count("*").alias("n"),
+        F.avg(F.element_at("features", 1)).alias("avg_mean_r"),
+    )
+
+
 def q_payload_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vtzero_spark.engine import payload
 
@@ -377,6 +396,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash_neardup": q_simhash_neardup,
         "cosine_topk": q_cosine_topk,
+        "ivf_topk": q_ivf_topk,
+        "image_features": q_image_features,
         "payload_verify": q_payload_verify,
     }
 

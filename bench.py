@@ -25,13 +25,17 @@ from vtzero_spark.engine import synth  # noqa: E402
 HEADLINE = [
     "tile_assign",
     "mvt_tiles",
+    "polygon_roundtrip",
+    "streets_filter",
     "pip",
     "pip_salted",
+    "pip_cells",
     "knn",
     "raster_vector",
     "dedup_exact",
     "ngram_jaccard",
     "ann_topk",
+    "ivf_topk",
 ]
 
 

@@ -24,6 +24,57 @@ def _assigned(spark, sf_dir):
 
 # ------------------------------------------------------------- geomops
 
+def test_stream_encode_matches_parts_encode(spark, sf_dir):
+    """encode_geom_tiles on plan-side command streams is byte-identical
+    to the generic parts-based encode_layers->encode_tiles path."""
+    from vtzero_spark.engine import assemble
+
+    for parts_fn, stream_fn in [
+        (geomops.rect_footprint_features, geomops.rect_stream_features),
+        (geomops.path_features, geomops.path_stream_features),
+    ]:
+        assigned = _assigned(spark, sf_dir).limit(500)
+        a = assemble.encode_tiles(assemble.encode_layers(parts_fn(assigned))) \
+            .select("z", "x", "y", "num_layers", "tile_bytes").toPandas()
+        b = assemble.encode_geom_tiles(stream_fn(assigned)) \
+            .select("z", "x", "y", "num_layers", "tile_bytes").toPandas()
+        key = ["z", "x", "y"]
+        a = a.set_index(key).sort_index()
+        b = b.set_index(key).sort_index()
+        assert len(a) == len(b) and len(a) > 0
+        assert (a["num_layers"] == b["num_layers"]).all()
+        assert (a["tile_bytes"].map(bytes) == b["tile_bytes"].map(bytes)).all()
+
+
+def test_uniform_stats_matches_scalar_decode(spark, sf_dir):
+    """The vectorized uniform-pattern stats equal the per-row decoder
+    on the same geometries (force the per-row path with tiny groups)."""
+    import numpy as np
+
+    from vtzero_spark.engine.geomops import _uniform_batch_stats
+    from vtzero_spark.mvt import geometry as G
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for _ in range(50):
+        x0, y0 = rng.randint(-64, 4096, 2)
+        w, h = rng.randint(16, 300, 2)
+        ring = np.array([[x0, y0], [x0 + w, y0], [x0 + w, y0 + h],
+                         [x0, y0 + h], [x0, y0]], dtype=np.int64)
+        rows.append(G.encode_polygon([ring]).tolist())
+    M = np.array(rows, dtype=np.int64)
+    stats = _uniform_batch_stats(M, G.GEOM_POLYGON)
+    assert stats is not None
+    n_parts, n_points, sum_x, sum_y, area2 = stats
+    for i, cmds in enumerate(rows):
+        parts, rtypes = G.decode_geometry(G.GEOM_POLYGON, np.array(cmds))
+        pts = np.concatenate(parts)
+        assert n_parts[i] == len(parts)
+        assert n_points[i] == pts.shape[0]
+        assert sum_x[i] == pts[:, 0].sum() and sum_y[i] == pts[:, 1].sum()
+        assert area2[i] == sum(G.ring_signed_area2(r) for r in parts)
+
+
 def test_rect_footprint_roundtrip(spark, sf_dir):
     from vtzero_spark.engine import assemble
 

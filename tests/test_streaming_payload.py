@@ -1,0 +1,77 @@
+"""Streaming tile ingest (engine/streaming.py) and multimodal payload
+operators (engine/payload.py): streaming result must equal the batch
+computation on the same data; thumbnails/features are deterministic."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+from vtzero_spark.engine import payload, simsearch, streaming, synth
+
+
+def test_tile_stream_matches_batch(spark, sf_dir, tmp_path):
+    img = streaming.with_event_time(synth.images(spark, sf_dir)).limit(2000)
+    src = str(tmp_path / "stream_in")
+    img.write.parquet(src)
+
+    def tidy(df):
+        return df.select(
+            F.col("window.start").alias("ws"), "z", "x", "y",
+            "n_images", "sum_x", "sum_y",
+        ).toPandas().sort_values(["ws", "z", "x", "y"]).reset_index(drop=True)
+
+    batch = tidy(streaming.tile_stream_counts(spark.read.parquet(src)))
+
+    sdf = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        streaming.tile_stream_counts(sdf)
+        .writeStream.format("memory").queryName("tile_counts")
+        .outputMode("complete").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = tidy(spark.table("tile_counts"))
+    finally:
+        q.stop()
+
+    assert len(got) == len(batch) and len(got) > 0
+    for col in ("n_images", "sum_x", "sum_y"):
+        assert (got[col].to_numpy() == batch[col].to_numpy()).all()
+
+
+def test_image_features_deterministic(spark, sf_dir):
+    img = synth.images(spark, sf_dir, with_bytes=True).limit(50)
+    out = payload.image_features(img).toPandas()
+    assert (out["status"] == "ok").all()
+    assert (out["thumb_w"] == 8).all() and (out["thumb_h"] == 8).all()
+    assert all(len(f) == 12 for f in out["features"])
+    # oracle: recompute one row end-to-end in pure numpy
+    row = img.where(F.col("image_id") == out["image_id"].iloc[0]) \
+        .select("phash", "w", "h", "fmt", "bytes").first()
+    px = payload.decode_payload(row["bytes"], row["fmt"])
+    want = payload.color_features(px)
+    got = np.array(out["features"].iloc[0])
+    assert np.allclose(got, want)
+    th = payload.thumbnail(px)
+    assert bytes(out["thumbnail"].iloc[0]) == th.tobytes()
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    emb = synth.load(spark, sf_dir, "embeddings")
+    exact = simsearch.ann_topk(emb, n_queries=4, k=5).toPandas()
+    approx = simsearch.ivf_topk(emb, n_queries=4, k=5,
+                                ncentroids=16, nprobe=8).toPandas()
+    assert set(approx["qid"]) == {0, 1, 2, 3}
+    hits = total = 0
+    for qid in (0, 1, 2, 3):
+        want = set(exact[exact["qid"] == qid]["vec_id"])
+        got = set(approx[approx["qid"] == qid]["vec_id"])
+        # IVF distances can never beat the exact ones
+        e_best = exact[exact["qid"] == qid]["dist_q"].min()
+        a_best = approx[approx["qid"] == qid]["dist_q"].min()
+        assert a_best >= e_best
+        hits += len(want & got)
+        total += len(want)
+    assert hits / total >= 0.5, f"IVF recall too low: {hits}/{total}"

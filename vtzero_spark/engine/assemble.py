@@ -396,6 +396,125 @@ def _assemble_point_layer(name: str, ids: np.ndarray, lx: np.ndarray,
     return layer_bytes, n, len(key_table), vsize
 
 
+def _geomstream_layer_bytes(name: str, ids: np.ndarray, gtypes: np.ndarray,
+                            gflat: np.ndarray, goffsets: np.ndarray,
+                            prop_spec, dict_result) -> tuple[bytes, int, int, int]:
+    """Vectorized layer encode for arbitrary pre-built geometry command
+    streams (the distributed set_geometry passthrough,
+    builder.hpp:1241-1248): geometry arrives as a flattened uint32
+    array + per-feature offsets; the whole features section is one
+    variable-width varint scatter — no per-feature Python."""
+    from ..mvt.pbf import (
+        copy_segments, encode_varint_array, len_field, varint_field,
+        varint_len_array,
+    )
+
+    n = len(ids)
+    glens = np.diff(goffsets)  # varint count per feature's geometry
+    gvals = np.ascontiguousarray(gflat, dtype=np.int64).astype(np.uint64)
+    gv_bytes = varint_len_array(gvals)
+    geom_len = np.add.reduceat(gv_bytes, goffsets[:-1]) if n else np.empty(0, np.int64)
+    geom_len = np.where(glens == 0, 0, geom_len)
+
+    key_table: list[bytes] = []
+    values_section = b""
+    vsize = 0
+    final_codes = None
+    nprops = len(prop_spec) if prop_spec else 0
+    if prop_spec:
+        key_table = [k.encode("utf-8") for k, _, _ in prop_spec]
+        final_codes, values_section, vsize = dict_result
+
+    # head varints per feature: 18, feat_len, 24, gtype, 8, id, 34, geom_len
+    HEAD = 8
+    tags_block = 2 + 2 * nprops if nprops else 0
+    body = np.empty((n, HEAD - 2 + tags_block), dtype=np.uint64)
+    body[:, 0] = 24
+    body[:, 1] = gtypes.astype(np.uint64)
+    body[:, 2] = 8
+    body[:, 3] = ids.astype(np.uint64)
+    body[:, 4] = 34
+    body[:, 5] = geom_len.astype(np.uint64)
+    if nprops:
+        body[:, 6] = 18
+        for c in range(nprops):
+            body[:, 8 + 2 * c] = c
+            body[:, 9 + 2 * c] = final_codes[:, c].astype(np.uint64)
+        body[:, 7] = varint_len_array(body[:, 8:]).sum(axis=1).astype(np.uint64)
+    feat_len = varint_len_array(body).sum(axis=1) + geom_len
+    head = np.empty((n, 2), dtype=np.uint64)
+    head[:, 0] = 18
+    head[:, 1] = feat_len.astype(np.uint64)
+
+    # assemble the flat varint stream: head(2) + body[:,:6] + geometry
+    # + tags-block, per feature
+    per_feat = 2 + 6 + glens + tags_block
+    ends = np.cumsum(per_feat)
+    starts = ends - per_feat
+    flat = np.empty(int(ends[-1]) if n else 0, dtype=np.uint64)
+    for j in range(2):
+        flat[starts + j] = head[:, j]
+    for j in range(6):
+        flat[starts + 2 + j] = body[:, j]
+    copy_segments(gvals, goffsets[:-1], glens, flat, starts + 8)
+    if nprops:
+        tag_dst = starts + 8 + glens
+        for j in range(tags_block):
+            flat[tag_dst + j] = body[:, 6 + j]
+
+    header = (
+        varint_field(T.LAYER_VERSION, 2)
+        + len_field(T.LAYER_NAME, name.encode("utf-8"))
+        + varint_field(T.LAYER_EXTENT, 4096)
+    )
+    layer_bytes = b"".join([
+        header,
+        encode_varint_array(flat),
+        b"".join(len_field(T.LAYER_KEYS, k) for k in key_table),
+        values_section,
+    ])
+    return layer_bytes, n, len(key_table), vsize
+
+
+def encode_geom_tiles(features: DataFrame, prop_spec=None) -> DataFrame:
+    """Fused tile encode for features carrying a pre-built ``geometry``
+    command-stream column (array<long>) — single shuffle on (z,x,y),
+    vectorized variable-width varint assembly. Pair with plan-side
+    geometry expression builders (geomops.rect_cmds/path_cmds) so the
+    whole footprint construction stays in whole-stage codegen."""
+    from ..mvt.pbf import len_field
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        z, x, y = int(pdf["z"].iloc[0]), int(pdf["x"].iloc[0]), int(pdf["y"].iloc[0])
+        pdf = pdf.sort_values(["layer_name", "feature_ordinal"], kind="stable")
+        parts: list[bytes] = []
+        num_layers = 0
+        for name, sub in pdf.groupby("layer_name", sort=True):
+            geoms = sub["geometry"]
+            glens = np.fromiter((len(g) for g in geoms), dtype=np.int64,
+                                count=len(sub))
+            goffsets = np.zeros(len(sub) + 1, dtype=np.int64)
+            np.cumsum(glens, out=goffsets[1:])
+            gflat = (np.concatenate([np.asarray(g, dtype=np.int64) for g in geoms])
+                     if len(sub) else np.empty(0, np.int64))
+            dict_result = _build_value_dict(sub, prop_spec) if prop_spec else None
+            lb, nf, _, _ = _geomstream_layer_bytes(
+                name,
+                sub["feature_id"].to_numpy(np.int64),
+                sub["geom_type"].to_numpy(np.int64),
+                gflat, goffsets, prop_spec, dict_result,
+            )
+            if nf > 0:
+                parts.append(len_field(T.TILE_LAYERS, lb))
+                num_layers += 1
+        return pd.DataFrame(
+            [{"z": z, "x": x, "y": y, "num_layers": num_layers,
+              "tile_bytes": b"".join(parts)}]
+        )
+
+    return features.groupBy("z", "x", "y").applyInPandas(fn, schema=TILE_SCHEMA)
+
+
 def encode_point_tiles_arrow(features: DataFrame, prop_spec=None) -> DataFrame:
     """Arrow-native fused layer+tile encode (applyInArrow): strings
     never become Python objects — factorize via Arrow dictionary_encode

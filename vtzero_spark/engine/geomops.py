@@ -86,10 +86,179 @@ def path_features(assigned: DataFrame) -> DataFrame:
     )
 
 
+def _zz(c):
+    """Plan-side zigzag32 of a long column (stays in codegen)."""
+    c = c.cast("long")
+    return (
+        F.shiftleft(c, 1).bitwiseXOR(F.shiftright(c, 63))
+        .bitwiseAND(F.lit(0xFFFFFFFF).cast("long"))
+    )
+
+
+def rect_cmds(x0, y0, w, h):
+    """MVT command stream of the rectangle ring (x0,y0)..(x0+w,y0+h)
+    as a pure column expression — byte-identical to encode_polygon on
+    the same ring (builder.hpp:951-1141 semantics: MoveTo(1),
+    LineTo(3), ClosePath; cursor deltas zigzagged)."""
+    zero = F.lit(0).cast("long")
+    return F.array(
+        F.lit(9).cast("long"), _zz(x0), _zz(y0),
+        F.lit((3 << 3) | 2).cast("long"),
+        _zz(w), zero, zero, _zz(h), _zz(-w), zero,
+        F.lit(15).cast("long"),
+    )
+
+
+def path_cmds(x0, y0, w, h):
+    """Command stream of the 3-point polyline (x0,y0) -> (x0+w,y0+h)
+    -> (x0+2w,y0): MoveTo(1) + LineTo(2)."""
+    return F.array(
+        F.lit(9).cast("long"), _zz(x0), _zz(y0),
+        F.lit((2 << 3) | 2).cast("long"),
+        _zz(w), _zz(h), _zz(w), _zz(-h),
+    )
+
+
+def rect_stream_features(assigned: DataFrame) -> DataFrame:
+    """Like rect_footprint_features but emits the geometry as a
+    pre-built command-stream column (plan-side math, no struct lists)
+    for the vectorized encode_geom_tiles path."""
+    x0, y0 = F.col("loc_x").cast("long"), F.col("loc_y").cast("long")
+    w, h = F.col("w").cast("long"), F.col("h").cast("long")
+    return assigned.select(
+        "z", "x", "y", "layer_name",
+        F.col("iid").alias("feature_ordinal"),
+        F.col("iid").alias("feature_id"),
+        F.lit(G.GEOM_POLYGON).alias("geom_type"),
+        rect_cmds(x0, y0, w, h).alias("geometry"),
+    )
+
+
+def path_stream_features(assigned: DataFrame) -> DataFrame:
+    x0, y0 = F.col("loc_x").cast("long"), F.col("loc_y").cast("long")
+    w, h = F.col("w").cast("long"), F.col("h").cast("long")
+    return assigned.select(
+        "z", "x", "y", "layer_name",
+        F.col("iid").alias("feature_ordinal"),
+        F.col("iid").alias("feature_id"),
+        F.lit(G.GEOM_LINESTRING).alias("geom_type"),
+        path_cmds(x0, y0, w, h).alias("geometry"),
+    )
+
+
+# ----------------------------------------------- vectorized batch stats
+
+def _trunc32(v: np.ndarray) -> np.ndarray:
+    w = v & 0xFFFFFFFF
+    return np.where(w >= (1 << 31), w - (1 << 32), w)
+
+
+def _uniform_batch_stats(M: np.ndarray, gtype: int):
+    """Vectorized geometry stats for a batch whose command streams all
+    share one structure (identical command integers at identical
+    positions). Returns (n_parts, n_points, sum_x, sum_y, area2)
+    arrays, or None if the batch is not uniform / not decodable.
+
+    Correctness notes: int64 cumsum then mod-2^32 truncation equals
+    vtzero's per-point truncation (modular addition commutes,
+    geometry.hpp:250-274); the polygon closing point is re-emitted and
+    does not advance the cursor (geometry.hpp:373)."""
+    row0 = np.asarray(M[0], dtype=np.int64) & 0xFFFFFFFF
+    try:
+        G.decode_geometry(gtype, row0)  # full validation on the template
+    except MVTError:
+        return None
+    # walk the template: command positions + per-part point ranges
+    cmd_pos: list[int] = []
+    parts: list[tuple[int, int]] = []  # (start_pt, n_pts) in decoded order
+    pos = 0
+    pt = 0
+    L = row0.size
+    cur_start = None
+    while pos < L:
+        ci = int(row0[pos])
+        cmd, cnt = ci & 0x7, ci >> 3
+        cmd_pos.append(pos)
+        if cmd == G.CMD_MOVE_TO:
+            if gtype == G.GEOM_POINT:
+                parts.append((pt, cnt))
+                pt += cnt
+            else:
+                cur_start = pt
+                pt += cnt
+            pos += 1 + 2 * cnt
+        elif cmd == G.CMD_LINE_TO:
+            pt += cnt
+            if gtype == G.GEOM_LINESTRING:
+                parts.append((cur_start, pt - cur_start))
+            pos += 1 + 2 * cnt
+        else:  # ClosePath
+            parts.append((cur_start, pt - cur_start))
+            pos += 1
+    cmd_pos_a = np.array(cmd_pos, dtype=np.int64)
+    if not (M[:, cmd_pos_a] == row0[cmd_pos_a]).all():
+        return None
+    param_pos = np.setdiff1d(np.arange(L), cmd_pos_a)
+    m = param_pos.size // 2
+    params = (M[:, param_pos].astype(np.int64) & 0xFFFFFFFF)
+    deltas = ((params >> 1) ^ -(params & 1)).reshape(len(M), m, 2)
+    coords = _trunc32(np.cumsum(deltas, axis=1))
+    n = len(M)
+    sum_x = coords[:, :, 0].sum(axis=1)
+    sum_y = coords[:, :, 1].sum(axis=1)
+    n_points = np.full(n, m, dtype=np.int64)
+    area2 = np.zeros(n, dtype=np.int64)
+    if gtype == G.GEOM_POLYGON:
+        for start, cnt in parts:
+            ring = coords[:, start:start + cnt]
+            xs, ys = ring[:, :, 0], ring[:, :, 1]
+            a = (xs[:, :-1] * ys[:, 1:] - xs[:, 1:] * ys[:, :-1]).sum(axis=1)
+            a += xs[:, -1] * ys[:, 0] - xs[:, 0] * ys[:, -1]
+            area2 += a
+            # closing point re-emitted in the decoded stream
+            n_points += 1
+            sum_x += xs[:, 0]
+            sum_y += ys[:, 0]
+    return (np.full(n, len(parts), dtype=np.int64), n_points,
+            sum_x, sum_y, area2)
+
+
 def _geom_stats_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = ["z", "x", "y", "layer_name", "feature_id", "geom_type",
+            "n_parts", "n_points", "sum_x", "sum_y", "area2", "decode_status"]
     for pdf in batches:
+        # vectorized fast path: rows sharing (geom_type, stream length)
+        # and an identical command structure decode as one matrix
+        glen = pdf["geometry"].map(lambda g: -1 if g is None else len(g))
+        outs = []
+        rest_idx = []
+        for (gtype, ln), sub in pdf.groupby([pdf["geom_type"], glen], sort=False):
+            if ln <= 0 or len(sub) < 4:
+                rest_idx.extend(sub.index)
+                continue
+            M = np.array(sub["geometry"].tolist(), dtype=np.int64) & 0xFFFFFFFF
+            stats = _uniform_batch_stats(M, int(gtype))
+            if stats is None:
+                rest_idx.extend(sub.index)
+                continue
+            n_parts, n_points, sum_x, sum_y, area2 = stats
+            outs.append(pd.DataFrame({
+                "z": sub["z"].astype(np.int64), "x": sub["x"].astype(np.int64),
+                "y": sub["y"].astype(np.int64),
+                "layer_name": sub["layer_name"],
+                "feature_id": sub["feature_id"].astype(np.int64),
+                "geom_type": int(gtype),
+                "n_parts": n_parts.astype(np.int32), "n_points": n_points,
+                "sum_x": sum_x, "sum_y": sum_y, "area2": area2,
+                "decode_status": "ok",
+            }))
+        if not rest_idx:
+            merged = pd.concat(outs) if outs else pd.DataFrame(columns=cols)
+            yield merged[cols]
+            continue
+        pdf_rest = pdf.loc[rest_idx]
         rows = []
-        for _, r in pdf.iterrows():
+        for _, r in pdf_rest.iterrows():
             base = {
                 "z": int(r["z"]), "x": int(r["x"]), "y": int(r["y"]),
                 "layer_name": r["layer_name"],
@@ -119,12 +288,8 @@ def _geom_stats_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
                     "sum_y": 0, "area2": 0,
                     "decode_status": f"{type(e).__name__}: {e}",
                 })
-        yield pd.DataFrame(
-            rows,
-            columns=["z", "x", "y", "layer_name", "feature_id", "geom_type",
-                     "n_parts", "n_points", "sum_x", "sum_y", "area2",
-                     "decode_status"],
-        )
+        outs.append(pd.DataFrame(rows, columns=cols))
+        yield pd.concat(outs)[cols] if outs else pd.DataFrame(columns=cols)
 
 
 def geometry_stats(features: DataFrame) -> DataFrame:

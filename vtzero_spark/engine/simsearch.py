@@ -117,6 +117,78 @@ WHERE CAST(list_sum(list_transform(list_zip(a.q, b.q),
 """
 
 
+# ------------------------------------------------------------- IVF path
+
+def ivf_topk(
+    emb: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    ncentroids: int = 32,
+    nprobe: int = 8,
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize every vector to its
+    nearest centroid (vectorized batch matmul in a pandas UDF), then
+    each query probes only its ``nprobe`` nearest cells and refines
+    exactly (quantized L2, same total order as ann_topk) within them.
+
+    The scale shape: the candidate scan touches ~nprobe/ncentroids of
+    the data instead of all of it; the probe list is broadcast; the
+    inverted lists are just a cell column (partition/bucket key at
+    10^12 scale). Centroids are the ``ncentroids`` vectors following
+    the query range — deterministic, no external data, no k-means
+    iterations (plug a trained codebook into the same plan)."""
+    from collections.abc import Iterator
+
+    q = quantized(emb)
+    cent_rows = (
+        q.where((F.col("vec_id") >= n_queries)
+                & (F.col("vec_id") < n_queries + ncentroids))
+        .select("vec_id", "q").collect()
+    )
+    C = np.array([r["q"] for r in cent_rows], dtype=np.float64)
+    c_norm2 = (C * C).sum(axis=1)
+
+    def assign_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.array(pdf["q"].tolist(), dtype=np.float64)
+            d = (mat * mat).sum(axis=1)[:, None] - 2.0 * (mat @ C.T) + c_norm2[None, :]
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                "cell": d.argmin(axis=1).astype(np.int64),
+            })
+
+    cells_df = q.select("vec_id", "q").mapInPandas(
+        assign_fn, schema="vec_id long, cell long")
+    data = q.join(cells_df, "vec_id")
+
+    # probe list: nprobe nearest cells per query (driver-side; query
+    # set is tiny by contract)
+    q_rows = q.where(F.col("vec_id") < n_queries).select("vec_id", "q").collect()
+    probes = []
+    for r in q_rows:
+        v = np.array(r["q"], dtype=np.float64)
+        d = ((v * v).sum() - 2.0 * (C @ v) + c_norm2)
+        for cell in np.argsort(d)[:nprobe]:
+            probes.append((int(r["vec_id"]), r["q"], int(cell)))
+    spark = emb.sparkSession
+    probe_df = spark.createDataFrame(
+        probes, "qid long, qv array<bigint>, cell long")
+
+    cand = data.join(F.broadcast(probe_df), "cell").where(
+        F.col("vec_id") != F.col("qid"))
+    dist = cand.withColumn(
+        "dist_q",
+        F.expr("aggregate(zip_with(q, qv, (a, b) -> (a - b) * (a - b)),"
+               " CAST(0 AS BIGINT), (acc, v) -> acc + v)"),
+    )
+    w = Window.partitionBy("qid").orderBy("dist_q", "vec_id")
+    return (
+        dist.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "vec_id", "dist_q", "rank")
+    )
+
+
 # ------------------------------------------------- float cosine (UDF path)
 
 def cosine_topk_udf(emb: DataFrame, n_queries: int = 8, k: int = 5) -> DataFrame:

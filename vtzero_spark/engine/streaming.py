@@ -1,0 +1,55 @@
+"""Structured-Streaming tile ingest.
+
+The reference has no streaming concept (single-threaded library,
+SURVEY §2.10), so this is engine-side surface: the same tile
+assignment (pure column math — stateless, so it lifts to streams
+unchanged) feeding a watermarked, windowed per-tile aggregation.
+At scale this is the continuous-ingest front of the pipeline: late
+images are handled by the watermark, and the per-(window, z, x, y)
+groups are the same partitioning key the batch encode uses, so the
+downstream `applyInPandas` encode drops in unchanged if full MVT
+assembly of in-flight tiles is needed (foreachBatch or
+applyInPandasWithState for custom stateful assembly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .synth import EXTENT, ZOOM
+from . import tiling
+
+
+def with_event_time(df: DataFrame, epoch: str = "2026-01-01 00:00:00") -> DataFrame:
+    """Deterministic event time derived from iid (1 second per id,
+    wrapping hourly) — keeps streaming tests reproducible without wall
+    clocks."""
+    return df.withColumn(
+        "event_time",
+        F.to_timestamp(F.lit(epoch)) + F.make_interval(secs=F.col("iid") % 3600),
+    )
+
+
+def tile_stream_counts(
+    stream_df: DataFrame,
+    zoom: int = ZOOM,
+    extent: int = EXTENT,
+    watermark: str = "10 minutes",
+    window: str = "5 minutes",
+) -> DataFrame:
+    """Streaming raster->vector ingest: assign tiles (stateless column
+    math), then watermarked windowed per-tile stats. Late rows beyond
+    the watermark are dropped by the engine; everything else is the
+    exact batch semantics per window."""
+    feats = tiling.assign_tiles(stream_df, zoom=zoom, extent=extent, buffer=0)
+    return (
+        feats.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window), "z", "x", "y")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.approx_count_distinct("layer_name").alias("approx_layers"),
+            F.sum("loc_x").alias("sum_x"),
+            F.sum("loc_y").alias("sum_y"),
+        )
+    )
