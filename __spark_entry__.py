@@ -229,6 +229,23 @@ def q_layer_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vtzero-check analog (examples/vtzero-check.cpp:81-88): decode
+    the encoded tiles and classify every feature's coordinates —
+    inside the extent vs the buffered warning band (legal but flagged,
+    fixtures 053-056 semantics)."""
+    f = _features(spark, sf_dir)
+    tiles = _encode_image_tiles(f)
+    decoded = assemble.decode_tiles(tiles)
+    pts = assemble.decoded_points(decoded.where(F.col("decode_status") == "ok"))
+    check = F.when(
+        (F.col("pt_x") >= 0) & (F.col("pt_x") < EXTENT)
+        & (F.col("pt_y") >= 0) & (F.col("pt_y") < EXTENT), "ok"
+    ).otherwise("outside_extent")
+    return pts.groupBy("z", "x", "y", check.alias("check")).agg(
+        F.count("*").alias("n"))
+
+
 def q_cell_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quadkey (S2-analog) cell ids at two levels + parent arithmetic;
     pure column math, oracle reproduces the bit-interleave exactly."""
@@ -377,6 +394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linestring_roundtrip": q_linestring_roundtrip,
         "streets_filter": q_streets_filter,
         "layer_lookup": q_layer_lookup,
+        "tile_check": q_tile_check,
         "cell_index": q_cell_index,
         "pip_cells": q_pip_cells,
         "pip": q_pip,
@@ -501,6 +519,16 @@ WITH {images},
 {assigned}
 SELECT z, x, y, count(*) AS n_features, min(iid) AS first_feature_id
 FROM assigned WHERE layer_name = 'L1' GROUP BY z, x, y
+""",
+        "tile_check": f"""
+WITH {images},
+{assigned}
+SELECT z, x, y,
+       CASE WHEN loc_x >= 0 AND loc_x < {EXTENT}
+             AND loc_y >= 0 AND loc_y < {EXTENT}
+            THEN 'ok' ELSE 'outside_extent' END AS check,
+       count(*) AS n
+FROM assigned GROUP BY 1, 2, 3, 4
 """,
         "cell_index": f"""
 WITH {images},

@@ -55,6 +55,22 @@ def test_buffered_coords_can_exceed_extent(spark, sf_dir):
     assert a > 0
 
 
+def test_lonlat_to_world_matches_python(spark):
+    import math
+
+    pts = [(0.0, 0.0), (-180.0, 85.05), (179.9, -85.0), (13.4, 52.5),
+           (-122.4, 37.8)]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    got = tiling.lonlat_to_world(df, ZOOM).select("lon", "lat", "wx", "wy").collect()
+    world = (1 << ZOOM) * EXTENT
+    for r in got:
+        xn = (r["lon"] + 180.0) / 360.0
+        lr = math.radians(r["lat"])
+        yn = (1.0 - math.log(math.tan(lr) + 1.0 / math.cos(lr)) / math.pi) / 2.0
+        assert r["wx"] == min(world - 1, max(0, math.floor(xn * world)))
+        assert r["wy"] == min(world - 1, max(0, math.floor(yn * world)))
+
+
 def test_pip_vs_bruteforce(spark, sf_dir, images_pd):
     polys_pd = synth.polygons(spark, sf_dir).toPandas()
     got = joins.pip_join(
@@ -233,5 +249,30 @@ def test_checkpoint_resume(spark, sf_dir, tmp_path):
     assert r1["buckets_run"] == 4 and r1["buckets_skipped"] == 0
     r2 = cp.run_with_checkpoint(spark, src, xform, out_dir, "image_id", n_buckets=4)
     assert r2["buckets_run"] == 0 and r2["buckets_skipped"] == 4
+    total = cp.read_checkpointed(spark, out_dir).agg(F.sum("n")).collect()[0][0]
+    assert total == src.count()
+
+
+def test_checkpoint_partial_resume(spark, sf_dir, tmp_path):
+    """Kill-mid-run simulation: only some manifests committed -> the
+    rerun executes exactly the missing buckets and the combined output
+    is complete."""
+    import os
+
+    from vtzero_spark.engine import checkpoint as cp
+
+    src = synth.images(spark, sf_dir)
+    out_dir = str(tmp_path / "ckpt_partial")
+
+    def xform(df):
+        return df.groupBy("fmt").agg(F.count("*").alias("n"))
+
+    cp.run_with_checkpoint(spark, src, xform, out_dir, "image_id", n_buckets=4)
+    # simulate a crash after bucket 0+1: drop the last two manifests
+    # (data stays on disk — the manifest is the commit point)
+    for b in (2, 3):
+        os.remove(os.path.join(out_dir, "_manifest", f"bucket-{b}.json"))
+    r = cp.run_with_checkpoint(spark, src, xform, out_dir, "image_id", n_buckets=4)
+    assert r["buckets_run"] == 2 and r["buckets_skipped"] == 2
     total = cp.read_checkpointed(spark, out_dir).agg(F.sum("n")).collect()[0][0]
     assert total == src.count()
