@@ -201,6 +201,49 @@ def q_linestring_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _geom_roundtrip(spark, sf_dir, "path")
 
 
+def q_geom_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error semantics as data (SURVEY §7.3): one quarter of the
+    features get a deliberately malformed command stream (ClosePath
+    count 2, fixtures 047; huge MoveTo count, fixtures 051/057); the
+    codec surfaces them as decode_status rows instead of task
+    failures. Geometry passthrough (set_geometry analog) carries the
+    raw streams through encode untouched."""
+    img = synth.images(spark, sf_dir)
+    assigned = tiling.assign_tiles(img, zoom=ZOOM, extent=EXTENT, buffer=0)
+    x0, y0 = F.col("loc_x").cast("long"), F.col("loc_y").cast("long")
+    w, h = F.col("w").cast("long"), F.col("h").cast("long")
+    bad_close = F.array(  # ClosePath count 2 -> GeometryError
+        F.lit(9).cast("long"), geomops._zz(x0), geomops._zz(y0),
+        F.lit((3 << 3) | 2).cast("long"),
+        geomops._zz(w), F.lit(0).cast("long"), F.lit(0).cast("long"),
+        geomops._zz(h), geomops._zz(-w), F.lit(0).cast("long"),
+        F.lit((2 << 3) | 7).cast("long"),
+    )
+    bad_count = F.array(  # MoveTo count 10000 with 1 point -> count too large
+        F.lit((10000 << 3) | 1).cast("long"), geomops._zz(x0), geomops._zz(y0),
+    )
+    geom = (
+        F.when(F.col("iid") % 4 == 1, bad_close)
+        .when(F.col("iid") % 4 == 2, bad_count)
+        .otherwise(geomops.rect_cmds(x0, y0, w, h))
+    )
+    gtype = F.when(F.col("iid") % 4 == 2, F.lit(1)).otherwise(F.lit(3))
+    feats = assigned.select(
+        "z", "x", "y", "layer_name",
+        F.col("iid").alias("feature_ordinal"),
+        F.col("iid").alias("feature_id"),
+        gtype.alias("geom_type"),
+        geom.alias("geometry"),
+    )
+    tiles = assemble.encode_geom_tiles(feats)
+    stats = geomops.geometry_stats(
+        assemble.decode_tiles(tiles).where(F.col("decode_status") == "ok"))
+    cls = F.when(F.col("decode_status") == "ok", "ok").otherwise(
+        F.split(F.col("decode_status"), ":").getItem(0))
+    return stats.groupBy("z", "x", "y", cls.alias("status")).agg(
+        F.count("*").alias("n"))
+
+
 def q_streets_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """vtzero-streets analog (examples/vtzero-streets.cpp:22-78):
     property-equality filter (fmt == 'png') then re-encode — the
@@ -393,6 +436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_roundtrip": q_polygon_roundtrip,
         "linestring_roundtrip": q_linestring_roundtrip,
         "streets_filter": q_streets_filter,
+        "geom_errors": q_geom_errors,
         "layer_lookup": q_layer_lookup,
         "tile_check": q_tile_check,
         "cell_index": q_cell_index,
@@ -519,6 +563,14 @@ WITH {images},
 {assigned}
 SELECT z, x, y, count(*) AS n_features, min(iid) AS first_feature_id
 FROM assigned WHERE layer_name = 'L1' GROUP BY z, x, y
+""",
+        "geom_errors": f"""
+WITH {images},
+{assigned0}
+SELECT z, x, y,
+       CASE WHEN iid % 4 IN (1, 2) THEN 'GeometryError' ELSE 'ok' END AS status,
+       count(*) AS n
+FROM assigned0 GROUP BY 1, 2, 3, 4
 """,
         "tile_check": f"""
 WITH {images},

@@ -91,8 +91,11 @@ def knn_join(
                 + (F.col("wy") - F.col("qy")) * (F.col("wy") - F.col("qy"))
             ).alias("dist_sq"),
         )
-        acc = cand if acc is None else acc.unionByName(cand)
-        acc = acc.persist()
+        prev = acc
+        acc = (cand if acc is None else acc.unionByName(cand)).persist()
+        acc.count()  # materialize before dropping the previous round's cache
+        if prev is not None:
+            prev.unpersist()
 
         # early-termination check: kth candidate within the certified radius
         w = Window.partitionBy("qid").orderBy("dist_sq", point_id)

@@ -140,11 +140,13 @@ def ivf_topk(
     from collections.abc import Iterator
 
     q = quantized(emb)
-    cent_rows = (
-        q.where((F.col("vec_id") >= n_queries)
-                & (F.col("vec_id") < n_queries + ncentroids))
+    # one driver job fetches queries + centroids together (both tiny)
+    head = (
+        q.where(F.col("vec_id") < n_queries + ncentroids)
         .select("vec_id", "q").collect()
     )
+    cent_rows = [r for r in head if r["vec_id"] >= n_queries]
+    q_rows = [r for r in head if r["vec_id"] < n_queries]
     C = np.array([r["q"] for r in cent_rows], dtype=np.float64)
     c_norm2 = (C * C).sum(axis=1)
 
@@ -163,7 +165,6 @@ def ivf_topk(
 
     # probe list: nprobe nearest cells per query (driver-side; query
     # set is tiny by contract)
-    q_rows = q.where(F.col("vec_id") < n_queries).select("vec_id", "q").collect()
     probes = []
     for r in q_rows:
         v = np.array(r["q"], dtype=np.float64)
