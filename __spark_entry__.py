@@ -180,8 +180,7 @@ def _geom_roundtrip(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
     feats = (geomops.rect_stream_features(assigned) if kind == "rect"
              else geomops.path_stream_features(assigned))
     tiles = assemble.encode_geom_tiles(feats)
-    decoded = assemble.decode_tiles(tiles)
-    stats = geomops.geometry_stats(decoded.where(F.col("decode_status") == "ok"))
+    stats = geomops.tile_geometry_stats(tiles)
     return stats.where(F.col("decode_status") == "ok").groupBy(
         "z", "x", "y", "layer_name"
     ).agg(

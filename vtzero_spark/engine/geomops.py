@@ -227,6 +227,11 @@ def _geom_stats_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
     cols = ["z", "x", "y", "layer_name", "feature_id", "geom_type",
             "n_parts", "n_points", "sum_x", "sum_y", "area2", "decode_status"]
     for pdf in batches:
+        yield _stats_from_pdf(pdf, cols)
+
+
+def _stats_from_pdf(pdf: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
+    if True:
         # vectorized fast path: rows sharing (geom_type, stream length)
         # and an identical command structure decode as one matrix
         glen = pdf["geometry"].map(lambda g: -1 if g is None else len(g))
@@ -254,8 +259,7 @@ def _geom_stats_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
             }))
         if not rest_idx:
             merged = pd.concat(outs) if outs else pd.DataFrame(columns=cols)
-            yield merged[cols]
-            continue
+            return merged[cols]
         pdf_rest = pdf.loc[rest_idx]
         rows = []
         for _, r in pdf_rest.iterrows():
@@ -289,7 +293,59 @@ def _geom_stats_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
                     "decode_status": f"{type(e).__name__}: {e}",
                 })
         outs.append(pd.DataFrame(rows, columns=cols))
-        yield pd.concat(outs)[cols] if outs else pd.DataFrame(columns=cols)
+        return pd.concat(outs)[cols] if outs else pd.DataFrame(columns=cols)
+
+
+def tile_geometry_stats(tiles: DataFrame) -> DataFrame:
+    """Fused parse + geometry stats: tiles(z,x,y,tile_bytes) -> one
+    stats row per feature in a single mapInPandas — no intermediate
+    Arrow transfer of raw geometry arrays between two UDF stages. Parse
+    errors become decode_status rows (error semantics as data)."""
+    from ..mvt import tile as T
+
+    cols = ["z", "x", "y", "layer_name", "feature_id", "geom_type",
+            "n_parts", "n_points", "sum_x", "sum_y", "area2", "decode_status"]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            err_rows = []
+            for _, r in pdf.iterrows():
+                z, x, y = int(r["z"]), int(r["x"]), int(r["y"])
+                try:
+                    views = T.tile_layer_views(bytes(r["tile_bytes"]))
+                except MVTError as e:
+                    err_rows.append({
+                        "z": z, "x": x, "y": y, "layer_name": None,
+                        "feature_id": None, "geom_type": 0, "n_parts": 0,
+                        "n_points": 0, "sum_x": 0, "sum_y": 0, "area2": 0,
+                        "decode_status": f"{type(e).__name__}: {e}"})
+                    continue
+                for lv in views:
+                    try:
+                        layer = T.parse_layer(lv)
+                    except MVTError as e:
+                        err_rows.append({
+                            "z": z, "x": x, "y": y, "layer_name": None,
+                            "feature_id": None, "geom_type": 0, "n_parts": 0,
+                            "n_points": 0, "sum_x": 0, "sum_y": 0, "area2": 0,
+                            "decode_status": f"{type(e).__name__}: {e}"})
+                        continue
+                    for f in layer.features:
+                        rows.append({
+                            "z": z, "x": x, "y": y,
+                            "layer_name": layer.name,
+                            "feature_id": f.id, "geom_type": f.geom_type,
+                            "geometry": f.geometry.astype(np.int64),
+                            "geometry_nbytes": f.geometry_nbytes,
+                        })
+            out = _stats_from_pdf(pd.DataFrame(rows), cols) if rows \
+                else pd.DataFrame(columns=cols)
+            if err_rows:
+                out = pd.concat([out, pd.DataFrame(err_rows, columns=cols)])
+            yield out[cols]
+
+    return tiles.mapInPandas(fn, schema=GEOM_STATS_SCHEMA)
 
 
 def geometry_stats(features: DataFrame) -> DataFrame:
