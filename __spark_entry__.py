@@ -326,6 +326,35 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn.knn_join(spark, pts, queries, k=K_NN, world=WORLD)
 
 
+def q_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile-pyramid rollup: per-tile stats at every zoom 0..ZOOM in one
+    pass (loc coords rescaled to the fixed extent per level)."""
+    img = synth.images(spark, sf_dir)
+    p = tiling.pyramid_assign(img, ZOOM, EXTENT)
+    return p.groupBy("z", "x", "y").agg(
+        F.count("*").alias("n_features"),
+        F.sum("loc_x").alias("sum_x"),
+        F.sum("loc_y").alias("sum_y"),
+    )
+
+
+def q_pyramid_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multi-zoom MVT tile set: encode one tile per pyramid node
+    (341 tiles for zooms 0..4) through the fused vectorized encoder."""
+    img = synth.images(spark, sf_dir)
+    p = tiling.pyramid_assign(img, ZOOM, EXTENT).withColumn(
+        "layer_name", F.col("layer_name"))
+    feats = p.select(
+        "z", "x", "y", "layer_name",
+        F.col("iid").alias("feature_ordinal"),
+        F.col("iid").alias("feature_id"),
+        "loc_x", "loc_y", "phash", "fmt", "caption",
+    )
+    tiles = assemble.encode_point_tiles(feats, prop_spec=PROP_SPEC)
+    return tiles.select("z", "x", "y", "num_layers",
+                        F.octet_length("tile_bytes").alias("tile_size"))
+
+
 def q_raster_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     img = synth.images(spark, sf_dir)
     r = tiling.raster_tiles(img, ZOOM_R, WORLD)
@@ -443,6 +472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip": q_pip,
         "pip_salted": q_pip_salted,
         "knn": q_knn,
+        "pyramid": q_pyramid,
         "raster_vector": q_raster_vector,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -454,6 +484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup": q_embed_neardup,
         # rows-only (non-SQL-expressible; tested in tests/)
         "mvt_tiles": q_mvt_tiles,
+        "pyramid_tiles": q_pyramid_tiles,
         "minhash_lsh": q_minhash_lsh,
         "simhash_neardup": q_simhash_neardup,
         "cosine_topk": q_cosine_topk,
@@ -611,6 +642,14 @@ WITH {images},
 WITH {images},
 {qcte}
 {knn.knn_sql('images', 'queries', K_NN)}
+""",
+        "pyramid": f"""
+WITH {images},
+p AS ({tiling.pyramid_assign_sql('images', ZOOM, EXTENT)})
+SELECT z, x, y, count(*) AS n_features,
+       CAST(sum(loc_x) AS BIGINT) AS sum_x,
+       CAST(sum(loc_y) AS BIGINT) AS sum_y
+FROM p GROUP BY z, x, y
 """,
         "raster_vector": f"""
 WITH {images},

@@ -235,6 +235,34 @@ def test_cosine_topk_matches_numpy(spark, sf_dir):
         assert list(sub["vec_id"]) == want
 
 
+def test_pyramid_rollup_consistency(spark, sf_dir):
+    """Every pyramid level partitions the full image set; each parent
+    tile's count equals the sum of its four children."""
+    img = synth.images(spark, sf_dir)
+    n = img.count()
+    p = tiling.pyramid_assign(img, ZOOM, EXTENT).groupBy("z", "x", "y") \
+        .agg(F.count("*").alias("n")).toPandas()
+    for z in range(ZOOM + 1):
+        assert p[p["z"] == z]["n"].sum() == n
+    assert p[p["z"] == 0]["n"].iloc[0] == n
+    # parent == sum(children)
+    kids = p[p["z"] > 0].copy()
+    kids["pz"] = kids["z"] - 1
+    kids["px"] = kids["x"] // 2
+    kids["py"] = kids["y"] // 2
+    rolled = kids.groupby(["pz", "px", "py"])["n"].sum().reset_index()
+    parents = p.merge(rolled, left_on=["z", "x", "y"],
+                      right_on=["pz", "px", "py"], how="inner")
+    assert len(parents) == len(p[p["z"] < ZOOM])
+    assert (parents["n_x"] == parents["n_y"]).all()
+    # loc rescale stays within the extent at every level
+    locs = tiling.pyramid_assign(img, ZOOM, EXTENT).agg(
+        F.min("loc_x"), F.max("loc_x"), F.min("loc_y"), F.max("loc_y")
+    ).collect()[0]
+    assert locs[0] >= 0 and locs[1] < EXTENT
+    assert locs[2] >= 0 and locs[3] < EXTENT
+
+
 def test_checkpoint_resume(spark, sf_dir, tmp_path):
     from vtzero_spark.engine import checkpoint as cp
 

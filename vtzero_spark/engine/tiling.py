@@ -121,6 +121,45 @@ def lonlat_to_world(df: DataFrame, zoom: int, extent: int = EXTENT,
     )
 
 
+def pyramid_assign(df: DataFrame, max_zoom: int, extent: int = EXTENT,
+                   wx: str = "wx", wy: str = "wy") -> DataFrame:
+    """Assign each point to its tile at EVERY zoom level 0..max_zoom —
+    the tile-pyramid rollup. Tile-local coordinates are rescaled to
+    the fixed MVT extent at each level (integer-exact: world is
+    2^max_zoom * extent wide, so the scale shift is (max_zoom - z)).
+    One explode, no shuffle; downstream per-level aggregation or tile
+    encode shuffles on (z, x, y) exactly like the single-level path."""
+    import math
+
+    log2e = int(math.log2(extent))
+    wb = max_zoom + log2e
+    ts = f"shiftleft(CAST(1 AS BIGINT), {wb} - z)"  # tile size at level z
+    sc = f"shiftleft(CAST(1 AS BIGINT), {max_zoom} - z)"  # loc rescale
+    return (
+        df.withColumn("z", F.explode(F.sequence(F.lit(0), F.lit(max_zoom))))
+        .withColumn("x", F.expr(f"CAST({wx} AS BIGINT) div {ts}"))
+        .withColumn("y", F.expr(f"CAST({wy} AS BIGINT) div {ts}"))
+        .withColumn("loc_x", F.expr(f"CAST(({wx} % {ts}) div {sc} AS INT)"))
+        .withColumn("loc_y", F.expr(f"CAST(({wy} % {ts}) div {sc} AS INT)"))
+    )
+
+
+def pyramid_assign_sql(source_sql: str, max_zoom: int, extent: int = EXTENT) -> str:
+    """DuckDB mirror of pyramid_assign."""
+    import math
+
+    log2e = int(math.log2(extent))
+    wb = max_zoom + log2e
+    return f"""
+  SELECT s.*, l.z,
+         wx // (1 << ({wb} - l.z)) AS x,
+         wy // (1 << ({wb} - l.z)) AS y,
+         CAST((wx % (1 << ({wb} - l.z))) // (1 << ({max_zoom} - l.z)) AS INT) AS loc_x,
+         CAST((wy % (1 << ({wb} - l.z))) // (1 << ({max_zoom} - l.z)) AS INT) AS loc_y
+  FROM {source_sql} s
+  CROSS JOIN (SELECT unnest(range(0, {max_zoom + 1})) AS z) l"""
+
+
 def raster_tiles(df: DataFrame, zoom_r: int, world: int,
                  wx: str = "wx", wy: str = "wy") -> DataFrame:
     """Raster-side tile address at zoom_r (rx, ry)."""
