@@ -338,19 +338,46 @@ def q_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PYRAMID_BUDGET = 2000  # max features per (tile, layer) at low zooms
+
+
 def q_pyramid_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full multi-zoom MVT tile set: encode one tile per pyramid node
-    (341 tiles for zooms 0..4) through the fused vectorized encoder."""
+    (341 tiles for zooms 0..4) through the fused vectorized encoder.
+    Low-zoom tiles are capped by the deterministic per-tile feature
+    budget (standard tiling discipline; also the skew guard — without
+    it the z0 group aggregates the entire dataset into one task)."""
     img = synth.images(spark, sf_dir)
-    p = tiling.pyramid_assign(img, ZOOM, EXTENT).withColumn(
-        "layer_name", F.col("layer_name"))
+    p = tiling.pyramid_assign(img, ZOOM, EXTENT)
     feats = p.select(
         "z", "x", "y", "layer_name",
         F.col("iid").alias("feature_ordinal"),
         F.col("iid").alias("feature_id"),
         "loc_x", "loc_y", "phash", "fmt", "caption",
     )
+    feats = tiling.feature_budget(feats, PYRAMID_BUDGET)
     tiles = assemble.encode_point_tiles(feats, prop_spec=PROP_SPEC)
+    return tiles.select("z", "x", "y", "num_layers",
+                        F.octet_length("tile_bytes").alias("tile_size"))
+
+
+def q_pyramid_tiles_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNCAPPED pyramid through the skew-safe chunked encoder
+    (engine/hot_tiles.py): the z0 tile holds every feature, yet no
+    task ever encodes more than chunk_rows of them — distributed
+    dictionary + parallel chunk sections + ordered concat,
+    byte-identical to the single-group encoder (tests)."""
+    from vtzero_spark.engine.hot_tiles import encode_point_tiles_chunked
+
+    img = synth.images(spark, sf_dir)
+    p = tiling.pyramid_assign(img, ZOOM, EXTENT)
+    feats = p.select(
+        "z", "x", "y", "layer_name",
+        F.col("iid").alias("feature_ordinal"),
+        F.col("iid").alias("feature_id"),
+        "loc_x", "loc_y", "phash", "fmt", "caption",
+    )
+    tiles = encode_point_tiles_chunked(feats, PROP_SPEC, chunk_rows=25_000)
     return tiles.select("z", "x", "y", "num_layers",
                         F.octet_length("tile_bytes").alias("tile_size"))
 
@@ -485,6 +512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (non-SQL-expressible; tested in tests/)
         "mvt_tiles": q_mvt_tiles,
         "pyramid_tiles": q_pyramid_tiles,
+        "pyramid_tiles_hot": q_pyramid_tiles_hot,
         "minhash_lsh": q_minhash_lsh,
         "simhash_neardup": q_simhash_neardup,
         "cosine_topk": q_cosine_topk,

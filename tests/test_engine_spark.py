@@ -263,6 +263,27 @@ def test_pyramid_rollup_consistency(spark, sf_dir):
     assert locs[2] >= 0 and locs[3] < EXTENT
 
 
+def test_feature_budget_deterministic_first_k(spark, sf_dir):
+    img = synth.images(spark, sf_dir)
+    p = tiling.pyramid_assign(img, ZOOM, EXTENT).select(
+        "z", "x", "y", "layer_name", F.col("iid").alias("feature_ordinal"))
+    capped = tiling.feature_budget(p, 50)
+    counts = capped.groupBy("z", "x", "y", "layer_name").count().toPandas()
+    assert (counts["count"] <= 50).all()
+    # kept rows are exactly the 50 smallest ordinals of each group
+    full = p.toPandas()
+    got = capped.toPandas()
+    key = ["z", "x", "y", "layer_name"]
+    want_n = 0
+    for k, grp in full.groupby(key):
+        want = set(grp["feature_ordinal"].nsmallest(50))
+        sub = got[(got[key[0]] == k[0]) & (got[key[1]] == k[1])
+                  & (got[key[2]] == k[2]) & (got[key[3]] == k[3])]
+        assert set(sub["feature_ordinal"]) == want
+        want_n += len(want)
+    assert len(got) == want_n
+
+
 def test_checkpoint_resume(spark, sf_dir, tmp_path):
     from vtzero_spark.engine import checkpoint as cp
 

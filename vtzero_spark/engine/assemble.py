@@ -340,6 +340,20 @@ def _point_layer_bytes_arrow(tbl, name: str, prop_spec) -> tuple[bytes, int, int
     )
 
 
+def _point_features_bytes(ids: np.ndarray, lx: np.ndarray, ly: np.ndarray,
+                          final_codes, nprops: int) -> bytes:
+    """Features-section bytes (each feature wrapped in its LAYER_FEATURES
+    len-field) for single-point features with pre-resolved tag codes."""
+    from ..mvt.pbf import encode_varint_array, varint_len_array
+
+    n = len(ids)
+    zzx = ((lx << 1) ^ (lx >> 63)) & 0xFFFFFFFF
+    zzy = ((ly << 1) ^ (ly >> 63)) & 0xFFFFFFFF
+    return _point_matrix_bytes(
+        n, ids, zzx, zzy, final_codes, nprops,
+        encode_varint_array, varint_len_array)
+
+
 def _assemble_point_layer(name: str, ids: np.ndarray, lx: np.ndarray,
                           ly: np.ndarray, prop_spec, dict_result) -> tuple[bytes, int, int, int]:
     from ..mvt.pbf import encode_varint_array, len_field, varint_field, varint_len_array
@@ -356,9 +370,29 @@ def _assemble_point_layer(name: str, ids: np.ndarray, lx: np.ndarray,
         key_table = [k.encode("utf-8") for k, _, _ in prop_spec]
         final_codes, values_section, vsize = dict_result
 
+    nprops = len(prop_spec) if prop_spec else 0
+    features_bytes = _point_matrix_bytes(
+        n, ids, zzx, zzy, final_codes, nprops,
+        encode_varint_array, varint_len_array)
+
+    header = (
+        varint_field(T.LAYER_VERSION, 2)
+        + len_field(T.LAYER_NAME, name.encode("utf-8"))
+        + varint_field(T.LAYER_EXTENT, 4096)
+    )
+    layer_bytes = b"".join([
+        header,
+        features_bytes,
+        b"".join(len_field(T.LAYER_KEYS, k) for k in key_table),
+        values_section,
+    ])
+    return layer_bytes, n, len(key_table), vsize
+
+
+def _point_matrix_bytes(n, ids, zzx, zzy, final_codes, nprops,
+                        encode_varint_array, varint_len_array) -> bytes:
     # varint matrix: [18, feat_len | 24, gtype, 8, id, 34, geom_len,
     #                 MoveTo(1)=9, zzx, zzy | 18, tags_len, k0,v0,...]
-    nprops = len(prop_spec) if prop_spec else 0
     k_body = 9 + (2 + 2 * nprops if nprops else 0)
     M = np.empty((n, 2 + k_body), dtype=np.uint64)
     M[:, 2] = 24  # key(FEATURE_TYPE=3, varint)
@@ -381,19 +415,7 @@ def _assemble_point_layer(name: str, ids: np.ndarray, lx: np.ndarray,
     feat_len = varint_len_array(M[:, 2:]).sum(axis=1)
     M[:, 0] = 18  # key(LAYER_FEATURES=2, len)
     M[:, 1] = feat_len.astype(np.uint64)
-
-    header = (
-        varint_field(T.LAYER_VERSION, 2)
-        + len_field(T.LAYER_NAME, name.encode("utf-8"))
-        + varint_field(T.LAYER_EXTENT, 4096)
-    )
-    layer_bytes = b"".join([
-        header,
-        encode_varint_array(M.reshape(-1)),
-        b"".join(len_field(T.LAYER_KEYS, k) for k in key_table),
-        values_section,
-    ])
-    return layer_bytes, n, len(key_table), vsize
+    return encode_varint_array(M.reshape(-1))
 
 
 def _geomstream_layer_bytes(name: str, ids: np.ndarray, gtypes: np.ndarray,

@@ -1,0 +1,223 @@
+"""Skew-safe MVT encode for HOT tiles (chunked, byte-identical).
+
+The fused single-group encode (assemble.encode_point_tiles) gives one
+task per tile — perfect until one tile holds a disproportionate share
+of the data (a z0/z1 pyramid node, a mega-city tile). The MVT format
+forces the final layer blob to be assembled in one place, but nothing
+forces the EXPENSIVE parts — dictionary construction and per-feature
+varint encoding — to be serial. This module splits them:
+
+1. **Distributed dictionary**: melt the fixed property schema, group by
+   (tile, layer, vtype, value), take min (ordinal, column-slot) as the
+   first appearance, rank per layer — exactly the index a sequential
+   vtzero add_property loop would assign (builder_impl.hpp:104-147),
+   computed as ordinary shuffled aggregations that scale with
+   executors, not with the hottest tile.
+2. **Chunked feature sections**: features get their tag indexes by
+   join, are split into ordinal-contiguous chunks, and each chunk's
+   features-section bytes are encoded vectorized in parallel tasks.
+3. **Ordered concat**: per layer, chunk byte sections concatenate in
+   chunk order; header/keys/values wrap them. Byte-identical to the
+   single-group encoder (asserted in tests).
+
+Supported value types for the melt: string / int / uint / sint / bool
+(value identity via (vtype, canonical string) — injective per type, so
+it equals vtzero's encoded-bytes identity).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..mvt import tile as T
+from ..mvt import values as V
+from . import assemble
+
+TILE_KEY = ["z", "x", "y"]
+LAYER_KEY = TILE_KEY + ["layer_name"]
+
+_CHUNK_SCHEMA = ("z long, x long, y long, layer_name string, chunk long, "
+                 "n long, section binary")
+_VALUES_SCHEMA = ("z long, x long, y long, layer_name string, "
+                  "vsize int, values_section binary")
+
+
+def _melt(features: DataFrame, prop_spec) -> DataFrame:
+    entries = []
+    for c, (_, vtype, col) in enumerate(prop_spec):
+        entries.append(F.struct(
+            F.lit(c).alias("col_idx"),
+            F.lit(vtype).alias("vtype"),
+            F.col(col).cast("string").alias("value_str"),
+        ))
+    return features.select(
+        *LAYER_KEY, "feature_ordinal", F.explode(F.array(*entries)).alias("p")
+    ).select(*LAYER_KEY, "feature_ordinal", "p.col_idx", "p.vtype", "p.value_str")
+
+
+def _encode_values_pdf(pdf: pd.DataFrame) -> tuple[bytes, int]:
+    """Dict rows (vtype, value_str) sorted by idx -> values-section
+    bytes, vectorized via the pbf scatter primitives."""
+    from ..mvt.pbf import (
+        copy_segments, encode_varint_array, pack_len_fields,
+        strings_to_buffer, varint_len_array,
+    )
+
+    vts = pdf["vtype"].to_numpy(np.int64)
+    total = len(pdf)
+    entry_len = np.empty(total, dtype=np.int64)
+    caches: dict[int, tuple] = {}
+    for vt in np.unique(vts):
+        sel = vts == vt
+        vals = pdf["value_str"][sel]
+        if vt == V.VT_STRING:
+            buf, offs = strings_to_buffer(vals.tolist())
+            slen = offs[1:] - offs[:-1]
+            caches[vt] = (buf, offs, slen)
+            entry_len[sel] = 1 + varint_len_array(slen.astype(np.uint64)) + slen
+        elif vt in (V.VT_INT, V.VT_UINT, V.VT_SINT, V.VT_BOOL):
+            if vt == V.VT_BOOL:
+                iv = (vals == "true").to_numpy().astype(np.int64)
+            else:
+                iv = vals.astype(np.int64).to_numpy()
+            if vt == V.VT_SINT:
+                uv = ((iv << 1) ^ (iv >> 63)).astype(np.uint64)
+            else:
+                uv = iv.astype(np.uint64)
+            caches[vt] = (uv,)
+            entry_len[sel] = 1 + varint_len_array(uv)
+        else:
+            raise ValueError(f"unsupported vtype {vt} in chunked encode")
+    offsets = np.zeros(total + 1, dtype=np.int64)
+    np.cumsum(entry_len, out=offsets[1:])
+    out = np.empty(int(offsets[-1]), dtype=np.uint8)
+    starts = offsets[:-1]
+    out[starts] = assemble._VT_PREFIX[vts]
+    for vt in np.unique(vts):
+        sel = vts == vt
+        sel_off = starts[sel]
+        if vt == V.VT_STRING:
+            buf, offs, slen = caches[vt]
+            lenlens = varint_len_array(slen.astype(np.uint64))
+            lenbuf = np.frombuffer(
+                encode_varint_array(slen.astype(np.uint64)), dtype=np.uint8)
+            copy_segments(lenbuf, np.cumsum(lenlens) - lenlens, lenlens,
+                          out, sel_off + 1)
+            copy_segments(buf, offs[:-1], slen, out, sel_off + 1 + lenlens)
+        else:
+            (uv,) = caches[vt]
+            vlens = varint_len_array(uv)
+            vbuf = np.frombuffer(encode_varint_array(uv), dtype=np.uint8)
+            copy_segments(vbuf, np.cumsum(vlens) - vlens, vlens, out, sel_off + 1)
+    return pack_len_fields(T.LAYER_VALUES, out, offsets), total
+
+
+def encode_point_tiles_chunked(
+    features: DataFrame,
+    prop_spec,
+    chunk_rows: int = 100_000,
+) -> DataFrame:
+    """Byte-identical to assemble.encode_point_tiles, but no single
+    task ever holds more than ``chunk_rows`` features — hot tiles
+    parallelize across chunks; only the cheap final byte concat is
+    per-tile."""
+    from ..mvt.pbf import len_field, varint_field
+
+    nprops = len(prop_spec)
+
+    # 1. distributed dictionaries (first-appearance over the
+    #    interleaved (ordinal, column-slot) stream)
+    melted = _melt(features, prop_spec)
+    firsts = melted.groupBy(*LAYER_KEY, "vtype", "value_str").agg(
+        F.min(F.struct("feature_ordinal", "col_idx")).alias("first"))
+    w_dict = Window.partitionBy(*LAYER_KEY).orderBy("first")
+    dict_df = firsts.withColumn("idx", F.row_number().over(w_dict) - 1)
+
+    # 2. tag indexes per feature (join + conditional agg back to wide)
+    tags = (
+        melted.join(dict_df.select(*LAYER_KEY, "vtype", "value_str", "idx"),
+                    LAYER_KEY + ["vtype", "value_str"])
+        .groupBy(*LAYER_KEY, "feature_ordinal")
+        .agg(*[F.max(F.when(F.col("col_idx") == c, F.col("idx")))
+               .alias(f"tag{c}") for c in range(nprops)])
+    )
+    feats = features.join(tags, LAYER_KEY + ["feature_ordinal"])
+    w_rn = Window.partitionBy(*LAYER_KEY).orderBy("feature_ordinal")
+    feats = feats.withColumn(
+        "chunk", F.floor((F.row_number().over(w_rn) - 1) / chunk_rows))
+
+    # 3. chunk encode (vectorized features-section bytes per chunk)
+    def enc_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("feature_ordinal", kind="stable")
+        codes = np.stack(
+            [pdf[f"tag{c}"].to_numpy(np.int64) for c in range(nprops)], axis=1)
+        section = assemble._point_features_bytes(
+            pdf["feature_id"].to_numpy(np.int64),
+            pdf["loc_x"].to_numpy(np.int64),
+            pdf["loc_y"].to_numpy(np.int64),
+            codes, nprops)
+        return pd.DataFrame([{
+            "z": int(pdf["z"].iloc[0]), "x": int(pdf["x"].iloc[0]),
+            "y": int(pdf["y"].iloc[0]),
+            "layer_name": pdf["layer_name"].iloc[0],
+            "chunk": int(pdf["chunk"].iloc[0]),
+            "n": len(pdf), "section": section,
+        }])
+
+    chunks = feats.groupBy(*LAYER_KEY, "chunk").applyInPandas(
+        enc_chunk, schema=_CHUNK_SCHEMA)
+
+    # 4. values-section bytes per layer (vectorized from the dict rows)
+    def enc_values(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("idx", kind="stable")
+        section, vsize = _encode_values_pdf(pdf)
+        return pd.DataFrame([{
+            "z": int(pdf["z"].iloc[0]), "x": int(pdf["x"].iloc[0]),
+            "y": int(pdf["y"].iloc[0]),
+            "layer_name": pdf["layer_name"].iloc[0],
+            "vsize": vsize, "values_section": section,
+        }])
+
+    layer_values = dict_df.groupBy(*LAYER_KEY).applyInPandas(
+        enc_values, schema=_VALUES_SCHEMA)
+
+    # 5. ordered concat: chunks -> layer bytes -> tile bytes
+    key_section = b"".join(
+        len_field(T.LAYER_KEYS, k.encode("utf-8")) for k, _, _ in prop_spec)
+    head_pre = varint_field(T.LAYER_VERSION, 2)
+    head_post = varint_field(T.LAYER_EXTENT, 4096)
+
+    layer_chunks = chunks.groupBy(*LAYER_KEY).agg(
+        F.sum("n").alias("num_features"),
+        F.array_sort(F.collect_list(F.struct("chunk", "section"))).alias("secs"),
+    )
+
+    def build_tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("layer_name", kind="stable")
+        parts = []
+        num_layers = 0
+        for _, r in pdf.iterrows():
+            feats_bytes = b"".join(bytes(s["section"]) for s in r["secs"])
+            name = r["layer_name"].encode("utf-8")
+            layer_bytes = b"".join([
+                head_pre, len_field(T.LAYER_NAME, name), head_post,
+                feats_bytes, key_section, bytes(r["values_section"]),
+            ])
+            if r["num_features"] > 0:
+                parts.append(len_field(T.TILE_LAYERS, layer_bytes))
+                num_layers += 1
+        return pd.DataFrame([{
+            "z": int(pdf["z"].iloc[0]), "x": int(pdf["x"].iloc[0]),
+            "y": int(pdf["y"].iloc[0]),
+            "num_layers": num_layers,
+            "tile_bytes": b"".join(parts),
+        }])
+
+    joined = layer_chunks.join(layer_values, LAYER_KEY)
+    return joined.groupBy(*TILE_KEY).applyInPandas(
+        build_tile, schema=assemble.TILE_SCHEMA)

@@ -160,6 +160,25 @@ def pyramid_assign_sql(source_sql: str, max_zoom: int, extent: int = EXTENT) -> 
   CROSS JOIN (SELECT unnest(range(0, {max_zoom + 1})) AS z) l"""
 
 
+def feature_budget(df: DataFrame, per_tile: int,
+                   ordinal: str = "feature_ordinal") -> DataFrame:
+    """Deterministic per-tile feature budget: keep the first
+    ``per_tile`` features (ordinal order) of every (z, x, y, layer)
+    group. This is the standard tiling discipline at scale — tile
+    payloads have size budgets, and low-zoom tiles would otherwise
+    aggregate the entire dataset into one encode group (the skew that
+    kills a 1000-executor job). Window rank = one shuffle on the same
+    key the encode groups on, so AQE plans them together."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("z", "x", "y", "layer_name").orderBy(ordinal)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= per_tile)
+        .drop("_rn")
+    )
+
+
 def raster_tiles(df: DataFrame, zoom_r: int, world: int,
                  wx: str = "wx", wy: str = "wy") -> DataFrame:
     """Raster-side tile address at zoom_r (rx, ry)."""
