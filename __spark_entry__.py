@@ -20,7 +20,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from vtzero_spark.engine import (
-    assemble, cells, geomops, joins, knn, simsearch, synth, textops, tiling,
+    assemble, cells, geomops, joins, knn, sessions, simsearch, synth,
+    textops, tiling,
 )
 from vtzero_spark.engine.synth import EXTENT, WORLD, ZOOM, ZOOM_R
 
@@ -395,6 +396,14 @@ def q_raster_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event sessionization (30-min gap) over the events stream table —
+    batch form of the stateful streaming operator in engine/sessions.py
+    (stream==batch asserted in tests)."""
+    ev = synth.load(spark, sf_dir, "events")
+    return sessions.sessionize(ev).drop("value_sum")
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.dedup_exact(synth.load(spark, sf_dir, "documents"))
 
@@ -501,6 +510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn": q_knn,
         "pyramid": q_pyramid,
         "raster_vector": q_raster_vector,
+        "sessionize": q_sessionize,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "lang_id": q_lang_id,
@@ -687,6 +697,7 @@ SELECT rx // {shift} AS x, ry // {shift} AS y,
        count(DISTINCT rx * 64 + ry) AS n_raster_tiles
 FROM r GROUP BY 1, 2
 """,
+        "sessionize": sessions.sessionize_sql(),
         "dedup_exact": textops.DEDUP_EXACT_SQL,
         "ngram_jaccard": textops.ngram_jaccard_adjacent_sql(),
         "lang_id": textops.lang_id_sql(),

@@ -58,6 +58,40 @@ def test_image_features_deterministic(spark, sf_dir):
     assert bytes(out["thumbnail"].iloc[0]) == th.tobytes()
 
 
+def test_stateful_sessionize_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Closed sessions emitted by the stateful streaming operator equal
+    the batch sessionization minus each user's open (last) session."""
+    from vtzero_spark.engine import sessions
+
+    events = synth.load(spark, sf_dir, "events")
+    src = str(tmp_path / "events_in")
+    events.write.parquet(src)
+
+    batch = sessions.sessionize(spark.read.parquet(src)).toPandas()
+    # drop each user's last (still-open) session
+    last = batch.groupby("user_id")["session_id"].transform("max")
+    want = batch[batch["session_id"] != last] \
+        .sort_values(["user_id", "session_id"]).reset_index(drop=True)
+
+    sdf = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        sessions.sessionize_stream(sdf)
+        .writeStream.format("memory").queryName("sessions_out")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.table("sessions_out").toPandas() \
+            .sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    finally:
+        q.stop()
+
+    assert len(got) == len(want) and len(got) > 0
+    for col in ("user_id", "session_id", "n_events", "first_ts", "last_ts"):
+        assert (got[col].to_numpy() == want[col].to_numpy()).all(), col
+    assert np.allclose(got["value_sum"], want["value_sum"])
+
+
 def test_ivf_topk_recall(spark, sf_dir):
     emb = synth.load(spark, sf_dir, "embeddings")
     exact = simsearch.ann_topk(emb, n_queries=4, k=5).toPandas()
