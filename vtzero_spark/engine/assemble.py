@@ -711,7 +711,7 @@ def _decode_tile_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
                         "layer_name": layer.name, "version": layer.version,
                         "extent": layer.extent, "feature_ordinal": fi,
                         "feature_id": f.id, "geom_type": f.geom_type,
-                        "geometry": f.geometry.astype(np.int64).tolist(),
+                        "geometry": f.geometry.astype(np.int64),
                         "geometry_nbytes": f.geometry_nbytes,
                         "num_properties": f.num_properties,
                         "decode_status": "ok",
