@@ -122,7 +122,9 @@ def layer_name_only(layer_buf: bytes) -> str:
     (vector_tile.hpp:214-271); missing name -> FormatError."""
     for f, w, v in scan_fields(layer_buf):
         if f == LAYER_NAME and w == WT_LEN:
-            return v.decode("utf-8")
+            # vtzero keeps the raw bytes (data_view) without utf-8
+            # validation; surrogateescape preserves them losslessly
+            return v.decode("utf-8", errors="surrogateescape")
     raise FormatError("missing name field in layer (spec 4.1)")
 
 
@@ -186,7 +188,7 @@ def parse_layer(buf: bytes, *, parse_features: bool = True) -> Layer:
     if name is None:
         raise FormatError("missing name field in layer (spec 4.1)")
     layer = Layer(
-        name=name.decode("utf-8"),
+        name=name.decode("utf-8", errors="surrogateescape"),
         version=version,
         extent=4096 if extent is None else extent,
         keys=keys,
