@@ -160,6 +160,112 @@ def parse_feature(buf: bytes) -> Feature:
     return Feature(fid, int(geom_type), geometry, geometry_nbytes, tags)
 
 
+def _parse_features_fast(views: list[bytes]) -> list[Feature] | None:
+    """Vectorized feature parse: a feature message contains only
+    varint and LEN-of-varints fields, so the concatenation of all
+    feature views is (normally) one contiguous varint stream — decode
+    it once, then walk each feature over pre-decoded integers. Any
+    alignment anomaly (fixed-wire field, payload ending mid-varint,
+    truncation) falls back to the exact scalar parser for that feature
+    (or the whole batch), so error semantics are identical.
+
+    Returns None when the batch can't be globally decoded."""
+    if not views:
+        return []
+    buf = b"".join(bytes(v) for v in views)
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    if raw.size == 0:
+        return [parse_feature(v) for v in views]
+    is_end = (raw & 0x80) == 0
+    lens = np.fromiter((len(v) for v in views), dtype=np.int64, count=len(views))
+    offs = np.zeros(len(views) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    nonempty = offs[1:][lens > 0]
+    if nonempty.size and not is_end[nonempty - 1].all():
+        return None
+    try:
+        vals = decode_varint_array(raw)
+    except FormatError:
+        return None
+    cnt_before = np.zeros(raw.size + 1, dtype=np.int64)
+    np.cumsum(is_end, out=cnt_before[1:])
+    ends = np.flatnonzero(is_end)
+    starts_g = np.empty(ends.size, dtype=np.int64)
+    if ends.size:
+        starts_g[0] = 0
+        starts_g[1:] = ends[:-1] + 1
+
+    feats: list[Feature] = []
+    for j in range(len(views)):
+        b0, b1 = int(offs[j]), int(offs[j + 1])
+        i, i_end = int(cnt_before[b0]), int(cnt_before[b1])
+        fid: int | None = None
+        gtype = 0
+        geometry: np.ndarray | None = None
+        gnb = 0
+        tags: np.ndarray | None = None
+        ok = True
+        while i < i_end:
+            key = int(vals[i])
+            fld, wt = key >> 3, key & 0x7
+            if fld == 0:
+                raise FormatError("invalid field number 0")
+            if wt == WT_VARINT:
+                if i + 1 >= i_end:
+                    ok = False
+                    break
+                v = int(vals[i + 1])
+                i += 2
+                if fld == FEATURE_ID:
+                    fid = v
+                elif fld == FEATURE_TYPE:
+                    if v > 3:
+                        raise FormatError("Unknown geometry type (spec 4.3.4)")
+                    gtype = v
+            elif wt == WT_LEN:
+                if i + 1 >= i_end:
+                    ok = False
+                    break
+                ln = int(vals[i + 1])
+                if ln == 0:
+                    cnt = 0
+                else:
+                    if i + 2 >= starts_g.size:
+                        ok = False
+                        break
+                    ps = int(starts_g[i + 2])
+                    pe = ps + ln
+                    if pe > b1 or not is_end[pe - 1]:
+                        ok = False
+                        break
+                    cnt = int(cnt_before[pe]) - int(cnt_before[ps])
+                pv = vals[i + 2:i + 2 + cnt]
+                i += 2 + cnt
+                if fld == FEATURE_TAGS:
+                    if tags is not None:
+                        raise FormatError("Feature has more than one tags field")
+                    tags = pv.astype(np.uint64)
+                elif fld == FEATURE_GEOMETRY:
+                    if geometry is not None and geometry.size > 0:
+                        raise FormatError("Feature has more than one geometry field")
+                    geometry = pv.astype(np.uint64)
+                    gnb = ln
+            else:
+                ok = False  # fixed/unknown wire type: exact scalar semantics
+                break
+        if not ok:
+            feats.append(parse_feature(views[j]))
+            continue
+        if geometry is None or geometry.size == 0:
+            raise FormatError("Missing geometry field in feature (spec 4.2)")
+        if tags is None:
+            tags = np.empty(0, dtype=np.uint64)
+        if tags.size % 2 != 0:
+            raise FormatError("unpaired property key/value indexes (spec 4.4)")
+        feats.append(Feature(fid, int(gtype), geometry, gnb, tags))
+    return feats
+
+
 def parse_layer(buf: bytes, *, parse_features: bool = True) -> Layer:
     version: int | None = None
     name: bytes | None = None
@@ -196,7 +302,9 @@ def parse_layer(buf: bytes, *, parse_features: bool = True) -> Layer:
         raw=buf,
     )
     if parse_features:
-        layer.features = [parse_feature(fv) for fv in feature_views]
+        fast = _parse_features_fast(feature_views)
+        layer.features = fast if fast is not None \
+            else [parse_feature(fv) for fv in feature_views]
     else:
         layer.features = []
         layer.num_feature_views = len(feature_views)  # type: ignore[attr-defined]
