@@ -41,6 +41,45 @@ def test_tile_stream_matches_batch(spark, sf_dir, tmp_path):
         assert (got[col].to_numpy() == batch[col].to_numpy()).all()
 
 
+def test_stream_encode_tiles_matches_batch(spark, sf_dir, tmp_path):
+    """foreachBatch MVT production: the union of all micro-batch tile
+    sets re-aggregates to the same per-tile feature totals as a batch
+    encode of the same data (tiles differ per batch by design — each
+    batch encodes its own slice)."""
+    import __spark_entry__ as entry
+    from vtzero_spark.engine import assemble, streaming, tiling
+    from vtzero_spark.engine.synth import EXTENT, ZOOM
+
+    img = synth.images(spark, sf_dir).limit(3000)
+    src = str(tmp_path / "imgs_in")
+    img.write.parquet(src)
+
+    sdf = spark.readStream.schema(spark.read.parquet(src).schema) \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    q = streaming.stream_encode_tiles(
+        sdf, str(tmp_path / "tiles_out"), entry.PROP_SPEC,
+        str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got_tiles = spark.read.parquet(str(tmp_path / "tiles_out"))
+    assert got_tiles.count() > 0
+    # decode every produced tile and compare total features per (z,x,y)
+    dec = assemble.decode_tiles(got_tiles.select("z", "x", "y", "tile_bytes"))
+    got = dec.where(F.col("decode_status") == "ok") \
+        .groupBy("z", "x", "y").count().toPandas() \
+        .sort_values(["z", "x", "y"]).reset_index(drop=True)
+    want = tiling.assign_tiles(spark.read.parquet(src), zoom=ZOOM,
+                               extent=EXTENT, buffer=0) \
+        .groupBy("z", "x", "y").count().toPandas() \
+        .sort_values(["z", "x", "y"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    for col in ("z", "x", "y", "count"):
+        assert (got[col].to_numpy(np.int64) == want[col].to_numpy(np.int64)).all(), col
+
+
 def test_image_features_deterministic(spark, sf_dir):
     img = synth.images(spark, sf_dir, with_bytes=True).limit(50)
     out = payload.image_features(img).toPandas()

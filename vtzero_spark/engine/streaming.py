@@ -31,6 +31,46 @@ def with_event_time(df: DataFrame, epoch: str = "2026-01-01 00:00:00") -> DataFr
     )
 
 
+def stream_encode_tiles(
+    stream_df: DataFrame,
+    out_dir: str,
+    prop_spec,
+    checkpoint_dir: str,
+    zoom: int = ZOOM,
+    extent: int = EXTENT,
+):
+    """Continuous raster->vector MVT production: every micro-batch runs
+    the SAME fused vectorized tile encode the batch pipeline uses
+    (foreachBatch), writing one parquet partition of finished tile
+    blobs per batch. Exactly-once per batch via the streaming
+    checkpoint + idempotent overwrite of the batch's own partition —
+    the streaming twin of engine/checkpoint.py's manifest protocol.
+
+    Returns the StreamingQuery (caller stops it)."""
+    from pyspark.sql import functions as SF
+
+    from . import assemble
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        feats = tiling.assign_tiles(batch_df, zoom=zoom, extent=extent, buffer=0)
+        feats = feats.select(
+            "z", "x", "y", "layer_name",
+            SF.col("iid").alias("feature_ordinal"),
+            SF.col("iid").alias("feature_id"),
+            "loc_x", "loc_y",
+            *[c for _, _, c in prop_spec],
+        )
+        tiles = assemble.encode_point_tiles(feats, prop_spec=prop_spec)
+        tiles.withColumn("batch_id", SF.lit(batch_id)).write.mode(
+            "overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    return (
+        stream_df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def tile_stream_counts(
     stream_df: DataFrame,
     zoom: int = ZOOM,
