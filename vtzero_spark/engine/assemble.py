@@ -435,7 +435,14 @@ def _geomstream_layer_bytes(name: str, ids: np.ndarray, gtypes: np.ndarray,
     glens = np.diff(goffsets)  # varint count per feature's geometry
     gvals = np.ascontiguousarray(gflat, dtype=np.int64).astype(np.uint64)
     gv_bytes = varint_len_array(gvals)
-    geom_len = np.add.reduceat(gv_bytes, goffsets[:-1]) if n else np.empty(0, np.int64)
+    # reduceat raises IndexError when an offset == len(gvals) (trailing
+    # empty geometries); a zero sentinel makes those offsets valid
+    # without disturbing earlier segments, and the glens==0 mask below
+    # zeroes the value reduceat assigns to any empty segment
+    if n:
+        geom_len = np.add.reduceat(np.append(gv_bytes, 0), goffsets[:-1])
+    else:
+        geom_len = np.zeros(0, np.int64)
     geom_len = np.where(glens == 0, 0, geom_len)
 
     key_table: list[bytes] = []

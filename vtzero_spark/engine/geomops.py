@@ -251,7 +251,10 @@ def _stats_from_pdf(pdf: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
                 "z": sub["z"].astype(np.int64), "x": sub["x"].astype(np.int64),
                 "y": sub["y"].astype(np.int64),
                 "layer_name": sub["layer_name"],
-                "feature_id": sub["feature_id"].astype(np.int64),
+                # nullable Int64: feature id is optional in the MVT spec
+                # (reference feature.hpp has_id()); plain int64 astype
+                # would raise on tiles whose features carry no id
+                "feature_id": sub["feature_id"].astype("Int64"),
                 "geom_type": int(gtype),
                 "n_parts": n_parts.astype(np.int32), "n_points": n_points,
                 "sum_x": sum_x, "sum_y": sum_y, "area2": area2,

@@ -147,9 +147,14 @@ def encode_point_tiles_chunked(
                .alias(f"tag{c}") for c in range(nprops)])
     )
     feats = features.join(tags, LAYER_KEY + ["feature_ordinal"])
-    w_rn = Window.partitionBy(*LAYER_KEY).orderBy("feature_ordinal")
+    # chunk id straight from the ordinal — no per-layer window (a
+    # row_number window would stream the entire hot layer through one
+    # task, defeating the point of chunking). Any monotone unique
+    # per-layer ordinal works: chunks stay ordinal-contiguous and hold
+    # at most chunk_rows features; sparse ordinals just yield smaller
+    # chunks, and the ordered concat tolerates non-dense chunk ids.
     feats = feats.withColumn(
-        "chunk", F.floor((F.row_number().over(w_rn) - 1) / chunk_rows))
+        "chunk", F.floor(F.col("feature_ordinal") / F.lit(chunk_rows)))
 
     # 3. chunk encode (vectorized features-section bytes per chunk)
     def enc_chunk(pdf: pd.DataFrame) -> pd.DataFrame:

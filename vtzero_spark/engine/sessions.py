@@ -107,7 +107,12 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         else:
             sid, start, last, n, vsum = -1, None, None, 0, 0.0
         out = []
-        for pdf in pdfs:
+        # a user's events may span multiple Arrow batches; concatenate
+        # before the single global sort or events can be replayed out of
+        # time order (wrong session splits vs the batch-twin oracle)
+        chunks = list(pdfs)
+        if chunks:
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
             pdf = pdf.sort_values(["ts", "event_id"], kind="stable")
             for ts, val in zip(pdf["ts"].astype("int64") // 10**9, pdf["value"]):
                 ts = int(ts)
