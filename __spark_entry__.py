@@ -257,6 +257,40 @@ def q_streets_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streets_filter_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRUE vtzero-streets pipeline (examples/vtzero-streets.cpp:
+    22-78), end to end through bytes: encode tiles, DECODE them
+    (including the per-layer key/value dictionary resolution,
+    layer.hpp:424-508), filter features by a *decoded* property value,
+    re-encode the survivors, report the rebuilt layer stats. Oracle =
+    the same SQL as streets_filter — proving the byte round trip is
+    invisible to the relational result."""
+    f = _features(spark, sf_dir)
+    tiles = _encode_image_tiles(f)
+    dec = assemble.decode_tiles(tiles, properties=True)
+    ok = dec.where(F.col("decode_status") == "ok")
+    png = ok.where(F.col("properties")["fmt"]["sval"] == "png")
+    pts = assemble.decoded_points(png)
+    feats = pts.select(
+        "z", "x", "y", "layer_name",
+        # decoded position within the layer preserves the original
+        # feature order, so rebuilt dictionaries match a sequential
+        # vtzero run over the filtered subset
+        F.col("feature_ordinal").cast("long").alias("feature_ordinal"),
+        "feature_id",
+        F.col("pt_x").cast("long").alias("loc_x"),
+        F.col("pt_y").cast("long").alias("loc_y"),
+        F.col("properties")["phash"]["ival"].alias("phash"),
+        F.col("properties")["fmt"]["sval"].alias("fmt"),
+        F.col("properties")["caption"]["sval"].alias("caption"),
+    )
+    layers = assemble.encode_point_layers(feats, prop_spec=PROP_SPEC)
+    return layers.select(
+        "z", "x", "y", "layer_name", "num_features",
+        F.col("value_table_size").cast("long").alias("value_table_size"),
+    )
+
+
 def q_layer_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """get_layer_by_name analog (vector_tile.hpp:214-271) run through
     the real codec: encode tiles, decode them, select the layer named
@@ -500,6 +534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_roundtrip": q_polygon_roundtrip,
         "linestring_roundtrip": q_linestring_roundtrip,
         "streets_filter": q_streets_filter,
+        "streets_filter_decoded": q_streets_filter_decoded,
         "geom_errors": q_geom_errors,
         "layer_lookup": q_layer_lookup,
         "tile_check": q_tile_check,
@@ -620,6 +655,15 @@ SELECT z, x, y, layer_name, count(*) AS n_features,
 FROM assigned0 GROUP BY z, x, y, layer_name
 """,
         "streets_filter": f"""
+WITH {images},
+{assigned}
+SELECT z, x, y, layer_name, count(*) AS num_features,
+       count(DISTINCT phash) + 1 + count(DISTINCT caption) AS value_table_size
+FROM assigned WHERE fmt = 'png' GROUP BY z, x, y, layer_name
+""",
+        # same relational answer as streets_filter: the decoded-property
+        # path must be invisible to the result
+        "streets_filter_decoded": f"""
 WITH {images},
 {assigned}
 SELECT z, x, y, layer_name, count(*) AS num_features,

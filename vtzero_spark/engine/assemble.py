@@ -46,6 +46,13 @@ FEATURE_SCHEMA = (
     "num_properties int, decode_status string"
 )
 
+# decode_tiles(properties=True): + the decoded key/value map (the
+# 7-type union carried as a tagged struct; vtype per mvt/values.py)
+FEATURE_PROPS_SCHEMA = FEATURE_SCHEMA + (
+    ", properties map<string, struct<vtype: int, sval: string, "
+    "dval: double, ival: long>>"
+)
+
 
 def _encode_props(row) -> list[tuple[bytes, bytes]]:
     """props column: array<struct<key, vtype, sval, dval, ival>> ->
@@ -682,59 +689,168 @@ def encode_tiles(layers: DataFrame) -> DataFrame:
     )
 
 
-def _decode_tile_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+_FEATURE_COLS = ["z", "x", "y", "layer_ordinal", "layer_name", "version",
+                 "extent", "feature_ordinal", "feature_id", "geom_type",
+                 "geometry", "geometry_nbytes", "num_properties",
+                 "decode_status"]
+
+
+def _decode_layer_values(layer) -> tuple[list[str], list]:
+    """Resolve a layer's key/value dictionaries ONCE (dictionary-sized
+    work, not feature-sized — the analog of vtzero's lazy key_table()/
+    value_table() build, layer.hpp:299-330). Each value decodes to the
+    typed struct the `properties` map column carries; an invalid value
+    entry stays an MVTError marker and only poisons features that
+    actually reference it (fixture 038 semantics)."""
+    keys_dec = [k.decode("utf-8", errors="surrogateescape")
+                for k in layer.keys]
+    vals_dec: list = []
+    for vb in layer.values:
+        try:
+            tag, pv = V.decode_value(bytes(vb))
+        except MVTError as e:
+            vals_dec.append(e)
+            continue
+        vals_dec.append({
+            "vtype": tag,
+            "sval": pv if tag == V.VT_STRING else None,
+            "dval": float(pv) if tag in (V.VT_FLOAT, V.VT_DOUBLE) else None,
+            "ival": (int(pv) if tag in (V.VT_INT, V.VT_UINT, V.VT_SINT)
+                     else (int(bool(pv)) if tag == V.VT_BOOL else None)),
+        })
+    return keys_dec, vals_dec
+
+
+def _feature_props(f, keys_dec, vals_dec) -> tuple[dict | None, str]:
+    """One feature's tag pairs -> properties map cell + status.
+    Out-of-range indexes mirror layer.hpp:434-460 (OutOfRangeError) as
+    DATA; duplicate keys collapse to the last pair like vtzero's
+    create_properties_map (property_map.hpp)."""
+    t = f.tags
+    if t.size == 0:
+        return {}, "ok"
+    ki = t[0::2]
+    vi = t[1::2]
+    if int(ki.max()) >= len(keys_dec):
+        return None, f"OutOfRangeError: key index {int(ki.max())} out of range"
+    if int(vi.max()) >= len(vals_dec):
+        return None, f"OutOfRangeError: value index {int(vi.max())} out of range"
+    out = {}
+    for a, b in zip(ki, vi):
+        v = vals_dec[int(b)]
+        if isinstance(v, MVTError):
+            return None, f"{type(v).__name__}: {v}"
+        out[keys_dec[int(a)]] = v
+    return out, "ok"
+
+
+def _decode_tile_batch(batches: Iterator[pd.DataFrame],
+                       want_props: bool = False) -> Iterator[pd.DataFrame]:
+    cols = _FEATURE_COLS + (["properties"] if want_props else [])
     for pdf in batches:
-        rows = []
-        for _, r in pdf.iterrows():
-            z, x, y = int(r["z"]), int(r["x"]), int(r["y"])
+        # columnar accumulation: one chunk of arrays per parsed layer —
+        # no per-feature dict rows (the decode analog of the vectorized
+        # encode path); rare error rows keep the dict slow path
+        acc: dict[str, list] = {c: [] for c in cols}
+        err_rows: list[dict] = []
+
+        def err(z, x, y, li, e):
+            err_rows.append({
+                "z": z, "x": x, "y": y, "layer_ordinal": li,
+                "layer_name": None, "version": None, "extent": None,
+                "feature_ordinal": -1, "feature_id": None,
+                "geom_type": None, "geometry": None,
+                "geometry_nbytes": None, "num_properties": None,
+                "decode_status": f"{type(e).__name__}: {e}",
+                **({"properties": None} if want_props else {}),
+            })
+
+        zs = pdf["z"].to_numpy(np.int64)
+        xs = pdf["x"].to_numpy(np.int64)
+        ys = pdf["y"].to_numpy(np.int64)
+        for ri in range(len(pdf)):
+            z, x, y = int(zs[ri]), int(xs[ri]), int(ys[ri])
             try:
-                views = T.tile_layer_views(bytes(r["tile_bytes"]))
+                views = T.tile_layer_views(bytes(pdf["tile_bytes"].iloc[ri]))
             except MVTError as e:
-                rows.append({
-                    "z": z, "x": x, "y": y, "layer_ordinal": -1,
-                    "layer_name": None, "version": None, "extent": None,
-                    "feature_ordinal": -1, "feature_id": None,
-                    "geom_type": None, "geometry": None,
-                    "geometry_nbytes": None, "num_properties": None,
-                    "decode_status": f"{type(e).__name__}: {e}",
-                })
+                err(z, x, y, -1, e)
                 continue
             for li, lv in enumerate(views):
                 try:
                     layer = T.parse_layer(lv)
                 except MVTError as e:
-                    rows.append({
-                        "z": z, "x": x, "y": y, "layer_ordinal": li,
-                        "layer_name": None, "version": None, "extent": None,
-                        "feature_ordinal": -1, "feature_id": None,
-                        "geom_type": None, "geometry": None,
-                        "geometry_nbytes": None, "num_properties": None,
-                        "decode_status": f"{type(e).__name__}: {e}",
-                    })
+                    err(z, x, y, li, e)
                     continue
-                for fi, f in enumerate(layer.features):
-                    rows.append({
-                        "z": z, "x": x, "y": y, "layer_ordinal": li,
-                        "layer_name": layer.name, "version": layer.version,
-                        "extent": layer.extent, "feature_ordinal": fi,
-                        "feature_id": f.id, "geom_type": f.geom_type,
-                        "geometry": f.geometry.astype(np.int64),
-                        "geometry_nbytes": f.geometry_nbytes,
-                        "num_properties": f.num_properties,
-                        "decode_status": "ok",
-                    })
-        yield pd.DataFrame(
-            rows,
-            columns=["z", "x", "y", "layer_ordinal", "layer_name", "version",
-                     "extent", "feature_ordinal", "feature_id", "geom_type",
-                     "geometry", "geometry_nbytes", "num_properties",
-                     "decode_status"],
-        )
+                feats = layer.features
+                nf = len(feats)
+                if nf == 0:
+                    continue
+                acc["z"].append(np.full(nf, z, np.int64))
+                acc["x"].append(np.full(nf, x, np.int64))
+                acc["y"].append(np.full(nf, y, np.int64))
+                acc["layer_ordinal"].append(np.full(nf, li, np.int64))
+                acc["layer_name"].append([layer.name] * nf)
+                acc["version"].append(np.full(nf, layer.version, np.int64))
+                acc["extent"].append(np.full(nf, layer.extent, np.int64))
+                acc["feature_ordinal"].append(np.arange(nf, dtype=np.int64))
+                acc["feature_id"].append([f.id for f in feats])
+                acc["geom_type"].append(
+                    np.fromiter((f.geom_type for f in feats), np.int64, nf))
+                acc["geometry"].append(
+                    [f.geometry.astype(np.int64) for f in feats])
+                acc["geometry_nbytes"].append(
+                    np.fromiter((f.geometry_nbytes for f in feats),
+                                np.int64, nf))
+                acc["num_properties"].append(
+                    np.fromiter((f.tags.size // 2 for f in feats),
+                                np.int64, nf))
+                if want_props:
+                    keys_dec, vals_dec = _decode_layer_values(layer)
+                    props_col: list = []
+                    status_col: list = []
+                    for f in feats:
+                        p, st = _feature_props(f, keys_dec, vals_dec)
+                        props_col.append(p)
+                        status_col.append(st)
+                    acc["properties"].append(props_col)
+                    acc["decode_status"].append(status_col)
+                else:
+                    acc["decode_status"].append(["ok"] * nf)
+
+        if acc["z"]:
+            data = {}
+            for c in cols:
+                chunks = acc[c]
+                data[c] = (np.concatenate(chunks)
+                           if isinstance(chunks[0], np.ndarray)
+                           else [v for ch in chunks for v in ch])
+            ok_frame = pd.DataFrame(data, columns=cols)
+        else:
+            ok_frame = pd.DataFrame(columns=cols)
+        if err_rows:
+            yield pd.concat(
+                [ok_frame, pd.DataFrame(err_rows, columns=cols)],
+                ignore_index=True)[cols]
+        else:
+            yield ok_frame
 
 
-def decode_tiles(tiles: DataFrame) -> DataFrame:
+def decode_tiles(tiles: DataFrame, properties: bool = False) -> DataFrame:
     """tiles(z,x,y,tile_bytes) -> one row per feature (Arrow-batched;
-    malformed content becomes decode_status rows, not task failures)."""
+    malformed content becomes decode_status rows, not task failures).
+
+    With ``properties=True`` each feature also carries its DECODED
+    key/value pairs as ``properties map<string, struct<vtype, sval,
+    dval, ival>>`` — the distributed form of the reference's core read
+    path (layer.hpp:424-508 key/value resolution + feature.hpp:298-311
+    create_properties_map). Dictionary resolution is per-layer work;
+    out-of-range tag indexes and invalid value entries become
+    OutOfRangeError / FormatError decode_status rows (fixtures
+    040/042/038), never task failures."""
+    if properties:
+        return tiles.mapInPandas(
+            lambda it: _decode_tile_batch(it, want_props=True),
+            schema=FEATURE_PROPS_SCHEMA)
     return tiles.mapInPandas(_decode_tile_batch, schema=FEATURE_SCHEMA)
 
 
