@@ -442,6 +442,13 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.dedup_exact(synth.load(spark, sf_dir, "documents"))
 
 
+def q_dedup_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale form of exact dedup: shuffle a fixed-width xxhash64 key
+    instead of full document text; identical groups (collision-free at
+    test scale), so it matches the text-groupBy oracle."""
+    return textops.dedup_exact_hashed(synth.load(spark, sf_dir, "documents"))
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.ngram_jaccard_adjacent(synth.load(spark, sf_dir, "documents"))
 
@@ -547,6 +554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_vector": q_raster_vector,
         "sessionize": q_sessionize,
         "dedup_exact": q_dedup_exact,
+        "dedup_hashed": q_dedup_hashed,
         "ngram_jaccard": q_ngram_jaccard,
         "lang_id": q_lang_id,
         "token_stats": q_token_stats,
@@ -743,6 +751,7 @@ FROM r GROUP BY 1, 2
 """,
         "sessionize": sessions.sessionize_sql(),
         "dedup_exact": textops.DEDUP_EXACT_SQL,
+        "dedup_hashed": textops.DEDUP_EXACT_SQL,
         "ngram_jaccard": textops.ngram_jaccard_adjacent_sql(),
         "lang_id": textops.lang_id_sql(),
         "token_stats": textops.TOKEN_STATS_SQL,

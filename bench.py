@@ -27,13 +27,18 @@ HEADLINE = [
     "mvt_tiles",
     "polygon_roundtrip",
     "streets_filter",
+    "streets_filter_decoded",
     "pip",
     "pip_salted",
     "pip_cells",
     "knn",
     "raster_vector",
     "dedup_exact",
+    "dedup_hashed",
     "ngram_jaccard",
+    "minhash_lsh",
+    "simhash_neardup",
+    "embed_neardup",
     "ann_topk",
     "ivf_topk",
 ]

@@ -1,0 +1,119 @@
+"""Scale properties of the round-2 sketch upgrades:
+
+- multi-table 16-bit sign-LSH shrinks the max bucket share ~2^12x vs
+  the round-1 nbits=4 scheme (candidate blowup is the 100 TB killer);
+- planted near-duplicates still collide in at least one table
+  (OR-combination recovers the recall a single 16-bit window loses);
+- the pre-hashed exact-dedup path returns the same groups as the
+  full-text groupBy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from vtzero_spark.engine import simsearch, textops
+
+
+def _bucket_stats(signs: np.ndarray, dims: list[int]) -> tuple[int, int]:
+    """(max bucket size, n candidate pairs) for one sign-LSH table."""
+    w = (signs[:, dims] << np.arange(len(dims))).sum(axis=1)
+    _, counts = np.unique(w, return_counts=True)
+    return int(counts.max()), int((counts * (counts - 1) // 2).sum())
+
+
+def test_bucket_share_shrinks_4096x():
+    rng = np.random.RandomState(7)
+    n = 200_000
+    signs = (rng.rand(n, 64) > 0.5).astype(np.int64)
+
+    max4, cand4 = _bucket_stats(signs, list(range(4)))
+    max16 = cand16 = 0
+    for t in range(4):
+        m, c = _bucket_stats(signs, list(range(t * 16, (t + 1) * 16)))
+        max16 = max(max16, m)
+        cand16 += c
+
+    share4 = max4 / n
+    share16 = max16 / n
+    # 2^16 buckets vs 2^4: MEAN bucket share shrinks 2^12x; the MAX
+    # share carries a Poisson tail (mean occupancy ~3 at n=200k), so
+    # assert a conservative floor
+    assert share4 / share16 > 500, (share4, share16)
+    # candidate pairs scale with sum(n_b^2): theory predicts exactly
+    # 2^16/(4*2^4) = 2^10 fewer across ALL four 16-bit tables combined
+    assert cand4 / cand16 > 900, (cand4, cand16)
+
+
+def test_planted_neardups_survive_multitable_lsh(spark):
+    """150 base vectors + a perturbed copy of each (true near-dups):
+    every planted pair must be returned by the multi-table query with
+    its exact quantized distance."""
+    rng = np.random.RandomState(42)
+    nbase = 150
+    base = rng.randn(nbase, 64).astype(np.float64) * 2.0
+    noise = rng.randn(nbase, 64) * 0.01  # sign flips only near zero
+    rows = []
+    for i in range(nbase):
+        rows.append((i, 0, base[i].tolist()))
+        rows.append((i + nbase, 0, (base[i] + noise[i]).tolist()))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>")
+    got = simsearch.embed_neardup_pairs(
+        emb, max_dist_q=10_000_000).toPandas()
+    found = set(zip(got["vec_id"], got["other_id"]))
+    planted = {(i, i + nbase) for i in range(nbase)}
+    recall = len(found & planted) / nbase
+    assert recall >= 0.95, f"planted recall {recall}"
+    # exact refine: distances match numpy recomputation
+    q = np.floor(np.vstack([
+        np.repeat(base, 1, axis=0), base + noise]) * 1024).astype(np.int64)
+    ids = np.array([i for i in range(nbase)] + [i + nbase for i in range(nbase)])
+    pos = {int(v): j for j, v in enumerate(ids)}
+    for _, r in got.head(50).iterrows():
+        d = int(((q[pos[r["vec_id"]]] - q[pos[r["other_id"]]]) ** 2).sum())
+        assert d == int(r["dist_q"])
+
+
+def test_single_16bit_window_alone_loses_recall(spark):
+    """Sanity for WHY multiple tables exist: one 16-bit window misses
+    planted pairs that the 4-table OR recovers."""
+    rng = np.random.RandomState(3)
+    nbase = 120
+    # noise/base sigma ratio 0.133 -> per-dim sign-flip prob ~4%:
+    # one 16-bit window matches ~50% of pairs, the 4-table OR ~94%
+    base = rng.randn(nbase, 64) * 0.15
+    noise = rng.randn(nbase, 64) * 0.02
+    rows = []
+    for i in range(nbase):
+        rows.append((i, 0, base[i].tolist()))
+        rows.append((i + nbase, 0, (base[i] + noise[i]).tolist()))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>")
+    planted = {(i, i + nbase) for i in range(nbase)}
+
+    multi = simsearch.embed_neardup_pairs(
+        emb, max_dist_q=10_000_000_000).toPandas()
+    r_multi = len(set(zip(multi["vec_id"], multi["other_id"])) & planted) / nbase
+    single = simsearch.embed_neardup_pairs(
+        emb, ntables=1, max_dist_q=10_000_000_000).toPandas()
+    r_single = len(set(zip(single["vec_id"], single["other_id"])) & planted) / nbase
+    assert r_multi > r_single + 0.2
+    assert r_multi >= 0.85
+
+
+def test_dedup_exact_hashed_matches_text_groups(spark, sf_dir):
+    from vtzero_spark.engine import synth
+
+    docs = synth.load(spark, sf_dir, "documents")
+    by_text = textops.dedup_exact(docs).toPandas() \
+        .sort_values("keep_id").reset_index(drop=True)
+    by_hash = textops.dedup_exact_hashed(docs).toPandas() \
+        .sort_values("keep_id").reset_index(drop=True)
+    assert len(by_text) == len(by_hash)
+    assert (by_text["keep_id"].to_numpy() == by_hash["keep_id"].to_numpy()).all()
+    assert (by_text["n_copies"].to_numpy() == by_hash["n_copies"].to_numpy()).all()

@@ -75,44 +75,84 @@ QUALIFY rank <= {k}
 """
 
 
-def embed_neardup_pairs(emb: DataFrame, nbits: int = 4, max_dist_q: int = 6_000_000) -> DataFrame:
-    """Embedding near-dup candidates: sign-LSH bucket on the first
-    ``nbits`` quantized dims (bucket join — the scale path), exact
-    quantized-L2 refine. Integer-exact, oracle-matched."""
+def _lsh_table_dims(nbits: int, ntables: int, dim: int) -> list[list[int]]:
+    """Table t hashes the sign pattern of dims [t*nbits, (t+1)*nbits);
+    requires ntables*nbits <= dim (64-dim embeddings: 4 tables x 16
+    bits)."""
+    if ntables * nbits > dim:
+        raise ValueError(f"{ntables} tables x {nbits} bits exceeds dim {dim}")
+    return [list(range(t * nbits, (t + 1) * nbits)) for t in range(ntables)]
+
+
+def embed_neardup_pairs(emb: DataFrame, nbits: int = 16, ntables: int = 4,
+                        max_dist_q: int = 6_000_000, dim: int = 64) -> DataFrame:
+    """Embedding near-dup candidates: multi-table sign-LSH
+    (OR-combination across ``ntables`` tables of ``nbits`` sign bits
+    each), exact quantized-L2 refine. Integer-exact, oracle-matched.
+
+    Scale shape: 2^16 buckets per table keeps the within-bucket
+    candidate blowup ~2^12x smaller than the round-1 nbits=4 scheme
+    (O(N^2/2^16) vs O(N^2/16) per table); recall is recovered by OR
+    across tables — a true near-dup disagrees on few sign bits, so it
+    collides in at least one 16-bit window with high probability. The
+    refine is exact, so precision is unaffected by the table layout."""
     q = quantized(emb)
-    bucket_expr = " + ".join(
-        f"(CASE WHEN element_at(q, {i + 1}) > 0 THEN {1 << i} ELSE 0 END)"
-        for i in range(nbits)
-    )
-    b = q.withColumn("bucket", F.expr(bucket_expr))
+    tabs = []
+    for t, dims in enumerate(_lsh_table_dims(nbits, ntables, dim)):
+        expr = " + ".join(
+            f"(CASE WHEN element_at(q, {d + 1}) > 0 THEN {1 << i} ELSE 0 END)"
+            for i, d in enumerate(dims))
+        tabs.append(F.struct(F.lit(t).alias("t"),
+                             F.expr(expr).cast("long").alias("bucket")))
+    b = q.select(
+        "vec_id", "q", F.explode(F.array(*tabs)).alias("tb")
+    ).select("vec_id", "q", F.col("tb.t").alias("t"),
+             F.col("tb.bucket").alias("bucket"))
     a2 = b.alias("a")
     b2 = b.alias("b")
-    return (
-        a2.join(b2, "bucket")
+    cand = (
+        a2.join(b2, ["t", "bucket"])
         .where(F.col("a.vec_id") < F.col("b.vec_id"))
-        .withColumn(
+        .select(F.col("a.vec_id").alias("vec_id"),
+                F.col("b.vec_id").alias("other_id"),
+                F.col("a.q").alias("qa"), F.col("b.q").alias("qb"))
+        .dropDuplicates(["vec_id", "other_id"])
+    )
+    return (
+        cand.withColumn(
             "dist_q",
-            F.expr("aggregate(zip_with(a.q, b.q, (x, y) -> (x - y) * (x - y)),"
+            F.expr("aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)),"
                    " CAST(0 AS BIGINT), (acc, v) -> acc + v)"),
         )
         .where(F.col("dist_q") <= max_dist_q)
-        .select(F.col("a.vec_id").alias("vec_id"),
-                F.col("b.vec_id").alias("other_id"), "dist_q")
+        .select("vec_id", "other_id", "dist_q")
     )
 
 
-def embed_neardup_sql(nbits: int = 4, max_dist_q: int = 6_000_000) -> str:
-    bucket = " + ".join(
-        f"(CASE WHEN q[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(nbits)
-    )
+def embed_neardup_sql(nbits: int = 16, ntables: int = 4,
+                      max_dist_q: int = 6_000_000, dim: int = 64) -> str:
+    selects = []
+    for t, dims in enumerate(_lsh_table_dims(nbits, ntables, dim)):
+        bucket = " + ".join(
+            f"(CASE WHEN q[{d + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+            for i, d in enumerate(dims))
+        selects.append(f"SELECT vec_id, q, {t} AS t, {bucket} AS bucket FROM q")
+    union = "\nUNION ALL\n".join(selects)
     return f"""
 WITH q AS (SELECT vec_id, {_QSQL} AS q FROM embeddings),
-b AS (SELECT vec_id, q, {bucket} AS bucket FROM q)
-SELECT a.vec_id AS vec_id, b.vec_id AS other_id,
-       CAST(list_sum(list_transform(list_zip(a.q, b.q),
+b AS ({union}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS other_id
+  FROM b a JOIN b b ON a.t = b.t AND a.bucket = b.bucket
+                   AND a.vec_id < b.vec_id
+)
+SELECT c.vec_id, c.other_id,
+       CAST(list_sum(list_transform(list_zip(qa.q, qb.q),
             p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist_q
-FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE CAST(list_sum(list_transform(list_zip(a.q, b.q),
+FROM cand c
+JOIN q qa ON qa.vec_id = c.vec_id
+JOIN q qb ON qb.vec_id = c.other_id
+WHERE CAST(list_sum(list_transform(list_zip(qa.q, qb.q),
       p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) <= {max_dist_q}
 """
 

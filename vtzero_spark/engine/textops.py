@@ -25,18 +25,31 @@ from pyspark.sql import functions as F
 
 # ------------------------------------------------------------ exact dedup
 
-def dedup_exact(docs: DataFrame) -> DataFrame:
-    """Exact duplicate groups by full text: keep the smallest doc_id.
-    groupBy(text) shuffles on the text hash; at 100 TB you'd pre-hash
-    to a fixed-width key — provided via ``key_col='text_hash'``."""
+def dedup_exact(docs: DataFrame, key_col: str | None = None) -> DataFrame:
+    """Exact duplicate groups: keep the smallest doc_id per group.
+
+    Default groups by the full text — simple and exact, but the shuffle
+    carries every document body as its key. At 100 TB pass
+    ``key_col='text_hash'`` (any precomputed fixed-width digest column):
+    the shuffle key shrinks to 8-16 bytes and the text column can be
+    pruned from the scan entirely. With a cryptographic-strength hash
+    the result is identical up to collisions (~n^2 / 2^64)."""
+    key = key_col if key_col is not None else "text"
     return (
-        docs.groupBy("text")
+        docs.groupBy(key)
         .agg(
             F.min("doc_id").alias("keep_id"),
             F.count("*").alias("n_copies"),
         )
         .select("keep_id", "n_copies")
     )
+
+
+def dedup_exact_hashed(docs: DataFrame) -> DataFrame:
+    """Scale form of dedup_exact: pre-hash the text to a 64-bit key
+    (xxhash64, JVM-side) so the groupBy shuffles fixed-width keys."""
+    hashed = docs.select("doc_id", F.xxhash64("text").alias("text_hash"))
+    return dedup_exact(hashed, key_col="text_hash")
 
 
 DEDUP_EXACT_SQL = """
@@ -105,25 +118,71 @@ def _minhash_params() -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+_P61 = np.uint64(_MINHASH_P)
+_U29 = np.uint64(29)
+_U32 = np.uint64(32)
+_U61 = np.uint64(61)
+_M29 = np.uint64((1 << 29) - 1)
+
+
+def _affine_mod_p61(a: int, b: int, h: np.ndarray) -> np.ndarray:
+    """(a*h + b) mod (2^61-1), exact, pure uint64 vector math.
+
+    Requires h < 2^32 (crc32 values) and 0 <= a,b < p. Decompose
+    a = a_hi*2^32 + a_lo: a*h = (a_hi*h)*2^32 + a_lo*h where both
+    partial products fit uint64 exactly; reduce via 2^61 === 1 (mod p)
+    folds. Replaces the per-lane Python-object bigint arithmetic the
+    old kernel used (round-1 advisory)."""
+    a_hi = np.uint64(a >> 32)
+    a_lo = np.uint64(a & 0xFFFFFFFF)
+    lo = a_lo * h                      # < 2^64, exact
+    u = a_hi * h                       # < 2^61, exact
+    # u*2^32 mod p: u = u1*2^29 + u0  ->  u1*2^61 + u0*2^32 === u1 + u0<<32
+    t = (u >> _U29) + ((u & _M29) << _U32)        # < 2^62
+    lo_f = (lo >> _U61) + (lo & _P61)             # < 2^61 + 8
+    s = lo_f + t + np.uint64(b)                   # < 2^63.2, exact
+    s = (s >> _U61) + (s & _P61)                  # < p + 5
+    return np.where(s >= _P61, s - _P61, s)
+
+
+def _crc32_batch(strs: list[str]) -> np.ndarray:
+    """crc32 of each utf-8 string (C calls, no Python arithmetic)."""
+    return np.fromiter(
+        (zlib.crc32(s.encode("utf-8")) for s in strs),
+        dtype=np.uint64, count=len(strs))
+
+
 def _minhash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     a, b = _minhash_params()
-    au = a.astype(np.uint64)
-    bu = b.astype(np.uint64)
     for pdf in batches:
-        out = []
-        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+        n = len(pdf)
+        if n == 0:
+            yield pd.DataFrame({"doc_id": [], "sig": []},
+                               columns=["doc_id", "sig"])
+            continue
+        # shingling stays C-level string slicing; every doc yields >=1
+        # shingle (an empty prefix shingles to ""), so reduceat
+        # segments are never empty
+        hv_parts = []
+        counts = np.empty(n, dtype=np.int64)
+        for i, text in enumerate(pdf["text"]):
             p = text[:64]
-            shingles = {p[i:i + 3] for i in range(max(1, len(p) - 2))}
-            hv = np.array(
-                [zlib.crc32(s.encode("utf-8")) for s in shingles], dtype=np.uint64
-            )
-            # (a*h + b) mod p, computed in uint64 (p = 2^61-1 keeps products
-            # overflow-prone, so reduce via Python ints per hash lane batch)
-            sig = np.empty(_N_HASH, dtype=np.int64)
-            for j in range(_N_HASH):
-                sig[j] = int(np.min((int(au[j]) * hv.astype(object) + int(bu[j])) % _MINHASH_P))
-            out.append({"doc_id": int(doc_id), "sig": sig.tolist()})
-        yield pd.DataFrame(out, columns=["doc_id", "sig"])
+            shingles = {p[j:j + 3] for j in range(max(1, len(p) - 2))}
+            hv_parts.append(_crc32_batch(list(shingles)))
+            counts[i] = len(shingles)
+        H = np.concatenate(hv_parts)
+        offs = np.zeros(n, dtype=np.int64)
+        np.cumsum(counts[:-1], out=offs[1:])
+        # one vectorized affine-mod pass per lane over ALL shingles of
+        # the batch; per-doc minimum via reduceat
+        sig = np.empty((n, _N_HASH), dtype=np.int64)
+        for j in range(_N_HASH):
+            v = _affine_mod_p61(int(a[j]), int(b[j]), H)
+            sig[:, j] = np.minimum.reduceat(v, offs).astype(np.int64)
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"].astype(np.int64).to_numpy(),
+            "sig": list(sig),
+        }, columns=["doc_id", "sig"])
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
@@ -174,19 +233,39 @@ def minhash_lsh_pairs(docs: DataFrame, threshold_x1000: int = 500) -> DataFrame:
 # ------------------------------------------------------------- SimHash
 
 def _simhash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    bitpos = np.arange(32, dtype=np.uint64)
     for pdf in batches:
-        out = []
-        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-            tokens = text.split()
-            acc = np.zeros(32, dtype=np.int64)
-            if tokens:
-                hv = np.array([zlib.crc32(t.encode("utf-8")) for t in tokens],
-                              dtype=np.uint64)
-                bits = ((hv[:, None] >> np.arange(32, dtype=np.uint64)) & 1).astype(np.int64)
-                acc = (2 * bits - 1).sum(axis=0)
-            sh = int(((acc > 0).astype(np.int64) << np.arange(32)).sum())
-            out.append({"doc_id": int(doc_id), "simhash": sh})
-        yield pd.DataFrame(out, columns=["doc_id", "simhash"])
+        n = len(pdf)
+        if n == 0:
+            yield pd.DataFrame({"doc_id": [], "simhash": []},
+                               columns=["doc_id", "simhash"])
+            continue
+        # tokenize per doc (C split), hash ALL tokens of the batch in
+        # one pass, bit-vote via a single reduceat over the token-
+        # exploded bit matrix — no per-token Python loop per document
+        tok_parts = []
+        counts = np.empty(n, dtype=np.int64)
+        for i, text in enumerate(pdf["text"]):
+            toks = text.split()
+            counts[i] = len(toks)
+            if toks:
+                tok_parts.append(_crc32_batch(toks))
+        H = (np.concatenate(tok_parts) if tok_parts
+             else np.empty(0, np.uint64))
+        bits = ((H[:, None] >> bitpos) & np.uint64(1)).astype(np.int64)
+        # zero-row sentinel keeps reduceat valid for empty/trailing
+        # segments; zero-token docs are masked to acc=0 below
+        bits = np.vstack([bits, np.zeros((1, 32), dtype=np.int64)])
+        offs = np.zeros(n, dtype=np.int64)
+        np.cumsum(counts[:-1], out=offs[1:])
+        sums = np.add.reduceat(bits, offs, axis=0)
+        acc = np.where(counts[:, None] == 0, 0,
+                       2 * sums - counts[:, None])
+        sh = ((acc > 0).astype(np.int64) << np.arange(32)).sum(axis=1)
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"].astype(np.int64).to_numpy(),
+            "simhash": sh,
+        }, columns=["doc_id", "simhash"])
 
 
 def simhash(docs: DataFrame) -> DataFrame:
