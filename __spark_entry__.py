@@ -487,6 +487,32 @@ def q_mvt_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.octet_length("tile_bytes").alias("tile_size"))
 
 
+def q_layer_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vtzero-filter analog (examples/vtzero-filter.cpp:66-100): pick
+    one layer out of every tile by PASSTHROUGH — the layer's raw bytes
+    are copied into the output tile without parsing a single feature
+    (distributed add_existing_layer, builder.hpp:119-132). Byte parity
+    with local passthrough is asserted in tests/test_layer_passthrough."""
+    f = _features(spark, sf_dir)
+    tiles = _encode_image_tiles(f)
+    layers = assemble.decode_layers(tiles)
+    kept = layers.where((F.col("decode_status") == "ok")
+                        & (F.col("layer_name") == "L1"))
+    out = assemble.encode_tiles(kept)
+    return out.select("z", "x", "y", "num_layers",
+                      F.octet_length("tile_bytes").alias("tile_size"))
+
+
+def q_mvt_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw .mvt FILE ingestion (examples/utils.cpp:26-44 entry point):
+    binaryFile scan over the reference's real-world tile, z/x/y parsed
+    from the filename, per-layer stats without feature parsing —
+    vtzero-stats over files (golden-pinned in tests)."""
+    from vtzero_spark.engine import mvt_files
+
+    return mvt_files.mvt_file_stats(spark, "/root/reference/test/data")
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.minhash_lsh_pairs(synth.load(spark, sf_dir, "documents"))
 
@@ -564,6 +590,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup": q_embed_neardup,
         # rows-only (non-SQL-expressible; tested in tests/)
         "mvt_tiles": q_mvt_tiles,
+        "layer_filter": q_layer_filter,
+        "mvt_ingest": q_mvt_ingest,
         "pyramid_tiles": q_pyramid_tiles,
         "pyramid_tiles_hot": q_pyramid_tiles_hot,
         "minhash_lsh": q_minhash_lsh,

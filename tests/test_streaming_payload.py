@@ -134,17 +134,26 @@ def test_stateful_sessionize_stream_matches_batch(spark, sf_dir, tmp_path):
 def test_ivf_topk_recall(spark, sf_dir):
     emb = synth.load(spark, sf_dir, "embeddings")
     exact = simsearch.ann_topk(emb, n_queries=4, k=5).toPandas()
-    approx = simsearch.ivf_topk(emb, n_queries=4, k=5,
-                                ncentroids=16, nprobe=8).toPandas()
-    assert set(approx["qid"]) == {0, 1, 2, 3}
-    hits = total = 0
-    for qid in (0, 1, 2, 3):
-        want = set(exact[exact["qid"] == qid]["vec_id"])
-        got = set(approx[approx["qid"] == qid]["vec_id"])
-        # IVF distances can never beat the exact ones
-        e_best = exact[exact["qid"] == qid]["dist_q"].min()
-        a_best = approx[approx["qid"] == qid]["dist_q"].min()
-        assert a_best >= e_best
-        hits += len(want & got)
-        total += len(want)
-    assert hits / total >= 0.5, f"IVF recall too low: {hits}/{total}"
+
+    def recall(train_iters: int) -> float:
+        approx = simsearch.ivf_topk(emb, n_queries=4, k=5, ncentroids=16,
+                                    nprobe=8, train_iters=train_iters).toPandas()
+        assert set(approx["qid"]) == {0, 1, 2, 3}
+        hits = total = 0
+        for qid in (0, 1, 2, 3):
+            want = set(exact[exact["qid"] == qid]["vec_id"])
+            got = set(approx[approx["qid"] == qid]["vec_id"])
+            # IVF distances can never beat the exact ones
+            e_best = exact[exact["qid"] == qid]["dist_q"].min()
+            a_best = approx[approx["qid"] == qid]["dist_q"].min()
+            assert a_best >= e_best
+            hits += len(want & got)
+            total += len(want)
+        return hits / total
+
+    # trained codebook (2 distributed Lloyd iterations): the round-1
+    # untrained floor was 0.5; training must clear 0.7 and must not be
+    # WORSE than the untrained assignment
+    r_trained = recall(2)
+    assert r_trained >= 0.7, f"trained IVF recall too low: {r_trained}"
+    assert r_trained >= recall(0)

@@ -668,25 +668,107 @@ def encode_point_tiles(features: DataFrame, prop_spec=None) -> DataFrame:
 
 
 def _encode_tile_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    pdf = pdf.sort_values("layer_name", kind="stable")
+    # layer_ordinal (when present, e.g. from decode_layers passthrough)
+    # preserves the SOURCE tile's layer order exactly AND keeps
+    # zero-feature layers: add_existing_layer copies bytes verbatim
+    # (builder.hpp:119-132) — the empty-layer omission only applies to
+    # layers BUILT feature by feature (builder_impl.hpp:225-227)
+    passthrough = "layer_ordinal" in pdf.columns
+    order = "layer_ordinal" if passthrough else "layer_name"
+    pdf = pdf.sort_values(order, kind="stable")
     z, x, y = int(pdf["z"].iloc[0]), int(pdf["x"].iloc[0]), int(pdf["y"].iloc[0])
     blobs = [bytes(b) for b in pdf["layer_bytes"]]
     counts = [int(n) for n in pdf["num_features"]]
-    tile_bytes = T.build_tile(blobs, num_features=counts)
+    tile_bytes = T.build_tile(
+        blobs, num_features=None if passthrough else counts)
+    n_layers = len(blobs) if passthrough else sum(1 for c in counts if c > 0)
     return pd.DataFrame(
         [{"z": z, "x": x, "y": y,
-          "num_layers": sum(1 for c in counts if c > 0),
+          "num_layers": n_layers,
           "tile_bytes": tile_bytes}]
     )
 
 
 def encode_tiles(layers: DataFrame) -> DataFrame:
     """Layer rows -> one MVT blob per tile; layers concatenated in
-    layer_name order (deterministic ordinal, SURVEY §2.8); zero-feature
-    layers omitted (builder_impl.hpp:225-227)."""
-    return layers.groupBy("z", "x", "y").applyInPandas(
+    layer_name order (deterministic ordinal, SURVEY §2.8) or in
+    layer_ordinal order when that column is present (passthrough
+    re-assembly keeps the source tile's order); zero-feature layers
+    omitted (builder_impl.hpp:225-227)."""
+    cols = ["z", "x", "y", "layer_name", "num_features", "layer_bytes"]
+    if "layer_ordinal" in layers.columns:
+        cols.append("layer_ordinal")
+    return layers.select(*cols).groupBy("z", "x", "y").applyInPandas(
         _encode_tile_group, schema=TILE_SCHEMA
     )
+
+
+LAYER_VIEW_SCHEMA = (
+    "z long, x long, y long, layer_ordinal int, layer_name string, "
+    "version int, extent int, num_features long, key_table_size int, "
+    "value_table_size int, layer_bytes binary, decode_status string"
+)
+
+
+def decode_layers(tiles: DataFrame) -> DataFrame:
+    """tiles(z,x,y,tile_bytes) -> one row per LAYER carrying its RAW
+    message bytes plus header/dictionary stats — the distributed
+    ``add_existing_layer`` surface (builder.hpp:119-132): layer rows
+    can be filtered/unioned and re-assembled byte-identically by
+    encode_tiles without ever parsing features (feature bodies stay
+    untouched views, the copy path of examples/vtzero-filter.cpp:
+    66-100)."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                z, x, y = int(r["z"]), int(r["x"]), int(r["y"])
+                try:
+                    views = T.tile_layer_views(bytes(r["tile_bytes"]))
+                except MVTError as e:
+                    rows.append({
+                        "z": z, "x": x, "y": y, "layer_ordinal": -1,
+                        "layer_name": None, "version": None, "extent": None,
+                        "num_features": None, "key_table_size": None,
+                        "value_table_size": None, "layer_bytes": None,
+                        "decode_status": f"{type(e).__name__}: {e}"})
+                    continue
+                for li, lv in enumerate(views):
+                    try:
+                        layer = T.parse_layer(lv, parse_features=False)
+                        nfv = layer.num_feature_views  # type: ignore[attr-defined]
+                        rows.append({
+                            "z": z, "x": x, "y": y, "layer_ordinal": li,
+                            "layer_name": layer.name,
+                            "version": layer.version, "extent": layer.extent,
+                            "num_features": nfv,
+                            "key_table_size": len(layer.keys),
+                            "value_table_size": len(layer.values),
+                            "layer_bytes": bytes(lv),
+                            "decode_status": "ok"})
+                    except MVTError as e:
+                        rows.append({
+                            "z": z, "x": x, "y": y, "layer_ordinal": li,
+                            "layer_name": None, "version": None,
+                            "extent": None, "num_features": None,
+                            "key_table_size": None, "value_table_size": None,
+                            "layer_bytes": None,
+                            "decode_status": f"{type(e).__name__}: {e}"})
+            yield pd.DataFrame(rows, columns=[
+                "z", "x", "y", "layer_ordinal", "layer_name", "version",
+                "extent", "num_features", "key_table_size",
+                "value_table_size", "layer_bytes", "decode_status"])
+
+    return tiles.mapInPandas(fn, schema=LAYER_VIEW_SCHEMA)
+
+
+def select_layer(layers: DataFrame, selector: str) -> DataFrame:
+    """Distributed CLI layer selector over decode_layers rows
+    (examples/utils.cpp:78-100): all-digits -> by zero-based position
+    (layer_ordinal), anything else -> by name."""
+    if selector.isdigit():
+        return layers.where(F.col("layer_ordinal") == int(selector))
+    return layers.where(F.col("layer_name") == selector)
 
 
 _FEATURE_COLS = ["z", "x", "y", "layer_ordinal", "layer_name", "version",

@@ -159,75 +159,139 @@ WHERE CAST(list_sum(list_transform(list_zip(qa.q, qb.q),
 
 # ------------------------------------------------------------- IVF path
 
+def _cell_assign_df(q: DataFrame, C: np.ndarray) -> DataFrame:
+    """vec -> (vec_id, q, cell): nearest-centroid assignment as ONE
+    narrow mapInPandas (the vector rides through the UDF, so no join
+    back to the data and no shuffle; the centroid matrix rides in the
+    closure — broadcast-sized by contract)."""
+    c_norm2 = (C * C).sum(axis=1)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.array(pdf["q"].tolist(), dtype=np.float64)
+            d = (mat * mat).sum(axis=1)[:, None] - 2.0 * (mat @ C.T) \
+                + c_norm2[None, :]
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                "q": pdf["q"],
+                "cell": d.argmin(axis=1).astype(np.int64),
+            })
+
+    return q.select("vec_id", "q").mapInPandas(
+        fn, schema="vec_id long, q array<bigint>, cell long")
+
+
+def ivf_train(q: DataFrame, init: np.ndarray, iters: int = 2) -> np.ndarray:
+    """Distributed Lloyd iterations: assignment is a per-batch matmul
+    (map side), the centroid update is a MAP-SIDE-COMBINED mean — each
+    partition emits one (cell, count, sum-vector) partial, the reduce
+    combines at most n_partitions rows per cell, and only the
+    ncentroids x dim codebook ever reaches the driver (one tiny collect
+    per iteration). Empty cells keep their previous centroid, k-means'
+    standard degeneracy rule."""
+    C = np.array(init, dtype=np.float64)
+    ncent, dim = C.shape
+    zero = f"array_repeat(CAST(0.0 AS DOUBLE), {dim})"
+    for _ in range(iters):
+        Ci = C
+        c_norm2 = (Ci * Ci).sum(axis=1)
+
+        def partials(batches: Iterator[pd.DataFrame],
+                     Ci=Ci, c_norm2=c_norm2) -> Iterator[pd.DataFrame]:
+            cnt = np.zeros(ncent, dtype=np.int64)
+            acc = np.zeros((ncent, dim), dtype=np.float64)
+            for pdf in batches:
+                mat = np.array(pdf["q"].tolist(), dtype=np.float64)
+                d = (mat * mat).sum(axis=1)[:, None] - 2.0 * (mat @ Ci.T) \
+                    + c_norm2[None, :]
+                cell = d.argmin(axis=1)
+                np.add.at(cnt, cell, 1)
+                np.add.at(acc, cell, mat)
+            nz = np.flatnonzero(cnt)
+            yield pd.DataFrame({
+                "cell": nz.astype(np.int64),
+                "n": cnt[nz],
+                "s": list(acc[nz]),
+            })
+
+        agg = (
+            q.select("q").mapInPandas(
+                partials, schema="cell long, n long, s array<double>")
+            .groupBy("cell")
+            .agg(F.sum("n").alias("n"),
+                 F.expr(f"aggregate(collect_list(s), {zero},"
+                        " (a, v) -> zip_with(a, v, (x, y) -> x + y))"
+                        ).alias("s"))
+        )
+        C = Ci.copy()
+        for r in agg.collect():  # ncentroids rows — bounded
+            C[int(r["cell"])] = np.array(r["s"]) / r["n"]
+    return C
+
+
 def ivf_topk(
     emb: DataFrame,
     n_queries: int = 8,
     k: int = 5,
     ncentroids: int = 32,
     nprobe: int = 8,
+    train_iters: int = 2,
 ) -> DataFrame:
-    """IVF-style approximate top-k: coarse-quantize every vector to its
-    nearest centroid (vectorized batch matmul in a pandas UDF), then
-    each query probes only its ``nprobe`` nearest cells and refines
-    exactly (quantized L2, same total order as ann_topk) within them.
+    """IVF approximate top-k with a TRAINED k-means codebook: Lloyd
+    iterations run distributed (ivf_train), every vector is
+    coarse-quantized to its nearest centroid, and each query probes
+    only its ``nprobe`` nearest cells with an exact quantized-L2 refine
+    (same total order as ann_topk) inside them.
 
-    The scale shape: the candidate scan touches ~nprobe/ncentroids of
-    the data instead of all of it; the probe list is broadcast; the
-    inverted lists are just a cell column (partition/bucket key at
-    10^12 scale). Centroids are the ``ncentroids`` vectors following
-    the query range — deterministic, no external data, no k-means
-    iterations (plug a trained codebook into the same plan)."""
-    from collections.abc import Iterator
+    Scale shape: the candidate scan touches ~nprobe/ncentroids of the
+    data; the probe list is broadcast; the inverted lists are just a
+    cell column (partition/bucket key at 10^12 scale); driver traffic
+    is one queries-collect plus one codebook-collect per Lloyd
+    iteration, all ncentroids-sized. Deterministic init: the
+    ``ncentroids`` vectors following the query id range."""
+    q = quantized(emb).persist()
+    try:
+        head = (
+            q.where(F.col("vec_id") < n_queries + ncentroids)
+            .select("vec_id", "q").collect()
+        )
+        init = np.array([r["q"] for r in head if r["vec_id"] >= n_queries],
+                        dtype=np.float64)
+        q_rows = [r for r in head if r["vec_id"] < n_queries]
+        C = ivf_train(q, init, iters=train_iters)
+        c_norm2 = (C * C).sum(axis=1)
 
-    q = quantized(emb)
-    # one driver job fetches queries + centroids together (both tiny)
-    head = (
-        q.where(F.col("vec_id") < n_queries + ncentroids)
-        .select("vec_id", "q").collect()
-    )
-    cent_rows = [r for r in head if r["vec_id"] >= n_queries]
-    q_rows = [r for r in head if r["vec_id"] < n_queries]
-    C = np.array([r["q"] for r in cent_rows], dtype=np.float64)
-    c_norm2 = (C * C).sum(axis=1)
+        data = _cell_assign_df(q, C)
 
-    def assign_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            mat = np.array(pdf["q"].tolist(), dtype=np.float64)
-            d = (mat * mat).sum(axis=1)[:, None] - 2.0 * (mat @ C.T) + c_norm2[None, :]
-            yield pd.DataFrame({
-                "vec_id": pdf["vec_id"].to_numpy(np.int64),
-                "cell": d.argmin(axis=1).astype(np.int64),
-            })
+        # probe list: nprobe nearest cells per query (driver-side;
+        # query set is tiny by contract)
+        probes = []
+        for r in q_rows:
+            v = np.array(r["q"], dtype=np.float64)
+            d = ((v * v).sum() - 2.0 * (C @ v) + c_norm2)
+            for cell in np.argsort(d)[:nprobe]:
+                probes.append((int(r["vec_id"]), r["q"], int(cell)))
+        spark = emb.sparkSession
+        probe_df = spark.createDataFrame(
+            probes, "qid long, qv array<bigint>, cell long")
 
-    cells_df = q.select("vec_id", "q").mapInPandas(
-        assign_fn, schema="vec_id long, cell long")
-    data = q.join(cells_df, "vec_id")
-
-    # probe list: nprobe nearest cells per query (driver-side; query
-    # set is tiny by contract)
-    probes = []
-    for r in q_rows:
-        v = np.array(r["q"], dtype=np.float64)
-        d = ((v * v).sum() - 2.0 * (C @ v) + c_norm2)
-        for cell in np.argsort(d)[:nprobe]:
-            probes.append((int(r["vec_id"]), r["q"], int(cell)))
-    spark = emb.sparkSession
-    probe_df = spark.createDataFrame(
-        probes, "qid long, qv array<bigint>, cell long")
-
-    cand = data.join(F.broadcast(probe_df), "cell").where(
-        F.col("vec_id") != F.col("qid"))
-    dist = cand.withColumn(
-        "dist_q",
-        F.expr("aggregate(zip_with(q, qv, (a, b) -> (a - b) * (a - b)),"
-               " CAST(0 AS BIGINT), (acc, v) -> acc + v)"),
-    )
-    w = Window.partitionBy("qid").orderBy("dist_q", "vec_id")
-    return (
-        dist.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("qid", "vec_id", "dist_q", "rank")
-    )
+        cand = data.join(F.broadcast(probe_df), "cell").where(
+            F.col("vec_id") != F.col("qid"))
+        dist = cand.withColumn(
+            "dist_q",
+            F.expr("aggregate(zip_with(q, qv, (a, b) -> (a - b) * (a - b)),"
+                   " CAST(0 AS BIGINT), (acc, v) -> acc + v)"),
+        )
+        w = Window.partitionBy("qid").orderBy("dist_q", "vec_id")
+        return (
+            dist.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qid", "vec_id", "dist_q", "rank")
+        )
+    finally:
+        # the returned plan still references q; Spark recomputes it
+        # lazily after unpersist, so defer to query end via weak unpin
+        q.unpersist(blocking=False)
 
 
 # ------------------------------------------------- float cosine (UDF path)

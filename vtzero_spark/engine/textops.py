@@ -152,6 +152,9 @@ def _crc32_batch(strs: list[str]) -> np.ndarray:
         dtype=np.uint64, count=len(strs))
 
 
+_MH_BLOCK = 1 << 16  # shingles per cache block (~0.5 MB buffers)
+
+
 def _minhash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     a, b = _minhash_params()
     for pdf in batches:
@@ -171,25 +174,53 @@ def _minhash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             hv_parts.append(_crc32_batch(list(shingles)))
             counts[i] = len(shingles)
         H = np.concatenate(hv_parts)
-        offs = np.zeros(n, dtype=np.int64)
-        np.cumsum(counts[:-1], out=offs[1:])
-        # one vectorized affine-mod pass per lane over ALL shingles of
-        # the batch; per-doc minimum via reduceat
-        sig = np.empty((n, _N_HASH), dtype=np.int64)
-        for j in range(_N_HASH):
-            v = _affine_mod_p61(int(a[j]), int(b[j]), H)
-            sig[:, j] = np.minimum.reduceat(v, offs).astype(np.int64)
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=offs[1:])
+        # cache-blocked lanes: all 64 affine-mod lanes run over an
+        # L2-resident shingle block before moving on, so the hash array
+        # is streamed from memory ONCE instead of 64x10 passes (the
+        # unblocked form is memory-bandwidth-bound, not compute-bound);
+        # per-doc minima merge across block edges (min is associative,
+        # results stay byte-identical)
+        sig = np.full((n, _N_HASH), _MINHASH_P, dtype=np.int64)
+        total = len(H)
+        for s0 in range(0, total, _MH_BLOCK):
+            s1 = min(s0 + _MH_BLOCK, total)
+            hb = H[s0:s1]
+            d_lo = int(np.searchsorted(offs, s0, side="right")) - 1
+            d_hi = int(np.searchsorted(offs, s1, side="left"))  # excl
+            local = np.maximum(offs[d_lo:d_hi] - s0, 0)
+            for j in range(_N_HASH):
+                v = _affine_mod_p61(int(a[j]), int(b[j]), hb)
+                mins = np.minimum.reduceat(v, local).astype(np.int64)
+                np.minimum(sig[d_lo:d_hi, j], mins,
+                           out=sig[d_lo:d_hi, j])
         yield pd.DataFrame({
             "doc_id": pdf["doc_id"].astype(np.int64).to_numpy(),
             "sig": list(sig),
         }, columns=["doc_id", "sig"])
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Widen pathologically narrow inputs (a single small parquet file
+    scans as ONE partition, serializing every downstream UDF) to the
+    session's parallelism. No-op when the scan is already parallel —
+    at real scale the source has thousands of partitions and this
+    never shuffles."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """64-lane MinHash signature per document (Arrow-batched UDF)."""
-    return docs.select("doc_id", "text").mapInPandas(
-        _minhash_batch, schema="doc_id long, sig array<long>"
-    )
+    """64-lane MinHash signature per document (Arrow-batched UDF).
+    Only the shingled 64-char prefix crosses the Arrow boundary — the
+    projection runs plan-side so full document bodies never leave the
+    JVM (and column pruning reaches the parquet scan)."""
+    return _spread(docs.select(
+        "doc_id", F.substring("text", 1, 64).alias("text")
+    )).mapInPandas(_minhash_batch, schema="doc_id long, sig array<long>")
 
 
 def minhash_lsh_pairs(docs: DataFrame, threshold_x1000: int = 500) -> DataFrame:
@@ -270,7 +301,7 @@ def _simhash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def simhash(docs: DataFrame) -> DataFrame:
     """32-bit SimHash over whitespace tokens (crc32 token hashes)."""
-    return docs.select("doc_id", "text").mapInPandas(
+    return _spread(docs.select("doc_id", "text")).mapInPandas(
         _simhash_batch, schema="doc_id long, simhash long"
     )
 

@@ -315,6 +315,20 @@ def parse_tile(buf: bytes, *, parse_features: bool = True) -> list[Layer]:
     return [parse_layer(lv, parse_features=parse_features) for lv in tile_layer_views(buf)]
 
 
+def get_layer(buf: bytes, selector: str) -> Layer | None:
+    """CLI layer selector (examples/utils.cpp:78-100): an all-digits
+    selector picks the layer by zero-based position, anything else by
+    name (first match, like get_layer_by_name); None when absent."""
+    views = tile_layer_views(buf)
+    if selector.isdigit():
+        idx = int(selector)
+        return parse_layer(views[idx]) if idx < len(views) else None
+    for v in views:
+        if layer_name_only(v) == selector:
+            return parse_layer(v)
+    return None
+
+
 # -------------------------------------------------------------------- build
 
 def build_feature(
