@@ -309,14 +309,22 @@ def tile_geometry_stats(tiles: DataFrame) -> DataFrame:
     cols = ["z", "x", "y", "layer_name", "feature_id", "geom_type",
             "n_parts", "n_points", "sum_x", "sum_y", "area2", "decode_status"]
 
+    in_cols = ["z", "x", "y", "layer_name", "feature_id", "geom_type",
+               "geometry", "geometry_nbytes"]
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
+            # columnar accumulation per parsed layer — no per-feature
+            # dict rows (decode analog of the vectorized encode path)
+            acc: dict[str, list] = {c: [] for c in in_cols}
             err_rows = []
-            for _, r in pdf.iterrows():
-                z, x, y = int(r["z"]), int(r["x"]), int(r["y"])
+            zs = pdf["z"].to_numpy(np.int64)
+            xs = pdf["x"].to_numpy(np.int64)
+            ys = pdf["y"].to_numpy(np.int64)
+            for ri in range(len(pdf)):
+                z, x, y = int(zs[ri]), int(xs[ri]), int(ys[ri])
                 try:
-                    views = T.tile_layer_views(bytes(r["tile_bytes"]))
+                    views = T.tile_layer_views(bytes(pdf["tile_bytes"].iloc[ri]))
                 except MVTError as e:
                     err_rows.append({
                         "z": z, "x": x, "y": y, "layer_name": None,
@@ -334,16 +342,33 @@ def tile_geometry_stats(tiles: DataFrame) -> DataFrame:
                             "n_points": 0, "sum_x": 0, "sum_y": 0, "area2": 0,
                             "decode_status": f"{type(e).__name__}: {e}"})
                         continue
-                    for f in layer.features:
-                        rows.append({
-                            "z": z, "x": x, "y": y,
-                            "layer_name": layer.name,
-                            "feature_id": f.id, "geom_type": f.geom_type,
-                            "geometry": f.geometry.astype(np.int64),
-                            "geometry_nbytes": f.geometry_nbytes,
-                        })
-            out = _stats_from_pdf(pd.DataFrame(rows), cols) if rows \
-                else pd.DataFrame(columns=cols)
+                    feats = layer.features
+                    nf = len(feats)
+                    if nf == 0:
+                        continue
+                    acc["z"].append(np.full(nf, z, np.int64))
+                    acc["x"].append(np.full(nf, x, np.int64))
+                    acc["y"].append(np.full(nf, y, np.int64))
+                    acc["layer_name"].append([layer.name] * nf)
+                    acc["feature_id"].append([f.id for f in feats])
+                    acc["geom_type"].append(
+                        np.fromiter((f.geom_type for f in feats),
+                                    np.int64, nf))
+                    acc["geometry"].append(
+                        [f.geometry.astype(np.int64) for f in feats])
+                    acc["geometry_nbytes"].append(
+                        np.fromiter((f.geometry_nbytes for f in feats),
+                                    np.int64, nf))
+            if acc["z"]:
+                data = {
+                    c: (np.concatenate(ch) if isinstance(ch[0], np.ndarray)
+                        else [v for sub in ch for v in sub])
+                    for c, ch in acc.items()
+                }
+                out = _stats_from_pdf(pd.DataFrame(data, columns=in_cols),
+                                      cols)
+            else:
+                out = pd.DataFrame(columns=cols)
             if err_rows:
                 out = pd.concat([out, pd.DataFrame(err_rows, columns=cols)])
             yield out[cols]

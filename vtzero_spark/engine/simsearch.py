@@ -249,7 +249,9 @@ def ivf_topk(
     is one queries-collect plus one codebook-collect per Lloyd
     iteration, all ncentroids-sized. Deterministic init: the
     ``ncentroids`` vectors following the query id range."""
-    q = quantized(emb).persist()
+    from .textops import _spread
+
+    q = _spread(quantized(emb)).persist()
     try:
         head = (
             q.where(F.col("vec_id") < n_queries + ncentroids)
@@ -328,7 +330,9 @@ def cosine_topk_udf(emb: DataFrame, n_queries: int = 8, k: int = 5) -> DataFrame
                                  "cosine": float(cos[idx, j]), "rank": rank + 1})
             yield pd.DataFrame(recs, columns=["qid", "vec_id", "cosine", "rank"])
 
-    partial = emb.select("vec_id", "embedding").mapInPandas(
+    from .textops import _spread
+
+    partial = _spread(emb.select("vec_id", "embedding")).mapInPandas(
         batch_fn, schema="qid long, vec_id long, cosine double, rank int"
     )
     # per-batch top-k -> global top-k (classic two-phase exact top-k)

@@ -379,13 +379,20 @@ FROM d
 
 # ----------------------------------------------------- quality / tokens
 
+# BPE-ish subword tokenization: letter runs, digit runs, single
+# punctuation marks (the GPT-2 pre-tokenizer shape, restricted to a
+# regex dialect Spark and DuckDB evaluate identically)
+_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
 def token_stats(docs: DataFrame) -> DataFrame:
-    """Whitespace token count, vowel ratio, mean token length — all
-    integer-exact (x1000 fixed point)."""
+    """Whitespace token count, BPE-ish regex token count, vowel ratio,
+    mean token length — all integer-exact (x1000 fixed point)."""
     return docs.select(
         "doc_id",
         F.length("text").alias("n_chars_m"),
         (F.length("text") - F.length(F.expr("replace(text, ' ', '')")) + 1).alias("n_tokens"),
+        F.regexp_count("text", F.lit(_BPE_RE)).cast("long").alias("bpe_tokens"),
         F.expr(
             "(1000 * (length(text) - length(translate(text, 'aeiou', '')))) div length(text)"
         ).alias("vowel_x1000"),
@@ -396,10 +403,11 @@ def token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
-TOKEN_STATS_SQL = """
+TOKEN_STATS_SQL = f"""
 SELECT doc_id,
        length(text) AS n_chars_m,
        length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+       len(regexp_extract_all(text, '{_BPE_RE}')) AS bpe_tokens,
        (1000 * (length(text) - length(translate(text, 'aeiou', '')))) // length(text) AS vowel_x1000,
        (100 * length(replace(text, ' ', ''))) //
          (length(text) - length(replace(text, ' ', '')) + 1) AS tok_len_x100
