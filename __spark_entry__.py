@@ -544,6 +544,34 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal video path: deterministic stub container -> uniform
+    frame sampling -> per-frame thumbnail + color features (binary in,
+    frame-exploded typed rows out; numpy-oracle tested)."""
+    from vtzero_spark.engine import media
+
+    vids = media.synth_videos(spark, sf_dir, n_videos=64)
+    frames = media.frame_sample(vids, n_samples=4)
+    return frames.groupBy("status", "thumb_w", "thumb_h").agg(
+        F.count("*").alias("n"),
+        F.avg(F.element_at("features", 1)).alias("avg_mean_r"),
+    )
+
+
+def q_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio path: stub PCM container -> vectorized
+    per-window RMS / zero-crossing features."""
+    from vtzero_spark.engine import media
+
+    clips = media.synth_audio(spark, sf_dir, n_clips=64)
+    wins = media.audio_features(clips)
+    return wins.groupBy("status").agg(
+        F.count("*").alias("n_windows"),
+        F.avg("rms_x1e6").alias("avg_rms_x1e6"),
+        F.avg("zero_crossings").alias("avg_zc"),
+    )
+
+
 def q_payload_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vtzero_spark.engine import payload
 
@@ -599,6 +627,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "ivf_topk": q_ivf_topk,
         "image_features": q_image_features,
+        "video_frames": q_video_frames,
+        "audio_windows": q_audio_windows,
         "payload_verify": q_payload_verify,
     }
 
