@@ -109,6 +109,51 @@ def test_point_in_ring_udf_nonconvex(spark):
     assert got == [e for _, _, e in pts]
 
 
+def _scalar_point_in_ring(x, y, rx, ry) -> bool:
+    """Reference even-odd ray cast, one point at a time (the pre-
+    vectorization algorithm, kept as the oracle)."""
+    rx = np.asarray(rx, dtype=np.int64)
+    ry = np.asarray(ry, dtype=np.int64)
+    if len(rx) < 2:
+        return False
+    ax, ay, bx, by = rx[:-1], ry[:-1], rx[1:], ry[1:]
+    cross = (bx - ax) * (y - ay) - (x - ax) * (by - ay)
+    on_seg = (cross == 0) & (np.minimum(ax, bx) <= x) & (x <= np.maximum(ax, bx)) \
+        & (np.minimum(ay, by) <= y) & (y <= np.maximum(ay, by))
+    if on_seg.any():
+        return True
+    cond = (ay > y) != (by > y)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = ax + (y - ay) * (bx - ax) / np.where(by - ay == 0, 1, by - ay)
+    return bool(np.count_nonzero(cond & (x < xint)) % 2)
+
+
+def test_point_in_ring_udf_random_vs_scalar(spark):
+    """Batch-vectorized ray cast == scalar oracle over random rings of
+    varying size (incl. a degenerate 1-point ring and boundary hits)."""
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(120):
+        nv = rng.randint(3, 9)
+        vx = rng.randint(0, 20, nv).tolist()
+        vy = rng.randint(0, 20, nv).tolist()
+        vx.append(vx[0])
+        vy.append(vy[0])
+        px, py = int(rng.randint(0, 20)), int(rng.randint(0, 20))
+        if i % 7 == 0:  # force a boundary case: point = first vertex
+            px, py = vx[0], vy[0]
+        rows.append((px, py, vx, vy))
+    rows.append((5, 5, [3], [3]))  # degenerate: no edges
+    df = spark.createDataFrame(
+        rows, "px int, py int, rx array<int>, ry array<int>")
+    out = df.withColumn(
+        "inside", joins.point_in_ring_udf("px", "py", "rx", "ry")
+    ).toPandas()
+    for i, (px, py, vx, vy) in enumerate(rows):
+        want = _scalar_point_in_ring(px, py, vx, vy)
+        assert bool(out["inside"].iloc[i]) == want, (i, px, py, vx, vy)
+
+
 def test_knn_vs_bruteforce(spark, sf_dir, images_pd):
     queries = synth.knn_queries(spark, sf_dir, 10)
     out = knn.knn_join(
@@ -300,6 +345,56 @@ def test_checkpoint_resume(spark, sf_dir, tmp_path):
     assert r2["buckets_run"] == 0 and r2["buckets_skipped"] == 4
     total = cp.read_checkpointed(spark, out_dir).agg(F.sum("n")).collect()[0][0]
     assert total == src.count()
+
+
+def test_checkpoint_compaction_and_vacuum(spark, sf_dir, tmp_path):
+    """Iceberg-style maintenance: small-file compaction rewrites each
+    bucket into one immutable file behind an atomic manifest swap;
+    readers never see half-compacted state; vacuum removes only
+    unreferenced directories."""
+    import os
+
+    from vtzero_spark.engine import checkpoint as cp
+
+    src = synth.images(spark, sf_dir)
+    out_dir = str(tmp_path / "ckpt_compact")
+
+    def xform(df):
+        # many small files per bucket: the compaction target
+        return df.repartition(6).select("image_id", "fmt", "phash")
+
+    cp.run_with_checkpoint(spark, src, xform, out_dir, "image_id", n_buckets=3)
+    before = cp.read_checkpointed(spark, out_dir)
+    n_before = before.count()
+    h_before = before.agg(F.bit_xor(F.xxhash64("image_id", "phash"))).collect()[0][0]
+
+    # an ABORTED compaction (data written, manifest NOT committed) must
+    # be invisible to readers and reclaimed by vacuum
+    orphan = os.path.join(out_dir, "data", "bucket=0-c9")
+    spark.read.parquet(os.path.join(out_dir, "data", "bucket=0")) \
+        .limit(5).write.parquet(orphan)
+    assert cp.read_checkpointed(spark, out_dir).count() == n_before
+
+    res = cp.compact_all(spark, out_dir, target_files=1)
+    assert res["buckets_compacted"] == 3
+    after = cp.read_checkpointed(spark, out_dir)
+    assert after.count() == n_before
+    h_after = after.agg(F.bit_xor(F.xxhash64("image_id", "phash"))).collect()[0][0]
+    assert h_after == h_before
+    # each compacted bucket is now a single parquet file
+    for row in cp._manifest_rows(out_dir):
+        files = [f for f in os.listdir(row["path"]) if f.endswith(".parquet")]
+        assert len(files) == 1 and "-c" in row["path"]
+
+    removed = cp.vacuum(out_dir)
+    # 3 superseded originals + the orphan
+    assert len(removed) == 4
+    assert any(p.endswith("bucket=0-c9") for p in removed)
+    assert cp.read_checkpointed(spark, out_dir).count() == n_before
+    # resume still sees every bucket as done
+    r = cp.run_with_checkpoint(
+        spark, src, xform, out_dir, "image_id", n_buckets=3)
+    assert r["buckets_run"] == 0 and r["buckets_skipped"] == 3
 
 
 def test_checkpoint_partial_resume(spark, sf_dir, tmp_path):

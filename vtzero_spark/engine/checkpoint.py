@@ -28,16 +28,26 @@ def _manifest_path(out_dir: str) -> str:
     return os.path.join(out_dir, "_manifest")
 
 
-def completed_buckets(spark: SparkSession, out_dir: str) -> set[int]:
+def _manifest_rows(out_dir: str) -> list[dict]:
     mpath = _manifest_path(out_dir)
-    if not os.path.isdir(mpath) or not os.listdir(mpath):
-        return set()
-    done = set()
+    if not os.path.isdir(mpath):
+        return []
+    rows = []
     for fn in sorted(os.listdir(mpath)):
-        if fn.endswith(".json"):
+        if fn.endswith(".json") and not fn.startswith("."):
             with open(os.path.join(mpath, fn)) as fh:
-                done.add(json.load(fh)["bucket"])
-    return done
+                rows.append(json.load(fh))
+    return rows
+
+
+def _bucket_data_path(out_dir: str, row: dict) -> str:
+    # pre-compaction manifests carry no path field
+    return row.get("path") or os.path.join(
+        out_dir, "data", f"bucket={row['bucket']}")
+
+
+def completed_buckets(spark: SparkSession, out_dir: str) -> set[int]:
+    return {r["bucket"] for r in _manifest_rows(out_dir)}
 
 
 def run_with_checkpoint(
@@ -79,6 +89,7 @@ def run_with_checkpoint(
         manifest_row = {
             "bucket": b,
             "rows": n,
+            "path": path,
             "seconds": round(time.time() - t0, 3),
             "lineage": lineage or {},
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
@@ -98,4 +109,82 @@ def run_with_checkpoint(
 
 
 def read_checkpointed(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(out_dir, "data"))
+    """Manifest-driven read (snapshot isolation in miniature): scan
+    exactly the data paths the committed manifest references. A
+    compaction that has written new files but not committed its
+    manifest row is invisible; uncommitted/orphaned directories are
+    never read."""
+    rows = _manifest_rows(out_dir)
+    if not rows:
+        return spark.read.parquet(os.path.join(out_dir, "data"))
+    return spark.read.parquet(*[_bucket_data_path(out_dir, r) for r in rows])
+
+
+# --------------------------------------------------------- maintenance
+
+def compact_bucket(spark: SparkSession, out_dir: str, bucket: int,
+                   target_files: int = 1) -> dict:
+    """Small-file compaction for one bucket, Iceberg-style: rewrite the
+    bucket's (possibly many) parquet files into ``target_files``, into
+    a NEW immutable directory, verify the row count, then atomically
+    swap the manifest row's path. Readers see the old files until the
+    manifest commit lands; the old directory is left for vacuum()."""
+    mfile = os.path.join(_manifest_path(out_dir), f"bucket-{bucket}.json")
+    with open(mfile) as fh:
+        row = json.load(fh)
+    src = _bucket_data_path(out_dir, row)
+    gen = int(row.get("compaction_gen", 0)) + 1
+    dst = os.path.join(out_dir, "data", f"bucket={bucket}-c{gen}")
+    df = spark.read.parquet(src)
+    df.coalesce(target_files).write.mode("overwrite").parquet(dst)
+    n = spark.read.parquet(dst).count()
+    if n != row["rows"]:
+        raise RuntimeError(
+            f"compaction row-count mismatch for bucket {bucket}: "
+            f"{n} != {row['rows']}")
+    row.update({"path": dst, "compaction_gen": gen,
+                "compacted_from": src,
+                "compacted_at": time.strftime("%Y-%m-%dT%H:%M:%S")})
+    tmp = os.path.join(_manifest_path(out_dir), f".tmp-c{bucket}.json")
+    with open(tmp, "w") as fh:
+        json.dump(row, fh)
+    os.replace(tmp, mfile)
+    return row
+
+
+def compact_all(spark: SparkSession, out_dir: str,
+                target_files: int = 1,
+                min_files: int = 2) -> dict:
+    """Compact every committed bucket whose directory holds more than
+    ``min_files`` parquet files. Returns {buckets_compacted, skipped}."""
+    done = skipped = 0
+    for row in _manifest_rows(out_dir):
+        src = _bucket_data_path(out_dir, row)
+        nfiles = sum(1 for f in os.listdir(src) if f.endswith(".parquet")) \
+            if os.path.isdir(src) else 0
+        if nfiles > min_files:
+            compact_bucket(spark, out_dir, row["bucket"], target_files)
+            done += 1
+        else:
+            skipped += 1
+    return {"buckets_compacted": done, "skipped": skipped}
+
+
+def vacuum(out_dir: str) -> list[str]:
+    """Remove data directories no committed manifest row references
+    (superseded compaction inputs, aborted writes). Safe at any time:
+    the manifest is the source of truth for readers."""
+    import shutil
+
+    data_dir = os.path.join(out_dir, "data")
+    if not os.path.isdir(data_dir):
+        return []
+    referenced = {os.path.abspath(_bucket_data_path(out_dir, r))
+                  for r in _manifest_rows(out_dir)}
+    removed = []
+    for d in sorted(os.listdir(data_dir)):
+        full = os.path.abspath(os.path.join(data_dir, d))
+        if os.path.isdir(full) and full not in referenced:
+            shutil.rmtree(full)
+            removed.append(full)
+    return removed
