@@ -59,6 +59,56 @@ def test_tile_assign_adds_no_shuffle(spark, sf_dir):
     assert re.search(r"hashpartitioning\(iid", p) is not None
 
 
+def test_minhash_scan_prunes_to_two_columns(spark, sf_dir):
+    """The signature UDF must not drag the whole documents row through
+    the scan: ReadSchema is exactly (doc_id, text), and only the
+    64-char prefix crosses into Python (projected plan-side)."""
+    docs = synth.load(spark, sf_dir, "documents")
+    from vtzero_spark.engine import textops
+
+    p = plan(textops.minhash_signatures(docs))
+    rs = p.split("ReadSchema", 1)[1][:300]
+    assert "doc_id" in rs and "text" in rs
+    assert "lang" not in rs and "quality" not in rs
+    assert "substring" in p  # prefix projection stayed in the JVM
+
+
+def test_dedup_hashed_shuffles_fixed_width_key(spark, sf_dir):
+    """The scale dedup groups on xxhash64(text) — the Exchange key is
+    the 8-byte hash, never the document body."""
+    from vtzero_spark.engine import textops
+
+    docs = synth.load(spark, sf_dir, "documents")
+    p = plan(textops.dedup_exact_hashed(docs))
+    assert re.search(r"hashpartitioning\(text_hash", p)
+    assert not re.search(r"hashpartitioning\(text[#,]", p)
+
+
+def test_headline_queries_have_no_cartesian_product(spark, sf_dir):
+    """No query in the bench headline set may degenerate to a
+    CartesianProduct or BroadcastNestedLoopJoin on the DATA side (the
+    tiny broadcast query sides in ann_topk are the one sanctioned
+    nested-loop: a crossJoin against a <10-row broadcast)."""
+    import bench
+
+    qs = entry.queries()
+    for name in bench.HEADLINE:
+        p = plan(qs[name](spark, sf_dir))
+        assert "CartesianProduct" not in p, name
+        if name not in ("ann_topk", "ivf_topk"):
+            assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_ivf_probe_side_is_broadcast(spark, sf_dir):
+    emb = synth.load(spark, sf_dir, "embeddings")
+    from vtzero_spark.engine import simsearch
+
+    p = plan(simsearch.ivf_topk(emb, n_queries=2, k=3, ncentroids=8,
+                                nprobe=4, train_iters=0))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
 def test_fused_tile_encode_has_single_encode_shuffle(spark, sf_dir):
     feats = entry._features(spark, sf_dir).select(*entry.POINT_COLS)
     base_exchanges = len(re.findall(r"hashpartitioning\(", plan(feats)))

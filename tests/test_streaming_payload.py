@@ -131,6 +131,38 @@ def test_stateful_sessionize_stream_matches_batch(spark, sf_dir, tmp_path):
     assert np.allclose(got["value_sum"], want["value_sum"])
 
 
+def test_dedup_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming hashed dedup == batch dedup groups when all
+    duplicates arrive inside the watermark: one output row per
+    distinct text, each the first-seen doc."""
+    from vtzero_spark.engine import streaming, textops
+
+    docs = synth.load(spark, sf_dir, "documents").select("doc_id", "text")
+    # deterministic event time: 1 second per doc id
+    ts = docs.withColumn(
+        "ts", F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+        + F.make_interval(secs=F.col("doc_id") % 300))
+    src = str(tmp_path / "docs_in")
+    ts.write.parquet(src)
+
+    batch_groups = textops.dedup_exact(spark.read.parquet(src)).toPandas()
+
+    sdf = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (streaming.dedup_stream(sdf)
+         .writeStream.format("memory").queryName("dedup_out")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = spark.table("dedup_out").toPandas()
+    finally:
+        q.stop()
+
+    assert len(got) == len(batch_groups)
+    assert set(got["text"]) == set(
+        synth.load(spark, sf_dir, "documents")
+        .select("text").toPandas()["text"])
+
+
 def test_ivf_topk_recall(spark, sf_dir):
     emb = synth.load(spark, sf_dir, "embeddings")
     exact = simsearch.ann_topk(emb, n_queries=4, k=5).toPandas()

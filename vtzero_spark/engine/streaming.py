@@ -31,6 +31,26 @@ def with_event_time(df: DataFrame, epoch: str = "2026-01-01 00:00:00") -> DataFr
     )
 
 
+def dedup_stream(docs: DataFrame, ts_col: str = "ts",
+                 watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup — the continuous-ingest twin of
+    textops.dedup_exact_hashed: documents are keyed by a fixed-width
+    xxhash64 of their text and deduplicated with
+    dropDuplicatesWithinWatermark, so the dedup STATE is bounded by
+    the watermark horizon instead of growing with the corpus (the only
+    viable shape for an unbounded 100 TB/day feed; exact global dedup
+    stays a batch job over the bronze table).
+
+    Emits the first-seen row per text hash; duplicates arriving within
+    the watermark window are dropped, duplicates beyond it are the
+    documented at-least-once tradeoff."""
+    hashed = docs.withColumn("text_hash", F.xxhash64("text"))
+    return (
+        hashed.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["text_hash"])
+    )
+
+
 def stream_encode_tiles(
     stream_df: DataFrame,
     out_dir: str,
