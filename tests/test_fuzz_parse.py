@@ -82,6 +82,37 @@ def test_truncations_never_crash(start, length):
     _exercise(BASE[start:start + length])
 
 
+def _exercise_distributed(buf: bytes) -> None:
+    """The Spark batch decoders (plain, properties=True, layer views)
+    must NEVER raise on malformed bytes — errors become rows."""
+    import pandas as pd
+
+    from vtzero_spark.engine import assemble
+
+    pdf = pd.DataFrame({"z": [0], "x": [0], "y": [0],
+                        "tile_bytes": [buf]})
+    for want_props in (False, True):
+        out = list(assemble._decode_tile_batch(iter([pdf]), want_props))
+        assert len(out) == 1
+        assert "decode_status" in out[0].columns
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, len(BASE) - 1), st.integers(0, 255)),
+                min_size=1, max_size=8))
+def test_mutated_tiles_never_crash_distributed_decode(mutations):
+    buf = bytearray(BASE)
+    for pos, val in mutations:
+        buf[pos] = val
+    _exercise_distributed(bytes(buf))
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=200))
+def test_random_bytes_never_crash_distributed_decode(buf):
+    _exercise_distributed(buf)
+
+
 def test_non_utf8_layer_name_preserved():
     """vtzero hands out the raw name bytes (data_view, no validation);
     our parse must round-trip arbitrary name bytes losslessly."""
