@@ -7,8 +7,11 @@ import pytest
 
 import __spark_entry__ as entry
 
-from vtzero_spark.engine import assemble
-from vtzero_spark.engine.hot_tiles import encode_point_tiles_chunked
+from vtzero_spark.engine import assemble, geomops, synth, tiling
+from vtzero_spark.engine.hot_tiles import (
+    encode_geom_tiles_chunked, encode_point_tiles_chunked,
+)
+from vtzero_spark.engine.synth import EXTENT, ZOOM
 
 
 @pytest.mark.parametrize("chunk_rows", [7, 100_000])
@@ -18,6 +21,26 @@ def test_chunked_encode_byte_parity(spark, sf_dir, chunk_rows):
         .select("z", "x", "y", "num_layers", "tile_bytes").toPandas()
     chunked = encode_point_tiles_chunked(feats, entry.PROP_SPEC,
                                          chunk_rows=chunk_rows) \
+        .select("z", "x", "y", "num_layers", "tile_bytes").toPandas()
+    key = ["z", "x", "y"]
+    a = single.set_index(key).sort_index()
+    b = chunked.set_index(key).sort_index()
+    assert len(a) == len(b) and len(a) > 0
+    assert (a["num_layers"] == b["num_layers"]).all()
+    mismatch = a["tile_bytes"].map(bytes) != b["tile_bytes"].map(bytes)
+    assert not mismatch.any(), f"{int(mismatch.sum())} tiles differ"
+
+
+@pytest.mark.parametrize("chunk_rows", [5, 100_000])
+def test_chunked_geom_encode_byte_parity(spark, sf_dir, chunk_rows):
+    """Skew-safe geometry-stream encode == single-group encoder, byte
+    for byte (polygon command streams, no props)."""
+    img = synth.images(spark, sf_dir)
+    assigned = tiling.assign_tiles(img, zoom=ZOOM, extent=EXTENT, buffer=0)
+    feats = geomops.rect_stream_features(assigned)
+    single = assemble.encode_geom_tiles(feats) \
+        .select("z", "x", "y", "num_layers", "tile_bytes").toPandas()
+    chunked = encode_geom_tiles_chunked(feats, chunk_rows=chunk_rows) \
         .select("z", "x", "y", "num_layers", "tile_bytes").toPandas()
     key = ["z", "x", "y"]
     a = single.set_index(key).sort_index()

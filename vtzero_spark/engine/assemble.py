@@ -425,18 +425,16 @@ def _point_matrix_bytes(n, ids, zzx, zzy, final_codes, nprops,
     return encode_varint_array(M.reshape(-1))
 
 
-def _geomstream_layer_bytes(name: str, ids: np.ndarray, gtypes: np.ndarray,
-                            gflat: np.ndarray, goffsets: np.ndarray,
-                            prop_spec, dict_result) -> tuple[bytes, int, int, int]:
-    """Vectorized layer encode for arbitrary pre-built geometry command
-    streams (the distributed set_geometry passthrough,
-    builder.hpp:1241-1248): geometry arrives as a flattened uint32
-    array + per-feature offsets; the whole features section is one
-    variable-width varint scatter — no per-feature Python."""
-    from ..mvt.pbf import (
-        copy_segments, encode_varint_array, len_field, varint_field,
-        varint_len_array,
-    )
+def _geomstream_features_bytes(ids: np.ndarray, gtypes: np.ndarray,
+                               gflat: np.ndarray, goffsets: np.ndarray,
+                               final_codes, nprops: int) -> bytes:
+    """Features-section bytes for arbitrary pre-built geometry command
+    streams: geometry arrives as a flattened uint32 array + per-feature
+    offsets; the whole section is one variable-width varint scatter —
+    no per-feature Python. Shared by the single-group layer encoder
+    and the chunked hot-tile encoder (a layer's section is the plain
+    concatenation of its chunks' sections)."""
+    from ..mvt.pbf import copy_segments, encode_varint_array, varint_len_array
 
     n = len(ids)
     glens = np.diff(goffsets)  # varint count per feature's geometry
@@ -451,15 +449,6 @@ def _geomstream_layer_bytes(name: str, ids: np.ndarray, gtypes: np.ndarray,
     else:
         geom_len = np.zeros(0, np.int64)
     geom_len = np.where(glens == 0, 0, geom_len)
-
-    key_table: list[bytes] = []
-    values_section = b""
-    vsize = 0
-    final_codes = None
-    nprops = len(prop_spec) if prop_spec else 0
-    if prop_spec:
-        key_table = [k.encode("utf-8") for k, _, _ in prop_spec]
-        final_codes, values_section, vsize = dict_result
 
     # head varints per feature: 18, feat_len, 24, gtype, 8, id, 34, geom_len
     HEAD = 8
@@ -497,6 +486,29 @@ def _geomstream_layer_bytes(name: str, ids: np.ndarray, gtypes: np.ndarray,
         tag_dst = starts + 8 + glens
         for j in range(tags_block):
             flat[tag_dst + j] = body[:, 6 + j]
+    return encode_varint_array(flat)
+
+
+def _geomstream_layer_bytes(name: str, ids: np.ndarray, gtypes: np.ndarray,
+                            gflat: np.ndarray, goffsets: np.ndarray,
+                            prop_spec, dict_result) -> tuple[bytes, int, int, int]:
+    """Vectorized layer encode for arbitrary pre-built geometry command
+    streams (the distributed set_geometry passthrough,
+    builder.hpp:1241-1248)."""
+    from ..mvt.pbf import len_field, varint_field
+
+    n = len(ids)
+    key_table: list[bytes] = []
+    values_section = b""
+    vsize = 0
+    final_codes = None
+    nprops = len(prop_spec) if prop_spec else 0
+    if prop_spec:
+        key_table = [k.encode("utf-8") for k, _, _ in prop_spec]
+        final_codes, values_section, vsize = dict_result
+
+    features_bytes = _geomstream_features_bytes(
+        ids, gtypes, gflat, goffsets, final_codes, nprops)
 
     header = (
         varint_field(T.LAYER_VERSION, 2)
@@ -505,7 +517,7 @@ def _geomstream_layer_bytes(name: str, ids: np.ndarray, gtypes: np.ndarray,
     )
     layer_bytes = b"".join([
         header,
-        encode_varint_array(flat),
+        features_bytes,
         b"".join(len_field(T.LAYER_KEYS, k) for k in key_table),
         values_section,
     ])

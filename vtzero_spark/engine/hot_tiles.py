@@ -117,36 +117,35 @@ def _encode_values_pdf(pdf: pd.DataFrame) -> tuple[bytes, int]:
     return pack_len_fields(T.LAYER_VALUES, out, offsets), total
 
 
-def encode_point_tiles_chunked(
-    features: DataFrame,
-    prop_spec,
-    chunk_rows: int = 100_000,
-) -> DataFrame:
-    """Byte-identical to assemble.encode_point_tiles, but no single
-    task ever holds more than ``chunk_rows`` features — hot tiles
-    parallelize across chunks; only the cheap final byte concat is
-    per-tile."""
+def _assemble_chunked(features: DataFrame, prop_spec, chunk_rows: int,
+                      enc_chunk) -> DataFrame:
+    """Shared chunked-encode skeleton: distributed dictionary (when a
+    prop_spec is given), ordinal-contiguous chunking, per-chunk section
+    encode via ``enc_chunk``, and the ordered final concat."""
     from ..mvt.pbf import len_field, varint_field
 
-    nprops = len(prop_spec)
+    nprops = len(prop_spec) if prop_spec else 0
+    dict_df = None
+    feats = features
+    if prop_spec:
+        # 1. distributed dictionaries (first-appearance over the
+        #    interleaved (ordinal, column-slot) stream)
+        melted = _melt(features, prop_spec)
+        firsts = melted.groupBy(*LAYER_KEY, "vtype", "value_str").agg(
+            F.min(F.struct("feature_ordinal", "col_idx")).alias("first"))
+        w_dict = Window.partitionBy(*LAYER_KEY).orderBy("first")
+        dict_df = firsts.withColumn("idx", F.row_number().over(w_dict) - 1)
 
-    # 1. distributed dictionaries (first-appearance over the
-    #    interleaved (ordinal, column-slot) stream)
-    melted = _melt(features, prop_spec)
-    firsts = melted.groupBy(*LAYER_KEY, "vtype", "value_str").agg(
-        F.min(F.struct("feature_ordinal", "col_idx")).alias("first"))
-    w_dict = Window.partitionBy(*LAYER_KEY).orderBy("first")
-    dict_df = firsts.withColumn("idx", F.row_number().over(w_dict) - 1)
-
-    # 2. tag indexes per feature (join + conditional agg back to wide)
-    tags = (
-        melted.join(dict_df.select(*LAYER_KEY, "vtype", "value_str", "idx"),
-                    LAYER_KEY + ["vtype", "value_str"])
-        .groupBy(*LAYER_KEY, "feature_ordinal")
-        .agg(*[F.max(F.when(F.col("col_idx") == c, F.col("idx")))
-               .alias(f"tag{c}") for c in range(nprops)])
-    )
-    feats = features.join(tags, LAYER_KEY + ["feature_ordinal"])
+        # 2. tag indexes per feature (join + conditional agg to wide)
+        tags = (
+            melted.join(
+                dict_df.select(*LAYER_KEY, "vtype", "value_str", "idx"),
+                LAYER_KEY + ["vtype", "value_str"])
+            .groupBy(*LAYER_KEY, "feature_ordinal")
+            .agg(*[F.max(F.when(F.col("col_idx") == c, F.col("idx")))
+                   .alias(f"tag{c}") for c in range(nprops)])
+        )
+        feats = features.join(tags, LAYER_KEY + ["feature_ordinal"])
     # chunk id straight from the ordinal — no per-layer window (a
     # row_number window would stream the entire hot layer through one
     # task, defeating the point of chunking). Any monotone unique
@@ -157,6 +156,76 @@ def encode_point_tiles_chunked(
         "chunk", F.floor(F.col("feature_ordinal") / F.lit(chunk_rows)))
 
     # 3. chunk encode (vectorized features-section bytes per chunk)
+    chunks = feats.groupBy(*LAYER_KEY, "chunk").applyInPandas(
+        enc_chunk, schema=_CHUNK_SCHEMA)
+
+    # 4. values-section bytes per layer (vectorized from the dict rows)
+    if dict_df is not None:
+        def enc_values(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("idx", kind="stable")
+            section, vsize = _encode_values_pdf(pdf)
+            return pd.DataFrame([{
+                "z": int(pdf["z"].iloc[0]), "x": int(pdf["x"].iloc[0]),
+                "y": int(pdf["y"].iloc[0]),
+                "layer_name": pdf["layer_name"].iloc[0],
+                "vsize": vsize, "values_section": section,
+            }])
+
+        layer_values = dict_df.groupBy(*LAYER_KEY).applyInPandas(
+            enc_values, schema=_VALUES_SCHEMA)
+
+    # 5. ordered concat: chunks -> layer bytes -> tile bytes
+    key_section = b"".join(
+        len_field(T.LAYER_KEYS, k.encode("utf-8"))
+        for k, _, _ in (prop_spec or []))
+    head_pre = varint_field(T.LAYER_VERSION, 2)
+    head_post = varint_field(T.LAYER_EXTENT, 4096)
+
+    layer_chunks = chunks.groupBy(*LAYER_KEY).agg(
+        F.sum("n").alias("num_features"),
+        F.array_sort(F.collect_list(F.struct("chunk", "section"))).alias("secs"),
+    )
+
+    def build_tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("layer_name", kind="stable")
+        has_values = "values_section" in pdf.columns
+        parts = []
+        num_layers = 0
+        for _, r in pdf.iterrows():
+            feats_bytes = b"".join(bytes(s["section"]) for s in r["secs"])
+            name = r["layer_name"].encode("utf-8")
+            layer_bytes = b"".join([
+                head_pre, len_field(T.LAYER_NAME, name), head_post,
+                feats_bytes, key_section,
+                bytes(r["values_section"]) if has_values else b"",
+            ])
+            if r["num_features"] > 0:
+                parts.append(len_field(T.TILE_LAYERS, layer_bytes))
+                num_layers += 1
+        return pd.DataFrame([{
+            "z": int(pdf["z"].iloc[0]), "x": int(pdf["x"].iloc[0]),
+            "y": int(pdf["y"].iloc[0]),
+            "num_layers": num_layers,
+            "tile_bytes": b"".join(parts),
+        }])
+
+    joined = layer_chunks.join(layer_values, LAYER_KEY) \
+        if dict_df is not None else layer_chunks
+    return joined.groupBy(*TILE_KEY).applyInPandas(
+        build_tile, schema=assemble.TILE_SCHEMA)
+
+
+def encode_point_tiles_chunked(
+    features: DataFrame,
+    prop_spec,
+    chunk_rows: int = 100_000,
+) -> DataFrame:
+    """Byte-identical to assemble.encode_point_tiles, but no single
+    task ever holds more than ``chunk_rows`` features — hot tiles
+    parallelize across chunks; only the cheap final byte concat is
+    per-tile."""
+    nprops = len(prop_spec)
+
     def enc_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("feature_ordinal", kind="stable")
         codes = np.stack(
@@ -174,55 +243,45 @@ def encode_point_tiles_chunked(
             "n": len(pdf), "section": section,
         }])
 
-    chunks = feats.groupBy(*LAYER_KEY, "chunk").applyInPandas(
-        enc_chunk, schema=_CHUNK_SCHEMA)
+    return _assemble_chunked(features, prop_spec, chunk_rows, enc_chunk)
 
-    # 4. values-section bytes per layer (vectorized from the dict rows)
-    def enc_values(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("idx", kind="stable")
-        section, vsize = _encode_values_pdf(pdf)
+
+def encode_geom_tiles_chunked(
+    features: DataFrame,
+    prop_spec=None,
+    chunk_rows: int = 100_000,
+) -> DataFrame:
+    """Skew-safe encode for arbitrary pre-built geometry command
+    streams (the set_geometry passthrough) — byte-identical to
+    assemble.encode_geom_tiles, with no task holding more than
+    ``chunk_rows`` features. Extends the hot-tile discipline beyond
+    point layers: a z0 tile full of polygons encodes its feature
+    sections in parallel ordinal-contiguous chunks."""
+    nprops = len(prop_spec) if prop_spec else 0
+
+    def enc_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("feature_ordinal", kind="stable")
+        geoms = pdf["geometry"]
+        glens = np.fromiter((len(g) for g in geoms), dtype=np.int64,
+                            count=len(pdf))
+        goffsets = np.zeros(len(pdf) + 1, dtype=np.int64)
+        np.cumsum(glens, out=goffsets[1:])
+        gflat = (np.concatenate([np.asarray(g, dtype=np.int64)
+                                 for g in geoms])
+                 if len(pdf) else np.empty(0, np.int64))
+        codes = (np.stack([pdf[f"tag{c}"].to_numpy(np.int64)
+                           for c in range(nprops)], axis=1)
+                 if nprops else None)
+        section = assemble._geomstream_features_bytes(
+            pdf["feature_id"].to_numpy(np.int64),
+            pdf["geom_type"].to_numpy(np.int64),
+            gflat, goffsets, codes, nprops)
         return pd.DataFrame([{
             "z": int(pdf["z"].iloc[0]), "x": int(pdf["x"].iloc[0]),
             "y": int(pdf["y"].iloc[0]),
             "layer_name": pdf["layer_name"].iloc[0],
-            "vsize": vsize, "values_section": section,
+            "chunk": int(pdf["chunk"].iloc[0]),
+            "n": len(pdf), "section": section,
         }])
 
-    layer_values = dict_df.groupBy(*LAYER_KEY).applyInPandas(
-        enc_values, schema=_VALUES_SCHEMA)
-
-    # 5. ordered concat: chunks -> layer bytes -> tile bytes
-    key_section = b"".join(
-        len_field(T.LAYER_KEYS, k.encode("utf-8")) for k, _, _ in prop_spec)
-    head_pre = varint_field(T.LAYER_VERSION, 2)
-    head_post = varint_field(T.LAYER_EXTENT, 4096)
-
-    layer_chunks = chunks.groupBy(*LAYER_KEY).agg(
-        F.sum("n").alias("num_features"),
-        F.array_sort(F.collect_list(F.struct("chunk", "section"))).alias("secs"),
-    )
-
-    def build_tile(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("layer_name", kind="stable")
-        parts = []
-        num_layers = 0
-        for _, r in pdf.iterrows():
-            feats_bytes = b"".join(bytes(s["section"]) for s in r["secs"])
-            name = r["layer_name"].encode("utf-8")
-            layer_bytes = b"".join([
-                head_pre, len_field(T.LAYER_NAME, name), head_post,
-                feats_bytes, key_section, bytes(r["values_section"]),
-            ])
-            if r["num_features"] > 0:
-                parts.append(len_field(T.TILE_LAYERS, layer_bytes))
-                num_layers += 1
-        return pd.DataFrame([{
-            "z": int(pdf["z"].iloc[0]), "x": int(pdf["x"].iloc[0]),
-            "y": int(pdf["y"].iloc[0]),
-            "num_layers": num_layers,
-            "tile_bytes": b"".join(parts),
-        }])
-
-    joined = layer_chunks.join(layer_values, LAYER_KEY)
-    return joined.groupBy(*TILE_KEY).applyInPandas(
-        build_tile, schema=assemble.TILE_SCHEMA)
+    return _assemble_chunked(features, prop_spec, chunk_rows, enc_chunk)
