@@ -417,6 +417,22 @@ def q_pyramid_tiles_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.octet_length("tile_bytes").alias("tile_size"))
 
 
+def q_polygon_tiles_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon command-stream tiles through the skew-safe CHUNKED
+    geometry encoder (hot_tiles.encode_geom_tiles_chunked): no task
+    holds more than chunk_rows features even when one tile owns most
+    polygons; byte parity with the single-group encoder is pinned in
+    tests/test_hot_tiles.py."""
+    from vtzero_spark.engine.hot_tiles import encode_geom_tiles_chunked
+
+    img = synth.images(spark, sf_dir)
+    assigned = tiling.assign_tiles(img, zoom=ZOOM, extent=EXTENT, buffer=0)
+    feats = geomops.rect_stream_features(assigned)
+    tiles = encode_geom_tiles_chunked(feats, chunk_rows=25_000)
+    return tiles.select("z", "x", "y", "num_layers",
+                        F.octet_length("tile_bytes").alias("tile_size"))
+
+
 def q_raster_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     img = synth.images(spark, sf_dir)
     r = tiling.raster_tiles(img, ZOOM_R, WORLD)
@@ -622,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mvt_ingest": q_mvt_ingest,
         "pyramid_tiles": q_pyramid_tiles,
         "pyramid_tiles_hot": q_pyramid_tiles_hot,
+        "polygon_tiles_hot": q_polygon_tiles_hot,
         "minhash_lsh": q_minhash_lsh,
         "simhash_neardup": q_simhash_neardup,
         "cosine_topk": q_cosine_topk,
