@@ -92,7 +92,7 @@ def test_headline_queries_have_no_cartesian_product(spark, sf_dir):
     import bench
 
     qs = entry.queries()
-    for name in bench.HEADLINE:
+    for name in bench.HEADLINE + bench.EXTENDED:
         p = plan(qs[name](spark, sf_dir))
         assert "CartesianProduct" not in p, name
         if name not in ("ann_topk", "ivf_topk"):

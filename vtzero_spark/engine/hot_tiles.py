@@ -146,14 +146,35 @@ def _assemble_chunked(features: DataFrame, prop_spec, chunk_rows: int,
                    .alias(f"tag{c}") for c in range(nprops)])
         )
         feats = features.join(tags, LAYER_KEY + ["feature_ordinal"])
-    # chunk id straight from the ordinal — no per-layer window (a
-    # row_number window would stream the entire hot layer through one
-    # task, defeating the point of chunking). Any monotone unique
-    # per-layer ordinal works: chunks stay ordinal-contiguous and hold
-    # at most chunk_rows features; sparse ordinals just yield smaller
-    # chunks, and the ordered concat tolerates non-dense chunk ids.
-    feats = feats.withColumn(
-        "chunk", F.floor(F.col("feature_ordinal") / F.lit(chunk_rows)))
+    # chunk id from the ordinal with a PER-LAYER span — no per-layer
+    # window (a row_number window would stream the entire hot layer
+    # through one task, defeating the point of chunking). The span is
+    # derived from each layer's ordinal range and row count so
+    # chunk_rows means actual rows per chunk even when ordinals are
+    # globally sparse (e.g. dataset-wide ids spread across thousands
+    # of tiles — naive floor(ordinal/chunk_rows) would shatter every
+    # layer into thousands of tiny groups). Chunks stay ordinal-
+    # contiguous (floor of a monotone map), so the ordered concat is
+    # byte-identical; the per-task bound is ~chunk_rows for uniform
+    # ordinals and never exceeds the layer's span under clustering.
+    # The stats pass is one map-side-combined agg with layers-count
+    # output, broadcast back.
+    # stats come from the RAW features (same keys/ordinals), so this
+    # pass never recomputes the melt/dictionary/tags lineage and column
+    # pruning reduces it to a narrow key+ordinal scan
+    lstats = features.groupBy(*LAYER_KEY).agg(
+        F.min("feature_ordinal").alias("_omin"),
+        F.max("feature_ordinal").alias("_omax"),
+        F.count("*").alias("_n"))
+    lstats = lstats.withColumn(
+        "_span",
+        F.greatest(F.lit(1), F.ceil(
+            (F.col("_omax") - F.col("_omin") + 1)
+            / F.greatest(F.lit(1), F.ceil(F.col("_n") / chunk_rows)))))
+    feats = feats.join(F.broadcast(lstats), LAYER_KEY).withColumn(
+        "chunk",
+        F.floor((F.col("feature_ordinal") - F.col("_omin")) / F.col("_span"))
+    ).drop("_omin", "_omax", "_n", "_span")
 
     # 3. chunk encode (vectorized features-section bytes per chunk)
     chunks = feats.groupBy(*LAYER_KEY, "chunk").applyInPandas(
