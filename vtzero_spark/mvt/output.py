@@ -47,6 +47,67 @@ def format_point(x: int, y: int) -> str:
     return f"({x},{y})"
 
 
+def encode_geom_tokens(tokens: list[str]) -> tuple[list[int], list[str]]:
+    """The vtzero-encode-geom CLI (examples/vtzero-encode-geom.cpp:
+    36-80): tokens 'M <count>' / 'L <count>' / 'C' / integers become
+    command integers / zigzag params; returns (command ints, the
+    exact lines the example prints)."""
+    cmds: list[int] = []
+    lines: list[str] = []
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if t == "M" or t == "L":
+            if i + 1 >= len(tokens) or not tokens[i + 1].lstrip("-").isdigit():
+                raise ValueError(f"need count after {t} command")
+            count = int(tokens[i + 1])
+            if count <= 0:
+                raise ValueError(f"count after {t} command must be 1 or larger")
+            cmd_id = 1 if t == "M" else 2
+            ci = (count << 3) | cmd_id
+            name = "MOVE_TO" if t == "M" else "LINE_TO"
+            lines.append(f"{name}({count})\t{ci}")
+            cmds.append(ci)
+            i += 2
+        elif t == "C":
+            ci = (0 << 3) | 7 | (1 << 3)  # ClosePath count=1
+            lines.append(f"CLOSE_PATH\t{ci}")
+            cmds.append(ci)
+            i += 1
+        else:
+            num = int(t)
+            zz = ((num << 1) ^ (num >> 31)) & 0xFFFFFFFF
+            lines.append(f"number({num})\t{zz}")
+            cmds.append(zz)
+            i += 1
+    return cmds, lines
+
+
+def format_command_stream(cmds) -> list[str]:
+    """Inverse debug dump: command integers -> the same line format
+    (MOVE_TO(n)/LINE_TO(n)/CLOSE_PATH plus zigzag-decoded params)."""
+    out: list[str] = []
+    i = 0
+    cmds = [int(c) for c in cmds]
+    while i < len(cmds):
+        ci = cmds[i]
+        cmd_id, count = ci & 0x7, ci >> 3
+        if cmd_id == 1 or cmd_id == 2:
+            name = "MOVE_TO" if cmd_id == 1 else "LINE_TO"
+            out.append(f"{name}({count})\t{ci}")
+            for p in cmds[i + 1:i + 1 + 2 * count]:
+                v = (p >> 1) ^ -(p & 1)
+                out.append(f"number({v})\t{p}")
+            i += 1 + 2 * count
+        elif cmd_id == 7:
+            out.append(f"CLOSE_PATH\t{ci}")
+            i += 1
+        else:
+            out.append(f"unknown({cmd_id})\t{ci}")
+            i += 1
+    return out
+
+
 def geom_type_label(col: Column | str) -> Column:
     """Plan-side geom-type label for decoded feature frames (pure
     Catalyst CASE, no UDF)."""
