@@ -142,6 +142,26 @@ def test_cli_layer_selector(spark):
     assert len(assemble.select_layer(layers, "99").toPandas()) == 0
 
 
+def test_select_layer_duplicate_names_first_match(spark):
+    """get_layer_by_name semantics on duplicate layer names: the FIRST
+    matching layer per tile wins (vector_tile.hpp:214-271)."""
+    f = T.build_feature(1, 1, np.array([9, 2, 2], dtype=np.uint64))
+    la = T.build_layer("dup", [f], [], [])
+    lb = T.build_layer("dup", [f, f], [], [])
+    buf = T.build_tile([la, lb])
+    tiles = spark.createDataFrame(
+        [(0, 0, 0, bytearray(buf))],
+        "z long, x long, y long, tile_bytes binary")
+    layers = assemble.decode_layers(tiles)
+    first = assemble.select_layer(layers, "dup").toPandas()
+    assert len(first) == 1 and int(first["layer_ordinal"].iloc[0]) == 0
+    assert int(first["num_features"].iloc[0]) == 1
+    both = assemble.select_layer(layers, "dup", first_match=False).toPandas()
+    assert len(both) == 2
+    # local form agrees
+    assert len(T.get_layer(buf, "dup").features) == 1
+
+
 def test_read_mvt_files_filename_zxy(spark, tmp_path):
     """z/x/y comes from the {z}-{x}-{y}.mvt convention; other names
     decode with address -1."""

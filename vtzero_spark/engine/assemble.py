@@ -774,13 +774,27 @@ def decode_layers(tiles: DataFrame) -> DataFrame:
     return tiles.mapInPandas(fn, schema=LAYER_VIEW_SCHEMA)
 
 
-def select_layer(layers: DataFrame, selector: str) -> DataFrame:
+def select_layer(layers: DataFrame, selector: str,
+                 first_match: bool = True) -> DataFrame:
     """Distributed CLI layer selector over decode_layers rows
     (examples/utils.cpp:78-100): all-digits -> by zero-based position
-    (layer_ordinal), anything else -> by name."""
+    (layer_ordinal), anything else -> by name. By-name keeps only the
+    FIRST matching layer per tile like get_layer_by_name
+    (vector_tile.hpp:214-271); pass first_match=False to keep every
+    same-named layer."""
+    from pyspark.sql.window import Window
+
     if selector.isdigit():
         return layers.where(F.col("layer_ordinal") == int(selector))
-    return layers.where(F.col("layer_name") == selector)
+    named = layers.where(F.col("layer_name") == selector)
+    if not first_match:
+        return named
+    w = Window.partitionBy("z", "x", "y")
+    return (
+        named.withColumn("_first", F.min("layer_ordinal").over(w))
+        .where(F.col("layer_ordinal") == F.col("_first"))
+        .drop("_first")
+    )
 
 
 _FEATURE_COLS = ["z", "x", "y", "layer_ordinal", "layer_name", "version",
