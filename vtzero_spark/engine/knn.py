@@ -91,11 +91,12 @@ def knn_join(
                 + (F.col("wy") - F.col("qy")) * (F.col("wy") - F.col("qy"))
             ).alias("dist_sq"),
         )
-        prev = acc
-        acc = (cand if acc is None else acc.unionByName(cand)).persist()
-        acc.count()  # materialize before dropping the previous round's cache
-        if prev is not None:
-            prev.unpersist()
+        # eager localCheckpoint both materializes this round's
+        # accumulator AND truncates its lineage — without it the union
+        # chain replays every earlier ring on a recompute and the plan
+        # grows linearly with ring depth
+        acc = (cand if acc is None else acc.unionByName(cand)) \
+            .localCheckpoint(eager=True)
 
         # early-termination check: kth candidate within the certified radius
         w = Window.partitionBy("qid").orderBy("dist_sq", point_id)
