@@ -485,6 +485,12 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.fingerprint(synth.load(spark, sf_dir, "documents"))
 
 
+def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation flow: exact dedup -> language filter ->
+    quality gate -> fingerprint, one declarative plan (2 shuffles)."""
+    return textops.curation_pipeline(synth.load(spark, sf_dir, "documents"))
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.ann_topk(synth.load(spark, sf_dir, "embeddings"))
 
@@ -630,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "quality": q_quality,
         "fingerprint": q_fingerprint,
+        "curation": q_curation,
         "ann_topk": q_ann_topk,
         "embed_neardup": q_embed_neardup,
         # rows-only (non-SQL-expressible; tested in tests/)
@@ -832,6 +839,7 @@ FROM r GROUP BY 1, 2
         "token_stats": textops.TOKEN_STATS_SQL,
         "quality": textops.QUALITY_SCORE_SQL,
         "fingerprint": textops.FINGERPRINT_SQL,
+        "curation": textops.curation_sql(),
         "ann_topk": simsearch.ann_topk_sql(),
         "embed_neardup": simsearch.embed_neardup_sql(),
     }

@@ -446,6 +446,75 @@ FROM t
 """
 
 
+# ----------------------------------------------------- curation pipeline
+
+def curation_pipeline(docs: DataFrame, lang: str = "en",
+                      min_quality: int = 600) -> DataFrame:
+    """The composed training-data curation flow — exact dedup (keep
+    first copy), language filter, quality gate, fingerprint — as ONE
+    declarative plan: every stage is a Catalyst-visible relational op
+    (the dedup semi-join, the scoring expressions, the final
+    projection), so filters push down and the whole chain is 2
+    shuffles (dedup group + the keep-join)."""
+    keep = dedup_exact(docs).select(F.col("keep_id").alias("doc_id"))
+    kept = docs.join(keep, "doc_id")  # first copy of each text survives
+    scored = (
+        lang_id(kept).select("doc_id", "pred_lang")
+        .join(quality_score(kept), "doc_id")
+        .join(fingerprint(kept), "doc_id")
+    )
+    return scored.where(
+        (F.col("pred_lang") == lang) & (F.col("quality") >= min_quality)
+    ).select("doc_id", "pred_lang", "quality", "fp")
+
+
+def curation_sql(lang: str = "en", min_quality: int = 600) -> str:
+    lang_cols = []
+    for lg, subs in _LANG_PROFILES:
+        expr = " + ".join(_occ("text", s, div="//") for s in subs)
+        lang_cols.append(f"({expr}) AS s_{lg}")
+    return f"""
+WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+kept AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+l AS (
+  SELECT doc_id, {', '.join(lang_cols)} FROM kept
+),
+lang AS (
+  SELECT doc_id,
+         CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+              WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+              WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pred_lang
+  FROM l
+),
+t AS (
+  SELECT doc_id,
+         length(text) AS n_chars_m,
+         length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+         (1000 * (length(text) - length(translate(text, 'aeiou', '')))) // length(text) AS vowel_x1000
+  FROM kept
+),
+q AS (
+  SELECT doc_id,
+         least(1000, (least(n_chars_m, 400) * 400) // 400
+           + (least(vowel_x1000, 400) * 400) // 400
+           + (least(n_tokens, 100) * 200) // 100) AS quality
+  FROM t
+),
+f AS (
+  SELECT doc_id,
+         list_reduce(
+           list_concat([CAST({_FP_SEED} AS BIGINT)],
+             [CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)
+              FOR i IN range(1, least({_FP_LEN}, length(text)) + 1)]),
+           (a, c) -> (a * 31 + c) % {_FP_MOD}) AS fp
+  FROM kept
+)
+SELECT lang.doc_id, pred_lang, quality, fp
+FROM lang JOIN q USING (doc_id) JOIN f USING (doc_id)
+WHERE pred_lang = '{lang}' AND quality >= {min_quality}
+"""
+
+
 # ----------------------------------------------------- fingerprint
 
 _FP_MOD = 1000000007
