@@ -230,14 +230,24 @@ def minhash_lsh_pairs(docs: DataFrame, threshold_x1000: int = 500) -> DataFrame:
 
     The band bucket join is the scale path: groupBy(band, bucket_hash)
     — a pure shuffle join, no quadratic blowup."""
-    sig = minhash_signatures(docs)
+    # materialize signatures ONCE (eager localCheckpoint): three
+    # consumers follow (band build + both refine sides) and the UDF is
+    # the expensive stage; at cluster scale this is the standard
+    # persist-the-sketch-table step
+    sig = minhash_signatures(docs).localCheckpoint(eager=True)
     rows_per_band = _N_HASH // _N_BANDS
+    # bands stay THIN (doc_id, band, bucket): the pair join and its
+    # dedup shuffle move 24-byte rows, never the 64-lane signatures —
+    # those rejoin only for the surviving candidate pairs
     bands = sig.select(
-        "doc_id", "sig",
+        "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(_N_BANDS - 1))).alias("band"),
-    ).withColumn(
-        "bucket",
-        F.xxhash64(F.col("band"), F.expr(f"slice(sig, band * {rows_per_band} + 1, {rows_per_band})")),
+        "sig",
+    ).select(
+        "doc_id", "band",
+        F.xxhash64(F.col("band"), F.expr(
+            f"slice(sig, band * {rows_per_band} + 1, {rows_per_band})")
+        ).alias("bucket"),
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -245,11 +255,13 @@ def minhash_lsh_pairs(docs: DataFrame, threshold_x1000: int = 500) -> DataFrame:
         a.join(b, ["band", "bucket"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_id"),
-                F.col("b.doc_id").alias("other_id"),
-                F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+                F.col("b.doc_id").alias("other_id"))
         .dropDuplicates(["doc_id", "other_id"])
     )
-    est = cand.withColumn(
+    sa = sig.select(F.col("doc_id"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("other_id"),
+                    F.col("sig").alias("sig_b"))
+    est = cand.join(sa, "doc_id").join(sb, "other_id").withColumn(
         "est_jaccard_x1000",
         F.expr(
             "(1000 * size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)))"
