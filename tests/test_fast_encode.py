@@ -70,3 +70,31 @@ def test_fast_encode_tiles_decode_ok(spark, sf_dir):
     bad = decoded.where(F.col("decode_status") != "ok").count()
     assert bad == 0
     assert decoded.count() > 0
+
+
+def test_arrow_decode_matches_pandas_decode(spark, sf_dir):
+    """decode_tiles_arrow == decode_tiles row-for-row, including
+    malformed tiles surfacing as decode_status rows (the zero-copy
+    geometry ListArray must carry identical command streams)."""
+    feats = entry._features(spark, sf_dir).select(*entry.POINT_COLS)
+    tiles = entry._encode_image_tiles(feats)
+    # append one corrupt tile: errors must round through both paths
+    bad = spark.createDataFrame(
+        [(9, 9, 9, bytearray(b"\x1a\x05garb"))],
+        "z long, x long, y long, tile_bytes binary")
+    allt = tiles.select("z", "x", "y", "tile_bytes").unionByName(bad)
+    key = ["z", "x", "y", "layer_ordinal", "feature_ordinal", "feature_id"]
+    a = assemble.decode_tiles(allt).toPandas() \
+        .sort_values(key).reset_index(drop=True)
+    b = assemble.decode_tiles_arrow(allt).toPandas() \
+        .sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b) and len(a) > 0
+    assert (a["decode_status"] != "ok").sum() >= 1
+    for c in a.columns:
+        if c == "geometry":
+            assert all(
+                (p is None and q is None)
+                or (p is not None and q is not None and list(p) == list(q))
+                for p, q in zip(a[c], b[c])), c
+        else:
+            assert (a[c].fillna(-1) == b[c].fillna(-1)).all(), c
