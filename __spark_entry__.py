@@ -458,6 +458,13 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.sessionize(ev).drop("value_sum")
 
 
+def q_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same sessionization through Catalyst's NATIVE gap-session
+    operator (F.session_window) — same oracle as sessionize."""
+    ev = synth.load(spark, sf_dir, "events")
+    return sessions.sessionize_native(ev).drop("value_sum")
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.dedup_exact(synth.load(spark, sf_dir, "documents"))
 
@@ -633,6 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pyramid": q_pyramid,
         "raster_vector": q_raster_vector,
         "sessionize": q_sessionize,
+        "sessionize_native": q_sessionize_native,
         "dedup_exact": q_dedup_exact,
         "dedup_hashed": q_dedup_hashed,
         "ngram_jaccard": q_ngram_jaccard,
@@ -836,6 +844,7 @@ SELECT rx // {shift} AS x, ry // {shift} AS y,
 FROM r GROUP BY 1, 2
 """,
         "sessionize": sessions.sessionize_sql(),
+        "sessionize_native": sessions.sessionize_sql(),
         "dedup_exact": textops.DEDUP_EXACT_SQL,
         "dedup_hashed": textops.DEDUP_EXACT_SQL,
         "ngram_jaccard": textops.ngram_jaccard_adjacent_sql(),

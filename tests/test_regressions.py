@@ -97,6 +97,34 @@ def test_sessionize_stream_sorts_across_chunks(spark, tmp_path):
     assert int(got["last_ts"].iloc[0]) == int(want["last_ts"])
 
 
+def test_sessionize_native_gap_boundary(spark):
+    """Pin the session_window boundary semantics against the analytic
+    form: an event exactly gap seconds after the previous one stays in
+    the session (split on strictly >), including with fractional
+    sub-second timestamps."""
+    from vtzero_spark.engine import sessions
+
+    base = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+    rows = [
+        (1, 0, base, 1.0),
+        (1, 1, base + datetime.timedelta(seconds=1800), 1.0),   # same
+        (1, 2, base + datetime.timedelta(seconds=3601), 1.0),   # new
+        # fractional: tsec diff is 1801 (split) though raw diff < 1801
+        (2, 3, base + datetime.timedelta(seconds=0, milliseconds=900), 1.0),
+        (2, 4, base + datetime.timedelta(seconds=1801, milliseconds=100), 1.0),
+    ]
+    ev = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "event_id", "ts", "value"]))
+    a = sessions.sessionize(ev).orderBy("user_id", "session_id").toPandas()
+    b = sessions.sessionize_native(ev).orderBy("user_id", "session_id").toPandas()
+    assert a[["user_id", "session_id", "n_events", "first_ts", "last_ts"]] \
+        .equals(b[["user_id", "session_id", "n_events", "first_ts", "last_ts"]])
+    u1 = a[a.user_id == 1]
+    assert u1["n_events"].tolist() == [2, 1]
+    u2 = a[a.user_id == 2]
+    assert u2["n_events"].tolist() == [1, 1]
+
+
 def test_geomstream_trailing_empty_geometry():
     # feature 0: real point; features 1+2: empty command streams at the
     # END of the group -> reduceat offsets == len(gvals); previously

@@ -92,6 +92,37 @@ FROM g GROUP BY user_id, session_id
 """
 
 
+def sessionize_native(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Built-in F.session_window form of sessionize — Catalyst's native
+    gap-session operator instead of the two analytic windows. Spark's
+    session end is INCLUSIVE (an event exactly gap seconds after the
+    last one still joins the session), which is precisely the oracle's
+    strictly-greater split rule, so the duration is the gap itself.
+    session_id is renumbered 0..n-1 per user by session start to match
+    the oracle's ordering exactly."""
+    gap = gap_minutes * 60
+    # truncate to whole seconds first: the gap comparison must run on
+    # the same floor(epoch) values the analytic form and the oracle
+    # use, or fractional sub-second offsets flip boundary sessions
+    ev = events.withColumn(
+        "_tsec", F.timestamp_seconds(F.unix_timestamp("ts")))
+    agg = ev.groupBy(
+        "user_id",
+        F.session_window("_tsec", f"{gap} seconds").alias("w"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.min(F.unix_timestamp("ts")).alias("first_ts"),
+        F.max(F.unix_timestamp("ts")).alias("last_ts"),
+        F.sum("value").alias("value_sum"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("w.start"))
+    return agg.withColumn(
+        "session_id", (F.row_number().over(w) - 1).cast("long")
+    ).select("user_id", "session_id", "n_events", "first_ts", "last_ts",
+             "value_sum", "value_cents")
+
+
 def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Stateful streaming sessionization: per-user GroupState holds the
     open session; every event either extends it or closes it (emitting
