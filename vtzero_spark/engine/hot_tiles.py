@@ -47,19 +47,6 @@ _VALUES_SCHEMA = ("z long, x long, y long, layer_name string, "
                   "vsize int, values_section binary")
 
 
-def _melt(features: DataFrame, prop_spec) -> DataFrame:
-    entries = []
-    for c, (_, vtype, col) in enumerate(prop_spec):
-        entries.append(F.struct(
-            F.lit(c).alias("col_idx"),
-            F.lit(vtype).alias("vtype"),
-            F.col(col).cast("string").alias("value_str"),
-        ))
-    return features.select(
-        *LAYER_KEY, "feature_ordinal", F.explode(F.array(*entries)).alias("p")
-    ).select(*LAYER_KEY, "feature_ordinal", "p.col_idx", "p.vtype", "p.value_str")
-
-
 def _encode_values_pdf(pdf: pd.DataFrame) -> tuple[bytes, int]:
     """Dict rows (vtype, value_str) sorted by idx -> values-section
     bytes, vectorized via the pbf scatter primitives."""
@@ -129,23 +116,41 @@ def _assemble_chunked(features: DataFrame, prop_spec, chunk_rows: int,
     feats = features
     if prop_spec:
         # 1. distributed dictionaries (first-appearance over the
-        #    interleaved (ordinal, column-slot) stream)
-        melted = _melt(features, prop_spec)
-        firsts = melted.groupBy(*LAYER_KEY, "vtype", "value_str").agg(
-            F.min(F.struct("feature_ordinal", "col_idx")).alias("first"))
+        #    interleaved (ordinal, column-slot) stream) WITHOUT a melt:
+        #    per property column, a map-side-combined groupBy finds
+        #    each value's min ordinal (only DISTINCT (layer, value)
+        #    rows ever shuffle); the interleaved first appearance is
+        #    then the min of the per-column minima tagged with their
+        #    column slot — identical to the sequential add_property
+        #    order (builder_impl.hpp:104-147)
+        parts = []
+        for c, (_, vtype, col) in enumerate(prop_spec):
+            parts.append(
+                features.groupBy(
+                    *LAYER_KEY,
+                    F.col(col).cast("string").alias("value_str"))
+                .agg(F.min("feature_ordinal").alias("_o"))
+                .select(*LAYER_KEY, F.lit(vtype).alias("vtype"),
+                        "value_str",
+                        F.struct(F.col("_o").alias("feature_ordinal"),
+                                 F.lit(c).alias("col_idx")).alias("first")))
+        allparts = parts[0]
+        for p in parts[1:]:
+            allparts = allparts.unionByName(p)
+        firsts = allparts.groupBy(*LAYER_KEY, "vtype", "value_str").agg(
+            F.min("first").alias("first"))
         w_dict = Window.partitionBy(*LAYER_KEY).orderBy("first")
         dict_df = firsts.withColumn("idx", F.row_number().over(w_dict) - 1)
 
-        # 2. tag indexes per feature (join + conditional agg to wide)
-        tags = (
-            melted.join(
-                dict_df.select(*LAYER_KEY, "vtype", "value_str", "idx"),
-                LAYER_KEY + ["vtype", "value_str"])
-            .groupBy(*LAYER_KEY, "feature_ordinal")
-            .agg(*[F.max(F.when(F.col("col_idx") == c, F.col("idx")))
-                   .alias(f"tag{c}") for c in range(nprops)])
-        )
-        feats = features.join(tags, LAYER_KEY + ["feature_ordinal"])
+        # 2. tag indexes per feature: one value-equality join per
+        #    property column (full rows shuffle once per column; no
+        #    3x-exploded melt join and no pivot-back aggregation)
+        for c, (_, vtype, col) in enumerate(prop_spec):
+            dc = dict_df.where(F.col("vtype") == F.lit(vtype)).select(
+                *LAYER_KEY, F.col("value_str").alias(f"_v{c}"),
+                F.col("idx").alias(f"tag{c}"))
+            feats = feats.withColumn(f"_v{c}", F.col(col).cast("string")) \
+                .join(dc, LAYER_KEY + [f"_v{c}"]).drop(f"_v{c}")
     # chunk id from the ordinal with a PER-LAYER span — no per-layer
     # window (a row_number window would stream the entire hot layer
     # through one task, defeating the point of chunking). The span is
