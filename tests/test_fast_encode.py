@@ -98,3 +98,30 @@ def test_arrow_decode_matches_pandas_decode(spark, sf_dir):
                 for p, q in zip(a[c], b[c])), c
         else:
             assert (a[c].fillna(-1) == b[c].fillna(-1)).all(), c
+
+
+def test_arrow_props_decode_matches_pandas_props_decode(spark, sf_dir):
+    """decode_tiles_arrow(properties=True) (the columnar MapArray tag
+    resolution, now the decode_tiles default) must equal the scalar
+    pandas reference `_decode_tile_batch(want_props=True)` map-for-map
+    (layer.hpp:424-508 parity carried by both paths)."""
+    feats = entry._features(spark, sf_dir)
+    tiles = entry._encode_image_tiles(feats)
+    key = ["z", "x", "y", "layer_ordinal", "feature_ordinal", "feature_id"]
+    a = tiles.mapInPandas(
+        lambda it: assemble._decode_tile_batch(it, want_props=True),
+        schema=assemble.FEATURE_PROPS_SCHEMA).toPandas() \
+        .sort_values(key).reset_index(drop=True)
+    b = assemble.decode_tiles_arrow(tiles, properties=True).toPandas() \
+        .sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b) and len(a) > 0
+    assert (a["decode_status"] == "ok").all()
+    for pa_, pb in zip(a["properties"], b["properties"]):
+        assert (pa_ is None) == (pb is None)
+        if pa_ is None:
+            continue
+        assert set(pa_) == set(pb)
+        for k in pa_:
+            ca, cb = pa_[k], pb[k]
+            for fld in ("vtype", "sval", "dval", "ival"):
+                assert ca[fld] == cb[fld], (k, fld)

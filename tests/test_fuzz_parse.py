@@ -89,12 +89,19 @@ def _exercise_distributed(buf: bytes) -> None:
 
     from vtzero_spark.engine import assemble
 
+    import pyarrow as pa
+
     pdf = pd.DataFrame({"z": [0], "x": [0], "y": [0],
                         "tile_bytes": [buf]})
     for want_props in (False, True):
         out = list(assemble._decode_tile_batch(iter([pdf]), want_props))
         assert len(out) == 1
         assert "decode_status" in out[0].columns
+    rb = pa.RecordBatch.from_pydict(
+        {"z": [0], "x": [0], "y": [0], "tile_bytes": [buf]})
+    for want_props in (False, True):
+        for ob in assemble._decode_tile_batches_arrow(iter([rb]), want_props):
+            assert "decode_status" in ob.schema.names
 
 
 @settings(max_examples=200, deadline=None)

@@ -832,8 +832,8 @@ def _decode_layer_values(layer) -> tuple[list[str], list]:
 def _feature_props(f, keys_dec, vals_dec) -> tuple[dict | None, str]:
     """One feature's tag pairs -> properties map cell + status.
     Out-of-range indexes mirror layer.hpp:434-460 (OutOfRangeError) as
-    DATA; duplicate keys collapse to the last pair like vtzero's
-    create_properties_map (property_map.hpp)."""
+    DATA; duplicate keys keep the FIRST pair like vtzero's
+    create_properties_map (property_map.hpp map.emplace semantics)."""
     t = f.tags
     if t.size == 0:
         return {}, "ok"
@@ -848,8 +848,150 @@ def _feature_props(f, keys_dec, vals_dec) -> tuple[dict | None, str]:
         v = vals_dec[int(b)]
         if isinstance(v, MVTError):
             return None, f"{type(v).__name__}: {v}"
-        out[keys_dec[int(a)]] = v
+        out.setdefault(keys_dec[int(a)], v)
     return out, "ok"
+
+
+def _utf8_safe(s: str) -> str:
+    """Spark strings are UTF-8; surrogateescape'd bytes from invalid
+    tile content (tile.py keeps raw name/key/value bytes losslessly,
+    like vtzero's data_view) cannot cross the Arrow boundary. At the
+    DataFrame edge, lone surrogates degrade to U+FFFD; the local parse
+    path stays lossless."""
+    try:
+        s.encode("utf-8")
+        return s
+    except UnicodeEncodeError:
+        return s.encode("utf-8", "surrogateescape").decode("utf-8", "replace")
+
+
+def _pa_str_array(vals, pa):
+    """pa.array over possibly-surrogate strings: fast path straight
+    through, sanitize only when encoding fails (malformed tiles)."""
+    try:
+        return pa.array(vals, pa.string())
+    except UnicodeEncodeError:
+        return pa.array([None if v is None else _utf8_safe(v)
+                         for v in vals], pa.string())
+
+
+class _LayerValueTables:
+    """Columnar form of a layer's decoded key/value dictionaries —
+    dictionary-sized work done once per layer (layer.hpp:299-330), laid
+    out as arrays so per-feature tag resolution is a pure numpy gather.
+
+    ``canon`` maps each key index to the FIRST index carrying an equal
+    decoded string, so first-wins duplicate-key collapse
+    (property_map.hpp map.emplace) is an integer comparison."""
+
+    __slots__ = ("keys_dec", "canon", "vtype", "sval", "dval", "dmask",
+                 "ival", "imask", "err_msgs", "err_flag", "err_any")
+
+    def __init__(self, layer) -> None:
+        self.keys_dec = [k.decode("utf-8", errors="surrogateescape")
+                         for k in layer.keys]
+        first: dict[str, int] = {}
+        self.canon = np.fromiter(
+            (first.setdefault(k, i) for i, k in enumerate(self.keys_dec)),
+            np.int64, len(self.keys_dec))
+        nv = len(layer.values)
+        self.vtype = np.zeros(nv, np.int32)
+        self.sval: list[str | None] = [None] * nv
+        self.dval = np.zeros(nv, np.float64)
+        self.dmask = np.zeros(nv, bool)
+        self.ival = np.zeros(nv, np.int64)
+        self.imask = np.zeros(nv, bool)
+        self.err_msgs: list[str | None] = [None] * nv
+        self.err_flag = np.zeros(nv, bool)
+        for i, vb in enumerate(layer.values):
+            try:
+                tag, pv = V.decode_value(bytes(vb))
+            except MVTError as e:
+                self.err_msgs[i] = f"{type(e).__name__}: {e}"
+                self.err_flag[i] = True
+                continue
+            self.vtype[i] = tag
+            if tag == V.VT_STRING:
+                self.sval[i] = pv
+            elif tag in (V.VT_FLOAT, V.VT_DOUBLE):
+                self.dval[i] = float(pv)
+                self.dmask[i] = True
+            else:
+                v = int(bool(pv)) if tag == V.VT_BOOL else int(pv)
+                # uint values above int64 range wrap two's-complement
+                # (the map column carries int64; raw-bytes identity is
+                # preserved by the wire, not this view)
+                if v >= 1 << 63:
+                    v -= 1 << 64
+                self.ival[i] = v
+                self.imask[i] = True
+        self.err_any = bool(self.err_flag.any())
+
+
+def _bad_feature_status(tags, nk: int, nv: int,
+                        err_msgs: list[str | None]) -> str:
+    """Exact per-feature error message for a feature flagged bad by the
+    vectorized pass — same check order as _feature_props (key range,
+    value range, first invalid value entry; layer.hpp:434-460)."""
+    t = np.asarray(tags)
+    ki = t[0::2]
+    vi = t[1::2]
+    if int(ki.max()) >= nk:
+        return f"OutOfRangeError: key index {int(ki.max())} out of range"
+    if int(vi.max()) >= nv:
+        return f"OutOfRangeError: value index {int(vi.max())} out of range"
+    for b in vi:
+        m = err_msgs[int(b)]
+        if m is not None:
+            return m
+    return "ok"
+
+
+def _resolve_layer_tags(feats, tabs: _LayerValueTables):
+    """Vectorized tag resolution for one layer: all features' tag pairs
+    are concatenated and validated with array ops (the columnar analog
+    of feature.hpp:298-311 create_properties_map). Returns
+    (kept_key_idx, kept_val_idx, per-feature kept-pair counts,
+    per-feature status list, per-feature bad mask); rare bad features
+    get their exact message from the scalar fallback."""
+    nf = len(feats)
+    nk = len(tabs.keys_dec)
+    nv = tabs.vtype.size
+    npairs = np.fromiter((f.tags.size >> 1 for f in feats), np.int64, nf)
+    total = int(npairs.sum())
+    if total == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                np.zeros(nf, np.int64), ["ok"] * nf, np.zeros(nf, bool))
+    flat = np.concatenate([np.asarray(f.tags, np.uint64) for f in feats])
+    ki = flat[0::2]
+    vi = flat[1::2]
+    pair_feat = np.repeat(np.arange(nf), npairs)
+    bad = (ki >= np.uint64(nk)) | (vi >= np.uint64(nv))
+    if tabs.err_any:
+        inr = ~bad
+        vidx = np.where(inr, vi, 0).astype(np.int64)
+        bad |= inr & tabs.err_flag[vidx]
+    featbad = np.bincount(pair_feat, weights=bad, minlength=nf) > 0
+    statuses = ["ok"] * nf
+    if featbad.any():
+        for j in np.flatnonzero(featbad):
+            statuses[j] = _bad_feature_status(
+                feats[j].tags, nk, nv, tabs.err_msgs)
+    goodp = ~featbad[pair_feat]
+    gki = ki[goodp].astype(np.int64)
+    gvi = vi[goodp].astype(np.int64)
+    gfeat = pair_feat[goodp]
+    # first-wins duplicate-key collapse on canonical (string-equal) ids:
+    # stable lexsort keeps original pair order within (feature, key)
+    ck = tabs.canon[gki]
+    order = np.lexsort((ck, gfeat))
+    sk = ck[order]
+    sf = gfeat[order]
+    dup = np.zeros(order.size, bool)
+    dup[1:] = (sk[1:] == sk[:-1]) & (sf[1:] == sf[:-1])
+    keep = np.sort(order[~dup])
+    counts = np.bincount(gfeat[keep], minlength=nf).astype(np.int64)
+    return gki[keep], gvi[keep], counts, statuses, featbad
 
 
 def _decode_tile_batch(batches: Iterator[pd.DataFrame],
@@ -943,12 +1085,33 @@ def _decode_tile_batch(batches: Iterator[pd.DataFrame],
             yield ok_frame
 
 
-def _decode_tile_batches_arrow(batches):
+_PROPS_ITEM_TYPE = None  # built lazily (pyarrow import stays local)
+
+
+def _props_arrow_type():
+    import pyarrow as pa
+    global _PROPS_ITEM_TYPE
+    if _PROPS_ITEM_TYPE is None:
+        _PROPS_ITEM_TYPE = pa.map_(pa.string(), pa.struct([
+            pa.field("vtype", pa.int32()), pa.field("sval", pa.string()),
+            pa.field("dval", pa.float64()), pa.field("ival", pa.int64()),
+        ]))
+    return _PROPS_ITEM_TYPE
+
+
+def _decode_tile_batches_arrow(batches, want_props: bool = False):
     """Arrow-native decode: per layer, the geometry column is built as
     ONE zero-copy ListArray from the concatenated command values +
     offsets — command ints never become Python list objects (the read-
     path analog of the Arrow-native encoder). Rare error rows are
-    emitted as their own small batch."""
+    emitted as their own small batch.
+
+    With ``want_props`` the decoded key/value map column is assembled
+    columnar too: per-layer dictionaries resolve once into value
+    tables (_LayerValueTables), tag pairs gather by index, and the map
+    column is ONE pa.MapArray built from offsets — no per-feature
+    Python dicts (the distributed, vectorized form of
+    layer.hpp:424-508 + feature.hpp:298-311)."""
     import pyarrow as pa
 
     fields = [
@@ -960,6 +1123,8 @@ def _decode_tile_batches_arrow(batches):
         ("geometry_nbytes", pa.int32()), ("num_properties", pa.int32()),
         ("decode_status", pa.string()),
     ]
+    if want_props:
+        fields.append(("properties", _props_arrow_type()))
     schema = pa.schema(fields)
 
     for batch in batches:
@@ -975,6 +1140,16 @@ def _decode_tile_batches_arrow(batches):
         gflat_parts: list[np.ndarray] = []
         glens_parts: list[np.ndarray] = []
         err_rows: list[dict] = []
+        # props accumulators: indices are re-based into the batch-wide
+        # concatenated key/value tables so one gather serves all layers
+        pair_k_parts: list[np.ndarray] = []
+        pair_v_parts: list[np.ndarray] = []
+        counts_parts: list[np.ndarray] = []
+        bad_parts: list[np.ndarray] = []
+        keys_strs: list[str | None] = []
+        val_tabs: list[_LayerValueTables] = []
+        key_base = 0
+        val_base = 0
 
         for ri in range(len(zs)):
             z, x, y = int(zs[ri]), int(xs[ri]), int(ys[ri])
@@ -1016,7 +1191,21 @@ def _decode_tile_batches_arrow(batches):
                 acc["num_properties"].append(
                     np.fromiter((f.tags.size // 2 for f in feats),
                                 np.int32, nf))
-                acc["decode_status"].append(["ok"] * nf)
+                if want_props:
+                    tabs = _LayerValueTables(layer)
+                    kki, kvi, counts, statuses, featbad = \
+                        _resolve_layer_tags(feats, tabs)
+                    pair_k_parts.append(kki + key_base)
+                    pair_v_parts.append(kvi + val_base)
+                    counts_parts.append(counts)
+                    bad_parts.append(featbad)
+                    keys_strs.extend(tabs.keys_dec)
+                    val_tabs.append(tabs)
+                    key_base += len(tabs.keys_dec)
+                    val_base += tabs.vtype.size
+                    acc["decode_status"].append(statuses)
+                else:
+                    acc["decode_status"].append(["ok"] * nf)
 
         if acc["z"]:
             glens = np.concatenate(glens_parts)
@@ -1027,11 +1216,57 @@ def _decode_tile_batches_arrow(batches):
                 pa.array(np.concatenate(gflat_parts)
                          if gflat_parts else np.empty(0, np.int64),
                          pa.int64()))
+            props_col = None
+            if want_props:
+                pk = (np.concatenate(pair_k_parts) if pair_k_parts
+                      else np.empty(0, np.int64))
+                pv = (np.concatenate(pair_v_parts) if pair_v_parts
+                      else np.empty(0, np.int64))
+                keys_tab = _pa_str_array(keys_strs, pa)
+                items_tab = pa.StructArray.from_arrays([
+                    pa.array(np.concatenate(
+                        [t.vtype for t in val_tabs])
+                        if val_tabs else np.empty(0, np.int32), pa.int32()),
+                    _pa_str_array([s for t in val_tabs for s in t.sval],
+                                  pa),
+                    pa.array(np.concatenate(
+                        [t.dval for t in val_tabs])
+                        if val_tabs else np.empty(0, np.float64),
+                        pa.float64(),
+                        mask=~np.concatenate([t.dmask for t in val_tabs])
+                        if val_tabs else None),
+                    pa.array(np.concatenate(
+                        [t.ival for t in val_tabs])
+                        if val_tabs else np.empty(0, np.int64),
+                        pa.int64(),
+                        mask=~np.concatenate([t.imask for t in val_tabs])
+                        if val_tabs else None),
+                ], names=["vtype", "sval", "dval", "ival"])
+                pair_keys = keys_tab.take(pa.array(pk, pa.int64()))
+                pair_items = items_tab.take(pa.array(pv, pa.int64()))
+                counts_all = (np.concatenate(counts_parts) if counts_parts
+                              else np.empty(0, np.int64))
+                bad_all = (np.concatenate(bad_parts) if bad_parts
+                           else np.empty(0, bool))
+                good_counts = counts_all[~bad_all]
+                offs = np.zeros(good_counts.size + 1, np.int32)
+                np.cumsum(good_counts, out=offs[1:])
+                good_map = pa.MapArray.from_arrays(
+                    pa.array(offs, pa.int32()), pair_keys, pair_items)
+                # bad features -> null map via take with null index
+                idx = (np.cumsum(~bad_all) - 1).astype(np.int32)
+                props_col = good_map.take(
+                    pa.array(idx, pa.int32(), mask=bad_all))
             cols = []
             for name, typ in fields:
                 if name == "geometry":
                     cols.append(geometry)
-                elif name in ("layer_name", "decode_status", "feature_id"):
+                elif name == "properties":
+                    cols.append(props_col)
+                elif name == "layer_name":
+                    cols.append(_pa_str_array(
+                        [v for ch in acc[name] for v in ch], pa))
+                elif name in ("decode_status", "feature_id"):
                     cols.append(pa.array(
                         [v for ch in acc[name] for v in ch], typ))
                 else:
@@ -1041,7 +1276,7 @@ def _decode_tile_batches_arrow(batches):
             z_, x_, y_, li_, st_ = zip(*err_rows)
             n = len(err_rows)
             none = [None] * n
-            yield pa.RecordBatch.from_arrays([
+            err_cols = [
                 pa.array(list(z_), pa.int64()),
                 pa.array(list(x_), pa.int64()),
                 pa.array(list(y_), pa.int64()),
@@ -1053,14 +1288,23 @@ def _decode_tile_batches_arrow(batches):
                 pa.array(none, pa.list_(pa.int64())),
                 pa.array(none, pa.int32()), pa.array(none, pa.int32()),
                 pa.array(list(st_), pa.string()),
-            ], schema=schema)
+            ]
+            if want_props:
+                err_cols.append(pa.nulls(n, _props_arrow_type()))
+            yield pa.RecordBatch.from_arrays(err_cols, schema=schema)
 
 
-def decode_tiles_arrow(tiles: DataFrame) -> DataFrame:
+def decode_tiles_arrow(tiles: DataFrame, properties: bool = False) -> DataFrame:
     """Arrow-native decode_tiles (mapInArrow): identical rows to
     decode_tiles, with the geometry column assembled zero-copy from
     flat command values + offsets — the scale path when downstream
-    consumers are themselves vectorized."""
+    consumers are themselves vectorized. ``properties=True`` adds the
+    decoded key/value map column, also assembled columnar (one
+    MapArray per batch from gathered dictionary tables)."""
+    if properties:
+        return tiles.mapInArrow(
+            lambda it: _decode_tile_batches_arrow(it, want_props=True),
+            schema=FEATURE_PROPS_SCHEMA)
     return tiles.mapInArrow(_decode_tile_batches_arrow,
                             schema=FEATURE_SCHEMA)
 
@@ -1076,11 +1320,14 @@ def decode_tiles(tiles: DataFrame, properties: bool = False) -> DataFrame:
     create_properties_map). Dictionary resolution is per-layer work;
     out-of-range tag indexes and invalid value entries become
     OutOfRangeError / FormatError decode_status rows (fixtures
-    040/042/038), never task failures."""
+    040/042/038), never task failures.
+
+    The properties path is Arrow-native (columnar tag resolution, one
+    MapArray per batch) — the pandas twin `_decode_tile_batch(
+    want_props=True)` is kept as the scalar reference for fuzz/parity
+    tests."""
     if properties:
-        return tiles.mapInPandas(
-            lambda it: _decode_tile_batch(it, want_props=True),
-            schema=FEATURE_PROPS_SCHEMA)
+        return decode_tiles_arrow(tiles, properties=True)
     return tiles.mapInPandas(_decode_tile_batch, schema=FEATURE_SCHEMA)
 
 
