@@ -189,3 +189,41 @@ def test_ivf_topk_recall(spark, sf_dir):
     r_trained = recall(2)
     assert r_trained >= 0.7, f"trained IVF recall too low: {r_trained}"
     assert r_trained >= recall(0)
+
+
+def test_ivf_codebook_cache_trains_once(spark, sf_dir, monkeypatch):
+    """Train-once discipline: repeated ivf_topk over the same table +
+    params must hit the codebook cache (no extra Lloyd jobs), and an
+    explicit ivf_build codebook must reproduce the cached-path result
+    exactly (same deterministic init, same refine order)."""
+    import pandas as pd
+
+    emb = synth.load(spark, sf_dir, "embeddings")
+    simsearch._CODEBOOK_CACHE.clear()
+    calls: list[int] = []
+    orig = simsearch.ivf_train
+
+    def counting_train(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(simsearch, "ivf_train", counting_train)
+
+    def run(codebook=None):
+        return (
+            simsearch.ivf_topk(emb, n_queries=2, k=3, ncentroids=8,
+                               nprobe=4, codebook=codebook)
+            .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+        )
+
+    r1 = run()
+    assert len(calls) == 1
+    r2 = run()
+    assert len(calls) == 1, "second call must reuse the cached codebook"
+    pd.testing.assert_frame_equal(r1, r2)
+
+    cb = simsearch.ivf_build(emb, n_queries=2, ncentroids=8)
+    assert len(calls) == 2
+    r3 = run(codebook=cb)
+    assert len(calls) == 2, "explicit codebook must skip training"
+    pd.testing.assert_frame_equal(r1, r3)
