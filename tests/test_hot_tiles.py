@@ -89,3 +89,53 @@ def test_chunked_geom_encode_byte_parity(spark, sf_dir, chunk_rows):
     assert (a["num_layers"] == b["num_layers"]).all()
     mismatch = a["tile_bytes"].map(bytes) != b["tile_bytes"].map(bytes)
     assert not mismatch.any(), f"{int(mismatch.sum())} tiles differ"
+
+
+def test_chunked_parity_float_double_props(spark):
+    """7-type parity: a prop_spec carrying float and double values must
+    encode byte-identically through the chunked path (fixed32/fixed64
+    entries, types.hpp:141-186) — Spark's shortest-round-trip
+    cast-to-string is the dictionary identity, so parsing it back must
+    reproduce the exact wire bytes."""
+    import numpy as np
+
+    from vtzero_spark.mvt import values as V
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for li, lname in enumerate(("L0", "L1")):
+        for i in range(90):
+            f32 = np.float32(rng.randn() * (10.0 ** rng.randint(-6, 7)))
+            f64 = float(rng.randn() * (10.0 ** rng.randint(-12, 13)))
+            rows.append((3, 2, 1, lname, i, i + li * 1000,
+                         int(rng.randint(0, 4096)), int(rng.randint(0, 4096)),
+                         float(f32), f64, f"s{i % 7}"))
+    feats = spark.createDataFrame(
+        rows, "z long, x long, y long, layer_name string, "
+              "feature_ordinal long, feature_id long, loc_x long, "
+              "loc_y long, fval float, dval double, sval string")
+    spec = [("f", V.VT_FLOAT, "fval"), ("d", V.VT_DOUBLE, "dval"),
+            ("s", V.VT_STRING, "sval")]
+    single = assemble.encode_point_tiles(feats, prop_spec=spec) \
+        .select("tile_bytes").toPandas()
+    chunked = encode_point_tiles_chunked(feats, spec, chunk_rows=13) \
+        .select("tile_bytes").toPandas()
+    assert len(single) == len(chunked) == 1
+    assert bytes(single["tile_bytes"].iloc[0]) == \
+        bytes(chunked["tile_bytes"].iloc[0])
+
+
+def test_chunked_null_prop_value_errors_loudly(spark):
+    """A NULL in a prop_spec column must raise a clear error, not
+    silently drop the feature from the chunked encode (the tag
+    equi-join would never match NULL)."""
+    feats = spark.createDataFrame(
+        [(1, 0, 0, "L", 0, 1, 5, 5, "png"),
+         (1, 0, 0, "L", 1, 2, 6, 6, None)],
+        "z long, x long, y long, layer_name string, "
+        "feature_ordinal long, feature_id long, loc_x long, "
+        "loc_y long, fmt string")
+    from vtzero_spark.mvt import values as V
+    spec = [("fmt", V.VT_STRING, "fmt")]
+    with pytest.raises(Exception, match="non-null"):
+        encode_point_tiles_chunked(feats, spec, chunk_rows=10).collect()

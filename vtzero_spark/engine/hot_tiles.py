@@ -20,9 +20,13 @@ varint encoding — to be serial. This module splits them:
    chunk order; header/keys/values wrap them. Byte-identical to the
    single-group encoder (asserted in tests).
 
-Supported value types for the melt: string / int / uint / sint / bool
-(value identity via (vtype, canonical string) — injective per type, so
-it equals vtzero's encoded-bytes identity).
+All 7 value types are supported (types.hpp:141-186): value identity is
+(vtype, canonical string) — injective per type (Spark's float/double
+cast-to-string is the shortest round-trippable decimal), so it equals
+vtzero's encoded-bytes identity. prop_spec columns must be non-null
+(same contract as the single-group encoders; enforced with a loud
+error in the values encode, since the tag equi-join would otherwise
+silently drop NULL-valued features).
 """
 
 from __future__ import annotations
@@ -55,6 +59,13 @@ def _encode_values_pdf(pdf: pd.DataFrame) -> tuple[bytes, int]:
         strings_to_buffer, varint_len_array,
     )
 
+    if pdf["value_str"].isna().any():
+        # the tag equi-join would silently DROP features whose value is
+        # NULL (NULL != NULL); the dictionary groupBy keeps the NULL
+        # group, so failing here turns that silent loss into an error
+        raise ValueError(
+            "prop_spec columns must be non-null: a NULL property value "
+            "has no MVT wire form (filter or fill before encoding)")
     vts = pdf["vtype"].to_numpy(np.int64)
     total = len(pdf)
     entry_len = np.empty(total, dtype=np.int64)
@@ -78,6 +89,16 @@ def _encode_values_pdf(pdf: pd.DataFrame) -> tuple[bytes, int]:
                 uv = iv.astype(np.uint64)
             caches[vt] = (uv,)
             entry_len[sel] = 1 + varint_len_array(uv)
+        elif vt == V.VT_FLOAT:
+            # Spark's cast-to-string is the shortest round-trippable
+            # decimal (Ryu), so parsing it back yields the exact float
+            # — string identity == wire-bytes identity
+            # (types.hpp:141-186 fixed32)
+            caches[vt] = (vals.astype(np.float32).to_numpy(),)
+            entry_len[sel] = 5
+        elif vt == V.VT_DOUBLE:
+            caches[vt] = (vals.astype(np.float64).to_numpy(),)
+            entry_len[sel] = 9
         else:
             raise ValueError(f"unsupported vtype {vt} in chunked encode")
     offsets = np.zeros(total + 1, dtype=np.int64)
@@ -96,6 +117,16 @@ def _encode_values_pdf(pdf: pd.DataFrame) -> tuple[bytes, int]:
             copy_segments(lenbuf, np.cumsum(lenlens) - lenlens, lenlens,
                           out, sel_off + 1)
             copy_segments(buf, offs[:-1], slen, out, sel_off + 1 + lenlens)
+        elif vt == V.VT_FLOAT:
+            (fv,) = caches[vt]
+            fb = np.ascontiguousarray(
+                fv.astype("<f4")).view(np.uint8).reshape(-1, 4)
+            out[sel_off[:, None] + 1 + np.arange(4)] = fb
+        elif vt == V.VT_DOUBLE:
+            (dv,) = caches[vt]
+            db = np.ascontiguousarray(
+                dv.astype("<f8")).view(np.uint8).reshape(-1, 8)
+            out[sel_off[:, None] + 1 + np.arange(8)] = db
         else:
             (uv,) = caches[vt]
             vlens = varint_len_array(uv)
