@@ -3,9 +3,10 @@
 Per BASELINE.json north_star: "kNN runs as iterative k-ring expansion
 with early termination". Each round is one hash join between the
 unfinished queries' ring-r cells and the cell-bucketed points; the
-driver loop only ever collects per-query completion flags (bounded by
-the number of queries, never by data size), so the operator stays
-distributed at 10^12-point scale.
+finished set is tracked as a DataFrame and pruned with an anti-join,
+so no query id ever reaches the driver or the plan as a literal — the
+loop stays distributed at 10^12-point scale AND at arbitrary query
+cardinality (the driver only runs an empty-check per round).
 
 Correctness bound: after exploring all cells with Chebyshev cell
 distance <= r, any unexplored point is at Euclidean distance
@@ -98,18 +99,27 @@ def knn_join(
         acc = (cand if acc is None else acc.unionByName(cand)) \
             .localCheckpoint(eager=True)
 
-        # early-termination check: kth candidate within the certified radius
+        # early-termination check: kth candidate within the certified
+        # radius, ranked over UNFINISHED queries' candidates only (a
+        # semi-join restriction — finished queries stop paying for the
+        # re-rank). The finished set stays a DataFrame end to end:
+        # an anti-join prunes it from the query side, so no qid list
+        # ever rides through the driver or the plan as a literal —
+        # query cardinality can grow to millions without a driver
+        # bottleneck. localCheckpoint materializes the (bounded,
+        # queries-sized) survivor set and truncates the per-round
+        # anti-join lineage.
         w = Window.partitionBy("qid").orderBy("dist_sq", point_id)
         kth = (
-            acc.withColumn("_rn", F.row_number().over(w))
+            acc.join(unfinished.select("qid"), "qid", "left_semi")
+            .withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == k)
             .select("qid", F.col("dist_sq").alias("kth_d"))
         )
         bound = (r * cell) * (r * cell)
-        finished_rows = kth.where(F.col("kth_d") <= bound).select("qid").collect()
-        finished = [row["qid"] for row in finished_rows]
-        if finished:
-            unfinished = unfinished.where(~F.col("qid").isin(finished))
+        finished_df = kth.where(F.col("kth_d") <= bound).select("qid")
+        unfinished = unfinished.join(finished_df, "qid", "left_anti") \
+            .localCheckpoint(eager=True)
         if unfinished.limit(1).count() == 0:
             break
         if max_cells is not None and r >= 2 * max_cells:
