@@ -152,6 +152,82 @@ def _crc32_batch(strs: list[str]) -> np.ndarray:
         dtype=np.uint64, count=len(strs))
 
 
+_CRC_TAB: np.ndarray | None = None
+
+
+def _crc32_table() -> np.ndarray:
+    """The standard CRC-32 (0xEDB88320) byte table — lets crc32 of
+    fixed-width windows run as pure vectorized table lookups."""
+    global _CRC_TAB
+    if _CRC_TAB is None:
+        tab = np.empty(256, dtype=np.uint32)
+        for i in range(256):
+            c = np.uint32(i)
+            for _ in range(8):
+                c = (c >> np.uint32(1)) ^ (
+                    np.uint32(0xEDB88320) if c & np.uint32(1)
+                    else np.uint32(0))
+            tab[i] = c
+        _CRC_TAB = tab
+    return _CRC_TAB
+
+
+def _segmented_arange(counts: np.ndarray) -> np.ndarray:
+    """[0..c0), [0..c1), ... concatenated (vectorized)."""
+    total = int(counts.sum())
+    starts = np.cumsum(counts) - counts
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+
+
+def _shingle_hashes(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """crc32 hashes of every 3-char shingle of every prefix, batched:
+    one concatenated byte buffer, window starts by segmented arange,
+    crc32 as THREE vectorized table-lookup steps — no per-doc Python
+    on the common (ASCII, len>=3) path. Duplicate shingles are kept:
+    MinHash minima are unaffected, so signatures stay byte-identical
+    to the set-based kernel (pinned in test_sketch_golden).
+
+    Returns (hashes uint64, per-doc counts int64) in document order."""
+    n = len(texts)
+    enc = [t.encode("utf-8") for t in texts]
+    blens = np.fromiter((len(e) for e in enc), np.int64, n)
+    clens = np.fromiter((len(t) for t in texts), np.int64, n)
+    fast = (blens == clens) & (clens >= 3)  # pure-ASCII, >=1 full window
+    counts = np.where(fast, clens - 2, 1).astype(np.int64)
+    # slow docs (non-ASCII or short): per-doc, rare by construction
+    slow_idx = np.flatnonzero(~fast)
+    for i in slow_idx:
+        p = texts[i]
+        counts[i] = max(1, len(p) - 2)
+    offs_out = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=offs_out[1:])
+    H = np.empty(int(offs_out[-1]), dtype=np.uint64)
+
+    if fast.any():
+        buf = np.frombuffer(b"".join(enc), dtype=np.uint8)
+        boffs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(blens, out=boffs[1:])
+        fcounts = counts[fast]
+        # global byte position of every window start, doc-major
+        win = (np.repeat(boffs[:-1][fast], fcounts)
+               + _segmented_arange(fcounts))
+        tab = _crc32_table()
+        crc = np.full(win.size, 0xFFFFFFFF, dtype=np.uint32)
+        for k in range(3):
+            b = buf[win + k].astype(np.uint32)
+            crc = (crc >> np.uint32(8)) ^ tab[(crc ^ b) & np.uint32(0xFF)]
+        vals = (crc ^ np.uint32(0xFFFFFFFF)).astype(np.uint64)
+        # scatter into doc-order output segments
+        dst = (np.repeat(offs_out[:-1][fast], fcounts)
+               + _segmented_arange(fcounts))
+        H[dst] = vals
+    for i in slow_idx:
+        p = texts[i]
+        sh = [p[j:j + 3] for j in range(max(1, len(p) - 2))]
+        H[offs_out[i]:offs_out[i + 1]] = _crc32_batch(sh)
+    return H, counts
+
+
 _MH_BLOCK = 1 << 16  # shingles per cache block (~0.5 MB buffers)
 
 
@@ -163,17 +239,10 @@ def _minhash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             yield pd.DataFrame({"doc_id": [], "sig": []},
                                columns=["doc_id", "sig"])
             continue
-        # shingling stays C-level string slicing; every doc yields >=1
-        # shingle (an empty prefix shingles to ""), so reduceat
-        # segments are never empty
-        hv_parts = []
-        counts = np.empty(n, dtype=np.int64)
-        for i, text in enumerate(pdf["text"]):
-            p = text[:64]
-            shingles = {p[j:j + 3] for j in range(max(1, len(p) - 2))}
-            hv_parts.append(_crc32_batch(list(shingles)))
-            counts[i] = len(shingles)
-        H = np.concatenate(hv_parts)
+        # batched shingling: every doc yields >=1 hash (an empty prefix
+        # shingles to ""), so reduceat segments are never empty; the
+        # whole batch hashes via three vectorized crc table steps
+        H, counts = _shingle_hashes([t[:64] for t in pdf["text"]])
         offs = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(counts, out=offs[1:])
         # cache-blocked lanes: all 64 affine-mod lanes run over an
