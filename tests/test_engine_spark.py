@@ -374,6 +374,11 @@ def test_checkpoint_compaction_and_vacuum(spark, sf_dir, tmp_path):
     spark.read.parquet(os.path.join(out_dir, "data", "bucket=0")) \
         .limit(5).write.parquet(orphan)
     assert cp.read_checkpointed(spark, out_dir).count() == n_before
+    # pre-compaction reads keep the bucket partition column (basePath)
+    assert "bucket" in cp.read_checkpointed(spark, out_dir).columns
+    # default-grace vacuum must NOT touch fresh directories — they may
+    # be an in-flight write wave (data lands before the manifest row)
+    assert cp.vacuum(out_dir) == []
 
     res = cp.compact_all(spark, out_dir, target_files=1)
     assert res["buckets_compacted"] == 3
@@ -386,7 +391,7 @@ def test_checkpoint_compaction_and_vacuum(spark, sf_dir, tmp_path):
         files = [f for f in os.listdir(row["path"]) if f.endswith(".parquet")]
         assert len(files) == 1 and "-c" in row["path"]
 
-    removed = cp.vacuum(out_dir)
+    removed = cp.vacuum(out_dir, grace_seconds=0)
     # 3 superseded originals + the orphan
     assert len(removed) == 4
     assert any(p.endswith("bucket=0-c9") for p in removed)

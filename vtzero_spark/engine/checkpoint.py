@@ -113,11 +113,26 @@ def read_checkpointed(spark: SparkSession, out_dir: str) -> DataFrame:
     exactly the data paths the committed manifest references. A
     compaction that has written new files but not committed its
     manifest row is invisible; uncommitted/orphaned directories are
-    never read."""
+    never read.
+
+    While every referenced path is still a pristine ``data/bucket=N``
+    directory, ``basePath`` is set so the ``bucket`` partition column
+    stays in the schema (parity with a directory-scan read). Once a
+    bucket has been compacted its directory is ``bucket=N-cG`` — not a
+    key=value name — and the column disappears; consumers that need it
+    should derive it from the manifest, not the path."""
+    import re
+
     rows = _manifest_rows(out_dir)
+    base = os.path.join(out_dir, "data")
     if not rows:
-        return spark.read.parquet(os.path.join(out_dir, "data"))
-    return spark.read.parquet(*[_bucket_data_path(out_dir, r) for r in rows])
+        return spark.read.parquet(base)
+    paths = [_bucket_data_path(out_dir, r) for r in rows]
+    if all(os.path.dirname(os.path.abspath(p)) == os.path.abspath(base)
+           and re.fullmatch(r"bucket=\d+", os.path.basename(p))
+           for p in paths):
+        return spark.read.option("basePath", base).parquet(*paths)
+    return spark.read.parquet(*paths)
 
 
 # --------------------------------------------------------- maintenance
@@ -170,10 +185,16 @@ def compact_all(spark: SparkSession, out_dir: str,
     return {"buckets_compacted": done, "skipped": skipped}
 
 
-def vacuum(out_dir: str) -> list[str]:
+def vacuum(out_dir: str, grace_seconds: float = 3600.0) -> list[str]:
     """Remove data directories no committed manifest row references
-    (superseded compaction inputs, aborted writes). Safe at any time:
-    the manifest is the source of truth for readers."""
+    (superseded compaction inputs, aborted writes).
+
+    Safe against READERS at any time (the manifest is their source of
+    truth). Against concurrent WRITERS the protocol writes data before
+    the manifest row, so a just-written, not-yet-committed bucket is
+    unreferenced for a moment — Iceberg-style retention covers that
+    window: directories modified within ``grace_seconds`` are kept.
+    Pass 0 only when no write wave can be in flight."""
     import shutil
 
     data_dir = os.path.join(out_dir, "data")
@@ -181,10 +202,17 @@ def vacuum(out_dir: str) -> list[str]:
         return []
     referenced = {os.path.abspath(_bucket_data_path(out_dir, r))
                   for r in _manifest_rows(out_dir)}
+    cutoff = time.time() - grace_seconds
     removed = []
     for d in sorted(os.listdir(data_dir)):
         full = os.path.abspath(os.path.join(data_dir, d))
-        if os.path.isdir(full) and full not in referenced:
-            shutil.rmtree(full)
-            removed.append(full)
+        if not os.path.isdir(full) or full in referenced:
+            continue
+        try:
+            if os.path.getmtime(full) > cutoff:
+                continue  # possibly an in-flight write wave
+        except OSError:
+            continue
+        shutil.rmtree(full)
+        removed.append(full)
     return removed
