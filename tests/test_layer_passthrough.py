@@ -176,3 +176,20 @@ def test_read_mvt_files_filename_zxy(spark, tmp_path):
     assert 5 in byz and -1 in byz
     assert int(byz[5]["x"]) == 10 and int(byz[5]["y"]) == 20
     assert bytes(byz[5]["tile_bytes"]) == buf
+
+
+def test_passthrough_unfiltered_error_rows_do_not_crash(spark):
+    """decode_layers error rows (layer_bytes NULL) fed to encode_tiles
+    UNFILTERED must be skipped, not crash the task — the passthrough
+    analog of errors-as-data (a fully corrupt tile re-assembles as an
+    empty tile)."""
+    good = open(REF_TILE, "rb").read()
+    df = spark.createDataFrame(
+        [(0, 0, 0, bytearray(good)),
+         (9, 9, 9, bytearray(b"\x1a\x05garb"))],
+        "z long, x long, y long, tile_bytes binary")
+    layers = assemble.decode_layers(df)
+    out = assemble.encode_tiles(layers).toPandas().set_index(["z", "x", "y"])
+    assert bytes(out.loc[(0, 0, 0)]["tile_bytes"]) == good
+    assert out.loc[(9, 9, 9)]["num_layers"] == 0
+    assert bytes(out.loc[(9, 9, 9)]["tile_bytes"]) == b""

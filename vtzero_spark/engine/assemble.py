@@ -689,6 +689,13 @@ def _encode_tile_group(pdf: pd.DataFrame) -> pd.DataFrame:
     order = "layer_ordinal" if passthrough else "layer_name"
     pdf = pdf.sort_values(order, kind="stable")
     z, x, y = int(pdf["z"].iloc[0]), int(pdf["x"].iloc[0]), int(pdf["y"].iloc[0])
+    # decode_layers error rows carry layer_bytes=NULL; skip them here so
+    # unfiltered passthrough pipelines keep the errors-as-data
+    # discipline instead of dying on bytes(None) (callers that want the
+    # errors still see them on the decode_layers side)
+    bad = pdf["layer_bytes"].isna()
+    if bad.any():
+        pdf = pdf[~bad]
     blobs = [bytes(b) for b in pdf["layer_bytes"]]
     counts = [int(n) for n in pdf["num_features"]]
     tile_bytes = T.build_tile(
