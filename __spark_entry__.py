@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from vtzero_spark.engine import (
-    assemble, cells, geomops, joins, knn, sessions, simsearch, synth,
+    assemble, cells, geomops, joins, knn, lint, sessions, simsearch, synth,
     textops, tiling,
 )
 from vtzero_spark.engine.synth import EXTENT, WORLD, ZOOM, ZOOM_R
@@ -205,6 +205,30 @@ def q_linestring_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _geom_roundtrip(spark, sf_dir, "path")
 
 
+def q_donut_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-ring polygon round-trip: every image footprint becomes an
+    outer rectangle plus an opposite-wound half-size hole, pushed
+    through the distributed encode -> decode -> stats path. Exercises
+    ring classification (outer positive / inner negative shoelace,
+    geometry.hpp:337-379, fixtures 021/022) end to end: n_rings counts
+    decoded rings, area2 is outer-minus-hole signed area."""
+    img = synth.images(spark, sf_dir)
+    assigned = tiling.assign_tiles(img, zoom=ZOOM, extent=EXTENT, buffer=0)
+    feats = geomops.donut_stream_features(assigned)
+    tiles = assemble.encode_geom_tiles(feats)
+    stats = geomops.tile_geometry_stats(tiles)
+    return stats.where(F.col("decode_status") == "ok").groupBy(
+        "z", "x", "y", "layer_name"
+    ).agg(
+        F.count("*").alias("n_features"),
+        F.sum("n_parts").cast("long").alias("n_rings"),
+        F.sum("n_points").alias("n_points"),
+        F.sum("sum_x").alias("sum_x"),
+        F.sum("sum_y").alias("sum_y"),
+        F.sum("area2").alias("area2"),
+    )
+
+
 def q_geom_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Error semantics as data (SURVEY §7.3): one quarter of the
     features get a deliberately malformed command stream (ClosePath
@@ -293,6 +317,52 @@ def q_streets_filter_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
         "z", "x", "y", "layer_name", "num_features",
         F.col("value_table_size").cast("long").alias("value_table_size"),
     )
+
+
+def q_tile_lint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONE-query vtzero-check (examples/vtzero-check.cpp:30-229):
+    every image becomes one of five deterministic geometry cases —
+    clean rect, duplicate-point polyline (error), far-off-band rect
+    (warning), zero-area collinear ring (errors), ClosePath-count-2
+    stream (fatal; routed to the last-sorted layer so it aborts only
+    that layer's scan, matching the CLI's exception flow) — encoded to
+    real tiles and linted distributed. Oracle: the finding counts are
+    closed-form in the construction."""
+    img = synth.images(spark, sf_dir)
+    assigned = tiling.assign_tiles(img, zoom=ZOOM, extent=EXTENT, buffer=0)
+    x0, y0 = F.col("loc_x").cast("long"), F.col("loc_y").cast("long")
+    w, h = F.col("w").cast("long"), F.col("h").cast("long")
+    zz = geomops._zz
+    zero = F.lit(0).cast("long")
+    dup_path = F.array(  # p0 -> p1 -> p1 (zero-delta second segment)
+        F.lit(9).cast("long"), zz(x0), zz(y0),
+        F.lit((2 << 3) | 2).cast("long"), zz(w), zz(h), zero, zero)
+    far_rect = geomops.rect_cmds(x0 + 3 * EXTENT, y0, w, h)
+    zero_ring = F.array(  # collinear 2-point ring: area 0, 3 pts
+        F.lit(9).cast("long"), zz(x0), zz(y0),
+        F.lit((1 << 3) | 2).cast("long"), zz(w), zero,
+        F.lit(15).cast("long"))
+    bad_close = F.array(  # ClosePath count 2 (fixture 047) -> fatal
+        F.lit(9).cast("long"), zz(x0), zz(y0),
+        F.lit((3 << 3) | 2).cast("long"), zz(w), zero, zero, zz(h),
+        zz(-w), zero, F.lit((2 << 3) | 7).cast("long"))
+    m = F.col("iid") % 5
+    geom = (
+        F.when(m == 1, dup_path)
+        .when(m == 2, far_rect)
+        .when(m == 3, zero_ring)
+        .when(m == 4, bad_close)
+        .otherwise(geomops.rect_cmds(x0, y0, w, h))
+    )
+    gtype = F.when(m == 1, F.lit(2)).otherwise(F.lit(3))
+    lname = F.when(m == 4, F.lit("zz_bad")).otherwise(F.col("layer_name"))
+    feats = assigned.select(
+        "z", "x", "y", lname.alias("layer_name"),
+        F.col("iid").alias("feature_ordinal"),
+        F.col("iid").alias("feature_id"),
+        gtype.alias("geom_type"), geom.alias("geometry"))
+    tiles = assemble.encode_geom_tiles(feats)
+    return lint.tile_lint(tiles).withColumnRenamed("check", "chk")
 
 
 def q_layer_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -626,6 +696,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_lookup": q_feature_lookup,
         "dict_encode": q_dict_encode,
         "polygon_roundtrip": q_polygon_roundtrip,
+        "donut_roundtrip": q_donut_roundtrip,
+        "tile_lint": q_tile_lint,
         "linestring_roundtrip": q_linestring_roundtrip,
         "streets_filter": q_streets_filter,
         "streets_filter_decoded": q_streets_filter_decoded,
@@ -746,6 +818,21 @@ SELECT z, x, y, layer_name, count(*) AS n_features,
        CAST(sum(2 * w * h) AS BIGINT) AS area2
 FROM assigned0 GROUP BY z, x, y, layer_name
 """,
+        # donut ring math: outer ring contributes 5 decoded points
+        # (closing point re-emitted), sum_x 5*x0+2w; the inner ring is
+        # inset by (w//4, h//4) with size (w//2, h//2) and reverse
+        # winding, so area2 = 2wh - 2*(w//2)*(h//2)
+        "donut_roundtrip": f"""
+WITH {images},
+{assigned0}
+SELECT z, x, y, layer_name, count(*) AS n_features,
+       CAST(2 * count(*) AS BIGINT) AS n_rings,
+       CAST(10 * count(*) AS BIGINT) AS n_points,
+       CAST(sum(10 * loc_x + 2 * w + 5 * (w // 4) + 2 * (w // 2)) AS BIGINT) AS sum_x,
+       CAST(sum(10 * loc_y + 2 * h + 5 * (h // 4) + 2 * (h // 2)) AS BIGINT) AS sum_y,
+       CAST(sum(2 * w * h - 2 * (w // 2) * (h // 2)) AS BIGINT) AS area2
+FROM assigned0 GROUP BY z, x, y, layer_name
+""",
         "linestring_roundtrip": f"""
 WITH {images},
 {assigned0}
@@ -785,6 +872,34 @@ SELECT z, x, y,
        CASE WHEN iid % 4 IN (1, 2) THEN 'GeometryError' ELSE 'ok' END AS status,
        count(*) AS n
 FROM assigned0 GROUP BY 1, 2, 3, 4
+""",
+        # closed-form vtzero-check findings: each construction case maps
+        # to fixed finding counts (5 oob points per far rect incl. the
+        # re-emitted closing point; one fatal per tile aborts the scan)
+        "tile_lint": f"""
+WITH {images},
+{assigned0},
+c AS (
+  SELECT z, x, y,
+         count(*) FILTER (WHERE iid % 5 = 1) AS dup_ls,
+         count(*) FILTER (WHERE iid % 5 = 2) AS far,
+         count(*) FILTER (WHERE iid % 5 = 3) AS zring,
+         count(*) FILTER (WHERE iid % 5 = 4) AS fatal
+  FROM assigned0 GROUP BY z, x, y
+)
+SELECT z, x, y, 'duplicate_point_in_linestring' AS chk,
+       CAST(2 AS INT) AS severity, CAST(dup_ls AS BIGINT) AS n
+FROM c WHERE dup_ls > 0
+UNION ALL SELECT z, x, y, 'point_beyond_extent', CAST(1 AS INT),
+       CAST(5 * far AS BIGINT) FROM c WHERE far > 0
+UNION ALL SELECT z, x, y, 'not_enough_points_in_ring', CAST(2 AS INT),
+       CAST(zring AS BIGINT) FROM c WHERE zring > 0
+UNION ALL SELECT z, x, y, 'invalid_ring_area0', CAST(2 AS INT),
+       CAST(zring AS BIGINT) FROM c WHERE zring > 0
+UNION ALL SELECT z, x, y, 'first_ring_not_outer', CAST(2 AS INT),
+       CAST(zring AS BIGINT) FROM c WHERE zring > 0
+UNION ALL SELECT z, x, y, 'fatal_geometry', CAST(3 AS INT),
+       CAST(1 AS BIGINT) FROM c WHERE fatal > 0
 """,
         "tile_check": f"""
 WITH {images},

@@ -425,3 +425,48 @@ def test_checkpoint_partial_resume(spark, sf_dir, tmp_path):
     assert r["buckets_run"] == 2 and r["buckets_skipped"] == 2
     total = cp.read_checkpointed(spark, out_dir).agg(F.sum("n")).collect()[0][0]
     assert total == src.count()
+
+
+def test_donut_roundtrip_matches_duckdb_oracle(spark, sf_dir):
+    """Multi-ring (outer + hole) polygons through the distributed
+    encode -> decode -> stats path: the per-layer aggregate must equal
+    the closed-form DuckDB oracle (ring semantics per
+    geometry.hpp:337-379, fixtures 021/022)."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as em
+
+    sdf = em.queries()["donut_roundtrip"](spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')")
+    odf = con.execute(em.oracle_sql()["donut_roundtrip"]).df()
+    cols = sorted(sdf.columns)
+    a = sdf[cols].sort_values(cols).reset_index(drop=True)
+    b = odf[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_donut_cmds_decode_as_outer_plus_inner_ring(spark):
+    """One donut command stream decodes to exactly [outer, inner] ring
+    types with opposite signed areas (outer positive in the y-down
+    convention, hole negative)."""
+    from vtzero_spark.engine import geomops
+    from vtzero_spark.mvt import geometry as G
+
+    df = spark.range(1).select(
+        geomops.donut_cmds(F.lit(100), F.lit(200), F.lit(40), F.lit(24))
+        .alias("g"))
+    cmds = np.asarray(df.first()["g"], dtype=np.int64)
+    parts, ring_types = G.decode_geometry(G.GEOM_POLYGON, cmds)
+    assert len(parts) == 2
+    assert ring_types == [G.RING_OUTER, G.RING_INNER]
+    a_outer = G.ring_signed_area2(parts[0])
+    a_inner = G.ring_signed_area2(parts[1])
+    assert a_outer == 2 * 40 * 24
+    assert a_inner == -2 * 20 * 12

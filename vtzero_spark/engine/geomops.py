@@ -109,6 +109,48 @@ def rect_cmds(x0, y0, w, h):
     )
 
 
+def donut_cmds(x0, y0, w, h):
+    """Command stream of a TWO-ring polygon (donut): the outer
+    rectangle ring of rect_cmds plus a half-size inner ring inset by a
+    quarter on each side, wound the OPPOSITE way — negative shoelace
+    area classifies it as an inner ring (geometry.hpp:337-379). The
+    inner MoveTo is relative to the outer ring's LAST cursor position
+    (x0, y0+h): ClosePath re-emits the first point but does not move
+    the cursor (geometry.hpp:373). Pure column math, byte-identical to
+    encode_polygon on the same two rings."""
+    q = F.floor(w / 4).cast("long")
+    r = F.floor(h / 4).cast("long")
+    iw = F.floor(w / 2).cast("long")
+    ih = F.floor(h / 2).cast("long")
+    zero = F.lit(0).cast("long")
+    line3 = F.lit((3 << 3) | 2).cast("long")
+    return F.array(
+        # outer: (x0,y0) -> +w,0 -> 0,+h -> -w,0 -> close  (area > 0)
+        F.lit(9).cast("long"), _zz(x0), _zz(y0),
+        line3, _zz(w), zero, zero, _zz(h), _zz(-w), zero,
+        F.lit(15).cast("long"),
+        # inner: (x0+q, y0+r) -> 0,+ih -> +iw,0 -> 0,-ih -> close
+        # (reverse winding, area < 0); MoveTo delta from (x0, y0+h)
+        F.lit(9).cast("long"), _zz(q), _zz(r - h),
+        line3, zero, _zz(ih), _zz(iw), zero, zero, _zz(-ih),
+        F.lit(15).cast("long"),
+    )
+
+
+def donut_stream_features(assigned: DataFrame) -> DataFrame:
+    """Tile-assigned images -> 2-ring polygon features (outer + hole)
+    as pre-built command streams for encode_geom_tiles."""
+    x0, y0 = F.col("loc_x").cast("long"), F.col("loc_y").cast("long")
+    w, h = F.col("w").cast("long"), F.col("h").cast("long")
+    return assigned.select(
+        "z", "x", "y", "layer_name",
+        F.col("iid").alias("feature_ordinal"),
+        F.col("iid").alias("feature_id"),
+        F.lit(G.GEOM_POLYGON).alias("geom_type"),
+        donut_cmds(x0, y0, w, h).alias("geometry"),
+    )
+
+
 def path_cmds(x0, y0, w, h):
     """Command stream of the 3-point polyline (x0,y0) -> (x0+w,y0+h)
     -> (x0+2w,y0): MoveTo(1) + LineTo(2)."""
