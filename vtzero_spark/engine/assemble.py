@@ -1329,13 +1329,11 @@ def decode_tiles(tiles: DataFrame, properties: bool = False) -> DataFrame:
     OutOfRangeError / FormatError decode_status rows (fixtures
     040/042/038), never task failures.
 
-    The properties path is Arrow-native (columnar tag resolution, one
-    MapArray per batch) — the pandas twin `_decode_tile_batch(
-    want_props=True)` is kept as the scalar reference for fuzz/parity
-    tests."""
-    if properties:
-        return decode_tiles_arrow(tiles, properties=True)
-    return tiles.mapInPandas(_decode_tile_batch, schema=FEATURE_SCHEMA)
+    Both modes are Arrow-native (mapInArrow; the geometry column is
+    assembled zero-copy from flat command values + offsets, properties
+    as one MapArray per batch) — the pandas twin `_decode_tile_batch`
+    is kept as the scalar reference for fuzz/parity tests."""
+    return decode_tiles_arrow(tiles, properties=properties)
 
 
 def decoded_points(features: DataFrame) -> DataFrame:
