@@ -227,3 +227,53 @@ def test_ivf_codebook_cache_trains_once(spark, sf_dir, monkeypatch):
     r3 = run(codebook=cb)
     assert len(calls) == 2, "explicit codebook must skip training"
     pd.testing.assert_frame_equal(r1, r3)
+
+
+def test_native_session_window_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The built-in session_window operator run as a STREAM (state
+    store merges fragments across micro-batches, watermark closes
+    sessions) must emit exactly the batch sessionize_native sessions
+    once the watermark has passed them. Two far-future flush events
+    advance the watermark in successive micro-batches so every real
+    session closes; the flush user's own sessions are excluded."""
+    from vtzero_spark.engine import sessions
+
+    events = synth.load(spark, sf_dir, "events")
+    src = str(tmp_path / "events_in")
+    events.write.parquet(src)
+
+    batch = sessions.sessionize_native(spark.read.parquet(src)).toPandas()
+    want = batch.drop(columns=["session_id"]) \
+        .sort_values(["user_id", "first_ts"]).reset_index(drop=True)
+
+    schema = spark.read.parquet(src).schema
+    sdf = spark.readStream.schema(schema).parquet(src)
+    q = (
+        sessions.sessionize_stream_native(sdf)
+        .writeStream.format("memory").queryName("native_sessions_out")
+        .outputMode("append").start()
+    )
+    sentinel = 10**9
+    try:
+        q.processAllAvailable()
+        for i, when in enumerate(("2030-01-01 00:00:00",
+                                  "2031-01-01 00:00:00")):
+            flush = spark.createDataFrame(
+                [(10**7 + i, when, sentinel, "flush", 0.0, "{}")],
+                "event_id long, ts string, user_id long, "
+                "event_type string, value double, props string",
+            ).withColumn("ts", F.to_timestamp("ts"))
+            flush.select(list(schema.names)) \
+                .write.mode("append").parquet(src)
+            q.processAllAvailable()
+        got = spark.table("native_sessions_out").toPandas()
+    finally:
+        q.stop()
+
+    got = got[got["user_id"] != sentinel] \
+        .sort_values(["user_id", "first_ts"]).reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    for col in ("user_id", "n_events", "first_ts", "last_ts",
+                "value_cents"):
+        assert (got[col].to_numpy() == want[col].to_numpy()).all(), col
+    assert np.allclose(got["value_sum"], want["value_sum"])

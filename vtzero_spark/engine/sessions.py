@@ -162,3 +162,38 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     return events.groupBy("user_id").applyInPandasWithState(
         fn, SESSION_SCHEMA, _STATE_SCHEMA, "append",
         GroupStateTimeout.NoTimeout)
+
+
+def sessionize_stream_native(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark_delay: str = "10 seconds",
+) -> DataFrame:
+    """STREAMING twin of sessionize_native: the built-in
+    ``session_window`` gap-session operator run inside Structured
+    Streaming. Spark's state store holds open session fragments, merges
+    them across micro-batches, and emits a session in append mode once
+    the watermark passes its end — the fully declarative scale path (no
+    custom state schema, state pruned by the watermark, same inclusive
+    gap semantics as the batch form).
+
+    Append mode cannot renumber sessions per user (``row_number`` needs
+    a complete partition), so the output carries no ``session_id``;
+    sessions are identified by (user_id, first_ts). ``value_cents``
+    (exact integer cents) rides along like the batch twin so equality
+    checks don't depend on float summation order."""
+    gap = gap_minutes * 60
+    ev = events.withColumn(
+        "_tsec", F.timestamp_seconds(F.unix_timestamp("ts"))
+    ).withWatermark("_tsec", watermark_delay)
+    return ev.groupBy(
+        "user_id",
+        F.session_window("_tsec", f"{gap} seconds").alias("w"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.min(F.unix_timestamp("ts")).alias("first_ts"),
+        F.max(F.unix_timestamp("ts")).alias("last_ts"),
+        F.sum("value").alias("value_sum"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+    ).select("user_id", "n_events", "first_ts", "last_ts",
+             "value_sum", "value_cents")
