@@ -95,3 +95,28 @@ def test_distributed_lint_and_return_codes(spark):
     f = findings.toPandas()
     assert set(zip(f["check"], f["severity"])) == {
         ("no_features_in_layer", 1), ("fatal_parse", 3)}
+
+
+def test_lint_over_mvt_files(spark, tmp_path):
+    """The CLI invocation shape: lint tile FILES. The real reference
+    tile ingested via the binary-file reader must produce exactly the
+    scalar golden findings, addressed by its filename z/x/y and source
+    path; a second malformed file reports fatal_parse."""
+    import shutil
+
+    dst = tmp_path / "tiles"
+    dst.mkdir()
+    shutil.copy(REF_TILE, dst / "streets-14-8714-8017.mvt")
+    (dst / "garbage.mvt").write_bytes(b"\x1a\x05garb")
+
+    got = lint.lint_mvt_files(spark, str(dst)).toPandas()
+    ref = got[got["z"] == 14].set_index("check")
+    assert ref["n"].to_dict() == {
+        "no_features_in_layer": 1,
+        "first_ring_not_outer": 1033,
+        "duplicate_point_in_linestring": 20,
+    }
+    assert (ref["path"].str.endswith("streets-14-8714-8017.mvt")).all()
+    bad = got[got["z"] == -1]
+    assert list(bad["check"]) == ["fatal_parse"]
+    assert bad["path"].iloc[0].endswith("garbage.mvt")

@@ -156,3 +156,17 @@ def return_codes(lint_df: DataFrame, tiles: DataFrame) -> DataFrame:
         .join(worst, ["z", "x", "y"], "left")
         .withColumn("return_code", F.coalesce("return_code", F.lit(0)))
     )
+
+
+def lint_mvt_files(spark, path_glob: str) -> DataFrame:
+    """vtzero-check over tile FILES — exactly how the reference CLI is
+    invoked (examples/vtzero-check.cpp:190-229 reads one file path):
+    binary-file scan -> per-tile findings, one row per (tile, check).
+    Column ``path`` identifies the source file alongside the z/x/y
+    parsed from the filename (address-less files keep z=x=y=-1)."""
+    from . import mvt_files
+
+    tiles = mvt_files.read_mvt_files(spark, path_glob)
+    findings = tile_lint(tiles.select("z", "x", "y", "tile_bytes"))
+    return findings.join(
+        tiles.select("z", "x", "y", "path"), ["z", "x", "y"], "left")
