@@ -20,8 +20,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from vtzero_spark.engine import (
-    assemble, cells, geomops, joins, knn, lint, sessions, simsearch, synth,
-    textops, tiling,
+    assemble, cells, geomops, joins, knn, lint, rewrite, sessions,
+    simsearch, synth, textops, tiling,
 )
 from vtzero_spark.engine.synth import EXTENT, WORLD, ZOOM, ZOOM_R
 
@@ -365,6 +365,25 @@ def q_tile_lint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lint.tile_lint(tiles).withColumnRenamed("check", "chk")
 
 
+def q_streets_filter_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vtzero-streets as the FUSED zero-shuffle rewrite
+    (engine/rewrite.py): encode tiles, then filter+rebuild each tile
+    in one per-tile pass — the CLI's own execution model
+    (examples/vtzero-streets.cpp:22-78) made embarrassingly parallel;
+    the property match runs on wire bytes against the value table, no
+    value ever decodes. Same oracle as streets_filter: the fused byte
+    path must be invisible to the relational result."""
+    f = _features(spark, sf_dir)
+    tiles = _encode_image_tiles(f)
+    out = rewrite.filter_tiles_by_property(tiles, "fmt", "png")
+    stats = assemble.decode_layers(out)
+    return stats.where(F.col("decode_status") == "ok").select(
+        "z", "x", "y", "layer_name",
+        F.col("num_features").cast("long").alias("num_features"),
+        F.col("value_table_size").cast("long").alias("value_table_size"),
+    )
+
+
 def q_layer_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """get_layer_by_name analog (vector_tile.hpp:214-271) run through
     the real codec: encode tiles, decode them, select the layer named
@@ -700,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_lint": q_tile_lint,
         "linestring_roundtrip": q_linestring_roundtrip,
         "streets_filter": q_streets_filter,
+        "streets_filter_fused": q_streets_filter_fused,
         "streets_filter_decoded": q_streets_filter_decoded,
         "geom_errors": q_geom_errors,
         "layer_lookup": q_layer_lookup,
@@ -844,6 +864,15 @@ SELECT z, x, y, layer_name, count(*) AS n_features,
 FROM assigned0 GROUP BY z, x, y, layer_name
 """,
         "streets_filter": f"""
+WITH {images},
+{assigned}
+SELECT z, x, y, layer_name, count(*) AS num_features,
+       count(DISTINCT phash) + 1 + count(DISTINCT caption) AS value_table_size
+FROM assigned WHERE fmt = 'png' GROUP BY z, x, y, layer_name
+""",
+        # same relational answer as streets_filter: the fused byte-level
+        # rewrite must be invisible to the result
+        "streets_filter_fused": f"""
 WITH {images},
 {assigned}
 SELECT z, x, y, layer_name, count(*) AS num_features,

@@ -44,6 +44,7 @@ HEADLINE = [
 # round-2 additions: timed and reported, but summed separately
 EXTENDED = [
     "streets_filter_decoded",
+    "streets_filter_fused",
     "layer_filter",
     "polygon_tiles_hot",
     "dedup_hashed",

@@ -1,0 +1,220 @@
+"""Fused per-tile filter + rewrite — the reference CLI's execution
+model made data-parallel.
+
+vtzero-streets (examples/vtzero-streets.cpp:22-78) processes ONE tile
+in-process: iterate features, keep those whose decoded property
+matches, copy them into a fresh layer whose dictionaries rebuild in
+first-appearance order. This module is that exact flow as a Spark
+operator: one mapInPandas pass over tiles, ZERO shuffles — each task
+decodes, filters, and re-encodes its tiles independently. At 100 TB
+this is the plan you want for tile rewriting: embarrassingly parallel,
+no data movement beyond the scan, output bytes identical to running
+the CLI per tile (and byte-identical to the distributed
+filter-then-encode pipeline — pinned in tests/test_rewrite.py).
+
+The property match happens on WIRE BYTES, not decoded values: a layer
+value table deduplicates by encoded bytes (types.hpp:141-186 identity),
+so "property == literal" is one bytes equality against the value table
+plus an integer scan of the tag pairs — features never decode their
+values at all. That is the same trick vtzero's property_value
+comparison enables (property_value.hpp operator==).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from ..mvt import tile as T
+from ..mvt import values as V
+from ..mvt.errors import MVTError
+from ..mvt.pbf import (
+    copy_segments, encode_varint_array, len_field, varint_field,
+    varint_len_array,
+)
+
+TILE_SCHEMA = "z long, x long, y long, num_layers int, tile_bytes binary"
+
+
+def _vartag_features_bytes(ids: np.ndarray, has_id: np.ndarray,
+                           gtypes: np.ndarray,
+                           gflat: np.ndarray, goffsets: np.ndarray,
+                           tflat: np.ndarray, toffsets: np.ndarray) -> bytes:
+    """Features-section bytes for VARIABLE-length tag streams (the
+    general rewrite case — features keep however many properties they
+    had). Same vtzero emission order as build_feature (type, id,
+    geometry, tags; builder.hpp:596-599,429-436), assembled as one flat
+    varint scatter with optional id / tags fields per feature."""
+    n = len(gtypes)
+    if not n:
+        return b""
+    glens = np.diff(goffsets)
+    tlens = np.diff(toffsets)
+    gvals = np.ascontiguousarray(gflat, dtype=np.uint64)
+    tvals = np.ascontiguousarray(tflat, dtype=np.uint64)
+
+    def seg_len(vals: np.ndarray, offs: np.ndarray, lens: np.ndarray):
+        nb = varint_len_array(vals)
+        tot = np.add.reduceat(np.append(nb, 0), offs[:-1]) if n else \
+            np.zeros(0, np.int64)
+        return np.where(lens == 0, 0, tot)
+
+    geom_len = seg_len(gvals, goffsets, glens)
+    tags_len = seg_len(tvals, toffsets, tlens)
+    has_tags = tlens > 0
+
+    TYPE_T = np.uint64((T.FEATURE_TYPE << 3) | 0)
+    ID_T = np.uint64((T.FEATURE_ID << 3) | 0)
+    GEOM_T = np.uint64((T.FEATURE_GEOMETRY << 3) | 2)
+    TAGS_T = np.uint64((T.FEATURE_TAGS << 3) | 2)
+    FEAT_T = np.uint64((T.LAYER_FEATURES << 3) | 2)
+
+    ids_u = ids.astype(np.uint64)
+    gtypes_u = gtypes.astype(np.uint64)
+    gl_u = geom_len.astype(np.uint64)
+    tl_u = tags_len.astype(np.uint64)
+
+    # body length (everything inside the feature message)
+    feat_len = (
+        1 + varint_len_array(gtypes_u)                      # type
+        + np.where(has_id, 1 + varint_len_array(ids_u), 0)  # id
+        + 1 + varint_len_array(gl_u) + geom_len             # geometry
+        + np.where(has_tags, 1 + varint_len_array(tl_u) + tags_len, 0)
+    )
+    fl_u = feat_len.astype(np.uint64)
+
+    per_feat = (2 + 2 + 2 * has_id.astype(np.int64) + 2 + glens
+                + np.where(has_tags, 2, 0) + tlens)
+    ends = np.cumsum(per_feat)
+    starts = ends - per_feat
+    flat = np.empty(int(ends[-1]), dtype=np.uint64)
+
+    pos = starts
+    flat[pos] = FEAT_T
+    flat[pos + 1] = fl_u
+    flat[pos + 2] = TYPE_T
+    flat[pos + 3] = gtypes_u
+    pos = pos + 4
+    idp = pos[has_id]
+    flat[idp] = ID_T
+    flat[idp + 1] = ids_u[has_id]
+    pos = pos + 2 * has_id.astype(np.int64)
+    flat[pos] = GEOM_T
+    flat[pos + 1] = gl_u
+    copy_segments(gvals, goffsets[:-1], glens, flat, pos + 2)
+    pos = pos + 2 + glens
+    tp = pos[has_tags]
+    flat[tp] = TAGS_T
+    flat[tp + 1] = tl_u[has_tags]
+    copy_segments(tvals, toffsets[:-1], tlens,
+                  flat, pos + np.where(has_tags, 2, 0))
+    return encode_varint_array(flat)
+
+
+def _rewrite_layer(layer: T.Layer, kidx: int, vidx: int) -> bytes | None:
+    """One layer's vtzero-streets pass: keep features carrying the tag
+    pair (kidx, vidx), rebuild both dictionaries in first-appearance
+    order over the survivors (property_mapper.hpp:31-99 semantics),
+    emit the rebuilt layer bytes. None when no feature survives (the
+    CLI's tile_builder drops empty layers, builder_impl.hpp:225-227)."""
+    fs = layer.features
+    if not fs:
+        return None
+    nf = len(fs)
+    tlens = np.fromiter((f.tags.size for f in fs), np.int64, nf)
+    toff = np.zeros(nf + 1, np.int64)
+    np.cumsum(tlens, out=toff[1:])
+    tflat = (np.concatenate([f.tags for f in fs]).astype(np.int64)
+             if toff[-1] else np.zeros(0, np.int64))
+    pair_hit = (tflat[0::2] == kidx) & (tflat[1::2] == vidx)
+    poff = toff[:-1] // 2
+    hits = np.add.reduceat(np.append(pair_hit, False).astype(np.int64), poff)
+    keep = (hits > 0) & (tlens > 0)
+    sel = np.flatnonzero(keep)
+    if not sel.size:
+        return None
+
+    # survivor tag streams, feature-major — factorize IS the
+    # first-appearance rebuild a sequential add_property loop performs
+    s_tlens = tlens[sel]
+    s_toff = np.zeros(sel.size + 1, np.int64)
+    np.cumsum(s_tlens, out=s_toff[1:])
+    stflat = np.concatenate([fs[i].tags for i in sel]).astype(np.int64)
+    k_codes, k_uniq = pd.factorize(stflat[0::2])
+    v_codes, v_uniq = pd.factorize(stflat[1::2])
+    new_tags = np.empty(stflat.size, np.uint64)
+    new_tags[0::2] = k_codes.astype(np.uint64)
+    new_tags[1::2] = v_codes.astype(np.uint64)
+    keys_tab = [layer.keys[int(i)] for i in k_uniq]
+    vals_tab = [layer.values[int(i)] for i in v_uniq]
+
+    has_id = np.fromiter((fs[i].id is not None for i in sel), bool, sel.size)
+    ids = np.fromiter((fs[i].id or 0 for i in sel), np.int64, sel.size)
+    gtypes = np.fromiter((fs[i].geom_type for i in sel), np.int64, sel.size)
+    glens = np.fromiter((fs[i].geometry.size for i in sel), np.int64,
+                        sel.size)
+    goff = np.zeros(sel.size + 1, np.int64)
+    np.cumsum(glens, out=goff[1:])
+    gflat = (np.concatenate([fs[i].geometry for i in sel])
+             .astype(np.uint64) if goff[-1] else np.zeros(0, np.uint64))
+
+    features_bytes = _vartag_features_bytes(
+        ids, has_id, gtypes, gflat, goff, new_tags, s_toff)
+    header = (
+        varint_field(T.LAYER_VERSION, layer.version)
+        + len_field(T.LAYER_NAME, layer.name.encode("utf-8"))
+        + varint_field(T.LAYER_EXTENT, layer.extent)
+    )
+    return b"".join([
+        header,
+        features_bytes,
+        b"".join(len_field(T.LAYER_KEYS, k) for k in keys_tab),
+        b"".join(len_field(T.LAYER_VALUES, v) for v in vals_tab),
+    ])
+
+
+def filter_tiles_by_property(
+    tiles: DataFrame,
+    key: str,
+    value,
+    vtype: int = V.VT_STRING,
+) -> DataFrame:
+    """tiles(z,x,y,tile_bytes) -> tiles with only the features whose
+    property ``key`` equals ``value`` — vtzero-streets
+    (examples/vtzero-streets.cpp:22-78) fused into one per-tile pass,
+    zero shuffles. Layers left with no features are dropped; malformed
+    tiles become empty tiles (errors-as-data). The match compares
+    ENCODED value bytes against the layer's value table, so no value
+    ever decodes."""
+    key_b = key.encode("utf-8")
+    val_b = V.encode_value(vtype, value)
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                blobs: list[bytes] = []
+                try:
+                    for lv in T.tile_layer_views(bytes(r["tile_bytes"])):
+                        layer = T.parse_layer(lv)
+                        try:
+                            kidx = layer.keys.index(key_b)
+                            vidx = layer.values.index(val_b)
+                        except ValueError:
+                            continue
+                        lb = _rewrite_layer(layer, kidx, vidx)
+                        if lb is not None:
+                            blobs.append(lb)
+                except MVTError:
+                    blobs = []
+                rows.append({
+                    "z": int(r["z"]), "x": int(r["x"]), "y": int(r["y"]),
+                    "num_layers": len(blobs),
+                    "tile_bytes": T.build_tile(blobs),
+                })
+            yield pd.DataFrame(
+                rows, columns=["z", "x", "y", "num_layers", "tile_bytes"])
+
+    return tiles.mapInPandas(fn, schema=TILE_SCHEMA)
