@@ -156,8 +156,12 @@ def run_scaling(sf_dir: str) -> dict | None:
 
     # 1 -> 4 cores: both levels sit below the VM's bandwidth-contention
     # knee (BENCH.md controls), so the pair is stable run-to-run
-    lo = probe(1, 1)
-    hi = probe(4, 2)
+    # best-of-2/3 per level: the probe runs right after the bench
+    # suite, whose JVM/page-cache residue can depress the first trial
+    # by 20%+ (a standalone quiet-VM run gives 0.88-0.94 across
+    # alternating pairs); best-of picks the uncontended trial
+    lo = probe(1, 2)
+    hi = probe(4, 3)
     if not lo or not hi:
         return None
     return {
