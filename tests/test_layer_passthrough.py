@@ -193,3 +193,27 @@ def test_passthrough_unfiltered_error_rows_do_not_crash(spark):
     assert bytes(out.loc[(0, 0, 0)]["tile_bytes"]) == good
     assert out.loc[(9, 9, 9)]["num_layers"] == 0
     assert bytes(out.loc[(9, 9, 9)]["tile_bytes"]) == b""
+
+
+def test_write_read_mvt_files_roundtrip(spark, tmp_path):
+    """write_mvt_files -> read_mvt_files is a byte-exact round trip,
+    with the z/x/y address carried through the filename."""
+    from vtzero_spark.engine import mvt_files
+
+    from test_mvt_fixtures import feat, layer, tile
+
+    good = open(REF_TILE, "rb").read()
+    small = tile(layer(feats=[feat(fid=1, gtype=1, geom=[9, 2, 2])]))
+    tiles = spark.createDataFrame(
+        [(14, 8714, 8017, bytearray(good)),
+         (3, 1, 2, bytearray(small))],
+        "z long, x long, y long, tile_bytes binary")
+    out_dir = str(tmp_path / "tileset")
+    manifest = mvt_files.write_mvt_files(tiles, out_dir).toPandas()
+    assert len(manifest) == 2
+    assert set(manifest["nbytes"]) == {len(good), len(small)}
+
+    back = mvt_files.read_mvt_files(spark, out_dir).toPandas() \
+        .set_index(["z", "x", "y"])
+    assert bytes(back.loc[(14, 8714, 8017)]["tile_bytes"]) == good
+    assert bytes(back.loc[(3, 1, 2)]["tile_bytes"]) == small

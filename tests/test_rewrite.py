@@ -123,3 +123,86 @@ def test_rewrite_roundtrips_through_decoder(spark):
     assert r["layer_name"] == "roads"
     assert r["num_features"] == 2
     assert r["key_table_size"] == 2 and r["value_table_size"] == 2
+
+
+# ------------------------------------------------------ hypothesis fuzz
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_KEY = b"fmt"
+_VAL = V.encode_value(V.VT_STRING, "png")
+
+
+def _scalar_filter(buf: bytes, key_b: bytes, val_b: bytes) -> bytes:
+    """Independent reference: per-feature Python loop + DictBuilder
+    rebuild via assemble_layer — no shared code with the vectorized
+    _vartag_features_bytes path."""
+    blobs = []
+    for lv in T.tile_layer_views(buf):
+        layer = T.parse_layer(lv)
+        try:
+            kidx = layer.keys.index(key_b)
+            vidx = layer.values.index(val_b)
+        except ValueError:
+            continue
+        surv = [
+            f for f in layer.features
+            if any(int(f.tags[i]) == kidx and int(f.tags[i + 1]) == vidx
+                   for i in range(0, f.tags.size, 2))
+        ]
+        if not surv:
+            continue
+        feats = [(f.id, f.geom_type, f.geometry, layer.properties(f))
+                 for f in surv]
+        blobs.append(T.assemble_layer(
+            layer.name.encode("utf-8") if isinstance(layer.name, str)
+            else layer.name,
+            feats, version=layer.version, extent=layer.extent))
+    return T.build_tile(blobs)
+
+
+_values_tab = st.lists(
+    st.sampled_from([
+        _VAL,
+        V.encode_value(V.VT_STRING, "jpg"),
+        V.encode_value(V.VT_INT, 7),
+        V.encode_value(V.VT_DOUBLE, 2.5),
+        V.encode_value(V.VT_BOOL, True),
+    ]), min_size=1, max_size=5, unique=True)
+
+_keys_tab = st.lists(
+    st.sampled_from([b"fmt", b"rank", b"name", b"kind"]),
+    min_size=1, max_size=4, unique=True)
+
+
+@st.composite
+def _tiles(draw):
+    n_layers = draw(st.integers(0, 3))
+    layer_blobs = []
+    for li in range(n_layers):
+        keys = draw(_keys_tab)
+        values = draw(_values_tab)
+        feats = []
+        for fi in range(draw(st.integers(0, 5))):
+            npairs = draw(st.integers(0, 3))
+            tags = []
+            for _ in range(npairs):
+                tags.append(draw(st.integers(0, len(keys) - 1)))
+                tags.append(draw(st.integers(0, len(values) - 1)))
+            fid = draw(st.one_of(st.none(), st.integers(0, 1000)))
+            feats.append(feat(fid=fid, gtype=1,
+                              geom=[9, draw(st.integers(0, 100)) * 2,
+                                    draw(st.integers(0, 100)) * 2],
+                              tags=tags if npairs else None))
+        layer_blobs.append(layer(
+            name=f"L{li}".encode(), feats=feats, keys=keys, values=values))
+    return tile(*layer_blobs)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_tiles())
+def test_fuzz_rewrite_matches_scalar_reference(buf):
+    got = rewrite.filter_tile_bytes(buf, _KEY, _VAL)
+    want = _scalar_filter(buf, _KEY, _VAL)
+    assert got == want

@@ -19,7 +19,11 @@ _ZXY_RE = r"(\d+)-(\d+)-(\d+)\.mvt$"
 def read_mvt_files(spark: SparkSession, path_glob: str) -> DataFrame:
     """Binary-file scan -> tiles(z,x,y,tile_bytes[,path]). Files whose
     name does not carry a z-x-y suffix get z=x=y=-1 (still decodable;
-    address-less tiles are legal inputs to every decode operator)."""
+    address-less tiles are legal inputs to every decode operator).
+
+    Caveat: Spark's binaryFile source SKIPS zero-length files, so an
+    empty tile (zero layers — legal MVT) written as a 0-byte file will
+    not appear in the scan."""
     raw = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.mvt")
@@ -56,3 +60,38 @@ def mvt_file_stats(spark: SparkSession, path_glob: str) -> DataFrame:
         "key_table_size", "value_table_size",
         F.octet_length("layer_bytes").alias("layer_size"),
     )
+
+
+def write_mvt_files(tiles: DataFrame, out_dir: str) -> DataFrame:
+    """The inverse of read_mvt_files: write each tile row as an
+    individual ``{z}-{x}-{y}.mvt`` file — the reference's on-disk form
+    (examples/utils.cpp:46-56 write_data_to_file). Executor-side
+    writes (each task writes its own partition's tiles, no driver
+    collect); returns the manifest (z, x, y, path, nbytes), which
+    materializes the writes when acted on. Addresses must be unique
+    per tile, as in any tileset directory. Paths are plain filesystem
+    paths (local/NFS); for object stores write tiles as a parquet
+    binary column instead and export at the edge."""
+    import os
+
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                path = os.path.join(
+                    out_dir, f"{int(r['z'])}-{int(r['x'])}-{int(r['y'])}.mvt")
+                data = bytes(r["tile_bytes"])
+                with open(path, "wb") as fh:
+                    fh.write(data)
+                rows.append({"z": int(r["z"]), "x": int(r["x"]),
+                             "y": int(r["y"]), "path": path,
+                             "nbytes": len(data)})
+            yield pd.DataFrame(
+                rows, columns=["z", "x", "y", "path", "nbytes"])
+
+    return tiles.select("z", "x", "y", "tile_bytes").mapInPandas(
+        fn, schema="z long, x long, y long, path string, nbytes long")

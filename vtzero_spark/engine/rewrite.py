@@ -175,6 +175,28 @@ def _rewrite_layer(layer: T.Layer, kidx: int, vidx: int) -> bytes | None:
     ])
 
 
+def filter_tile_bytes(buf: bytes, key_b: bytes, val_b: bytes) -> bytes:
+    """One tile's vtzero-streets pass (the per-task core of
+    filter_tiles_by_property): keep features whose tag pairs reference
+    ``key_b``/``val_b`` in the layer dictionaries, rebuild, drop empty
+    layers. Malformed input -> empty tile."""
+    blobs: list[bytes] = []
+    try:
+        for lv in T.tile_layer_views(buf):
+            layer = T.parse_layer(lv)
+            try:
+                kidx = layer.keys.index(key_b)
+                vidx = layer.values.index(val_b)
+            except ValueError:
+                continue
+            lb = _rewrite_layer(layer, kidx, vidx)
+            if lb is not None:
+                blobs.append(lb)
+    except MVTError:
+        blobs = []
+    return T.build_tile(blobs)
+
+
 def filter_tiles_by_property(
     tiles: DataFrame,
     key: str,
@@ -195,24 +217,11 @@ def filter_tiles_by_property(
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
-                blobs: list[bytes] = []
-                try:
-                    for lv in T.tile_layer_views(bytes(r["tile_bytes"])):
-                        layer = T.parse_layer(lv)
-                        try:
-                            kidx = layer.keys.index(key_b)
-                            vidx = layer.values.index(val_b)
-                        except ValueError:
-                            continue
-                        lb = _rewrite_layer(layer, kidx, vidx)
-                        if lb is not None:
-                            blobs.append(lb)
-                except MVTError:
-                    blobs = []
+                out = filter_tile_bytes(bytes(r["tile_bytes"]), key_b, val_b)
                 rows.append({
                     "z": int(r["z"]), "x": int(r["x"]), "y": int(r["y"]),
-                    "num_layers": len(blobs),
-                    "tile_bytes": T.build_tile(blobs),
+                    "num_layers": T.count_layers(out),
+                    "tile_bytes": out,
                 })
             yield pd.DataFrame(
                 rows, columns=["z", "x", "y", "num_layers", "tile_bytes"])
