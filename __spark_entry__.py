@@ -643,6 +643,27 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.simhash_neardup_pairs(synth.load(spark, sf_dir, "documents"))
 
 
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH pair graph
+    (distributed min-label propagation with pointer jumping,
+    textops.neardup_components) — exact vs a union-find oracle in
+    tests; rows-only here (the pair graph is sketch-defined)."""
+    docs = synth.load(spark, sf_dir, "documents").select("doc_id", "text")
+    comp = textops.neardup_components(textops.minhash_lsh_pairs(docs))
+    return comp.groupBy("component").agg(
+        F.count("*").alias("n_docs"),
+        F.max("doc_id").alias("max_doc_id"))
+
+
+def q_dedup_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus near-dup dedup: one representative (min doc id) per
+    cluster, unpaired docs untouched — sketch -> pairs -> components
+    -> anti-join, every stage shuffle-bounded."""
+    docs = synth.load(spark, sf_dir, "documents").select("doc_id", "text")
+    kept = textops.dedup_neardup(docs)
+    return kept.select("doc_id", F.length("text").alias("n_chars"))
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.cosine_topk_udf(synth.load(spark, sf_dir, "embeddings"))
 
@@ -751,6 +772,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pyramid_tiles_hot": q_pyramid_tiles_hot,
         "polygon_tiles_hot": q_polygon_tiles_hot,
         "minhash_lsh": q_minhash_lsh,
+        "neardup_clusters": q_neardup_clusters,
+        "dedup_neardup": q_dedup_neardup,
         "simhash_neardup": q_simhash_neardup,
         "cosine_topk": q_cosine_topk,
         "ivf_topk": q_ivf_topk,

@@ -16,7 +16,7 @@ import pytest
 
 from pyspark.sql import functions as F
 
-from vtzero_spark.engine import simsearch, textops
+from vtzero_spark.engine import simsearch, synth, textops
 
 
 def _bucket_stats(signs: np.ndarray, dims: list[int]) -> tuple[int, int]:
@@ -117,3 +117,59 @@ def test_dedup_exact_hashed_matches_text_groups(spark, sf_dir):
     assert len(by_text) == len(by_hash)
     assert (by_text["keep_id"].to_numpy() == by_hash["keep_id"].to_numpy()).all()
     assert (by_text["n_copies"].to_numpy() == by_hash["n_copies"].to_numpy()).all()
+
+
+def test_neardup_components_match_union_find(spark, sf_dir):
+    """Distributed min-label components over the real MinHash pair
+    graph equal a pure-Python union-find on the identical pairs."""
+    from vtzero_spark.engine import textops
+
+    docs = synth.load(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = textops.minhash_lsh_pairs(docs).localCheckpoint(eager=True)
+    got = textops.neardup_components(pairs).toPandas() \
+        .set_index("doc_id")["component"].to_dict()
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    pp = pairs.toPandas()
+    assert len(pp) > 0
+    for a, b in zip(pp["doc_id"], pp["other_id"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert got == want
+
+
+def test_neardup_components_chain_worst_case(spark):
+    """A 100-node chain (diameter 99) must still collapse to one
+    component within the pointer-jumping round budget."""
+    from vtzero_spark.engine import textops
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(99)], "doc_id long, other_id long")
+    comp = textops.neardup_components(pairs).toPandas()
+    assert set(comp["component"]) == {0}
+    assert len(comp) == 100
+
+
+def test_dedup_neardup_keeps_min_representative(spark, sf_dir):
+    """dedup_neardup keeps exactly one doc per component (the min id)
+    plus every unpaired doc."""
+    from vtzero_spark.engine import textops
+
+    docs = synth.load(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = textops.minhash_lsh_pairs(docs).localCheckpoint(eager=True)
+    comp = textops.neardup_components(pairs).toPandas()
+    kept = textops.dedup_neardup(docs, pairs=pairs).toPandas()
+    n_docs = docs.count()
+    losers = (comp["component"] != comp["doc_id"]).sum()
+    assert len(kept) == n_docs - losers
+    assert not set(comp.loc[comp["component"] != comp["doc_id"], "doc_id"]) \
+        & set(kept["doc_id"])
