@@ -118,3 +118,20 @@ def test_fused_tile_encode_has_single_encode_shuffle(spark, sf_dir):
     # fused grouped-map encode (no second layer->tile shuffle)
     assert len(re.findall(r"hashpartitioning\(", p)) == base_exchanges + 1
     assert "FlatMapGroupsInPandas" in p or "FlatMapGroupsInArrow" in p
+
+
+def test_fused_rewrite_adds_no_shuffle(spark, sf_dir):
+    """The fused per-tile filter+rewrite and the follow-on layer stats
+    are mapInPandas passes: the WHOLE streets_filter_fused plan has
+    exactly the one encode shuffle — the rewrite itself moves no
+    data."""
+    from vtzero_spark.engine import rewrite
+
+    feats = entry._features(spark, sf_dir).select(*entry.POINT_COLS)
+    tiles = assemble.encode_point_tiles(feats, prop_spec=entry.PROP_SPEC)
+    base_exchanges = len(re.findall(r"hashpartitioning\(", plan(tiles)))
+    out = rewrite.filter_tiles_by_property(tiles, "fmt", "png")
+    stats = assemble.decode_layers(out).where(
+        F.col("decode_status") == "ok")
+    p = plan(stats)
+    assert len(re.findall(r"hashpartitioning\(", p)) == base_exchanges
