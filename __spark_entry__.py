@@ -643,6 +643,14 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.simhash_neardup_pairs(synth.load(spark, sf_dir, "documents"))
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any
+    13-gram with the benchmark slice (broadcast gram probe —
+    textops.decontaminate)."""
+    docs = synth.load(spark, sf_dir, "documents").select("doc_id", "text")
+    return textops.decontaminate(docs)
+
+
 def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the MinHash-LSH pair graph
     (distributed min-label propagation with pointer jumping,
@@ -757,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_hashed": q_dedup_hashed,
         "ngram_jaccard": q_ngram_jaccard,
+        "decontaminate": q_decontaminate,
         "lang_id": q_lang_id,
         "token_stats": q_token_stats,
         "quality": q_quality,
@@ -1015,6 +1024,7 @@ FROM r GROUP BY 1, 2
         "dedup_exact": textops.DEDUP_EXACT_SQL,
         "dedup_hashed": textops.DEDUP_EXACT_SQL,
         "ngram_jaccard": textops.ngram_jaccard_adjacent_sql(),
+        "decontaminate": textops.decontaminate_sql(),
         "lang_id": textops.lang_id_sql(),
         "token_stats": textops.TOKEN_STATS_SQL,
         "quality": textops.QUALITY_SCORE_SQL,

@@ -173,3 +173,27 @@ def test_dedup_neardup_keeps_min_representative(spark, sf_dir):
     assert len(kept) == n_docs - losers
     assert not set(comp.loc[comp["component"] != comp["doc_id"], "doc_id"]) \
         & set(kept["doc_id"])
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """A training doc that quotes a benchmark doc's text is flagged
+    with the exact distinct-gram hit count; disjoint docs are clean.
+    The gram probe must be a broadcast join (no shuffle of the
+    training side for the match)."""
+    bench_text = "the quick brown fox jumps over the lazy dog today"
+    rows = [
+        (0, bench_text),                       # benchmark (id % 50 == 0)
+        (1, "xyz " + bench_text[:20]),         # quotes 20 chars
+        (2, "completely unrelated words 123"),  # clean
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textops.decontaminate(docs).toPandas().set_index("doc_id")
+    assert bool(out.loc[1, "contaminated"])
+    # 20-char quote -> 20-13+1 = 8 distinct 13-grams, all hits
+    assert out.loc[1, "n_hits"] == 8
+    assert not bool(out.loc[2, "contaminated"])
+    assert out.loc[2, "n_hits"] == 0
+
+    plan = textops.decontaminate(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

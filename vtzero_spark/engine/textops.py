@@ -690,3 +690,54 @@ def dedup_neardup(docs: DataFrame, pairs: DataFrame | None = None,
     losers = comp.where(F.col("component") != F.col("doc_id")) \
         .select("doc_id")
     return docs.join(losers, "doc_id", "left_anti")
+
+
+# ---------------------------------------------------- decontamination
+
+def decontaminate(docs: DataFrame, bench_mod: int = 50, n: int = 13,
+                  prefix: int = 64) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 / Pile discipline): a
+    training document is CONTAMINATED if it shares any character
+    n-gram with any benchmark document. The benchmark here is the
+    deterministic ``doc_id % bench_mod == 0`` slice (a stand-in for a
+    held-out eval table; pass a real one by unioning it in with ids
+    on the slice).
+
+    Plan shape for 100 TB: the benchmark's distinct n-grams are small
+    and BROADCAST; training grams explode and probe them with a
+    BroadcastHashJoin, so the big side never shuffles for the match —
+    the only shuffle is the per-doc hit-count aggregation (map-side
+    combined). Returns (doc_id, n_hits, contaminated) for every
+    training doc; n_hits = distinct grams of the doc's prefix that
+    appear anywhere in the benchmark."""
+    bench = docs.where(F.col("doc_id") % bench_mod == 0)
+    train = docs.where(F.col("doc_id") % bench_mod != 0)
+    bgrams = bench.select(
+        F.explode(_shingles("text", prefix, n)).alias("g")).distinct()
+    tgrams = train.select(
+        "doc_id", F.explode(_shingles("text", prefix, n)).alias("g"))
+    hits = tgrams.join(F.broadcast(bgrams), "g").groupBy("doc_id").agg(
+        F.count("*").alias("n_hits"))
+    return train.select("doc_id").join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"))
+
+
+def decontaminate_sql(bench_mod: int = 50, n: int = 13,
+                      prefix: int = 64) -> str:
+    sh = (f"list_distinct([substr(substr(text, 1, {prefix}), "
+          f"CAST(i AS INT), {n}) FOR i IN "
+          f"range(1, greatest(1, length(substr(text, 1, {prefix})) "
+          f"- {n - 1}) + 1)])")
+    return f"""
+WITH g AS (SELECT doc_id, unnest({sh}) AS g FROM documents),
+b AS (SELECT DISTINCT g FROM g WHERE doc_id % {bench_mod} = 0),
+t AS (SELECT doc_id, g FROM g WHERE doc_id % {bench_mod} <> 0),
+h AS (SELECT doc_id, count(*) AS n_hits FROM t JOIN b USING (g)
+      GROUP BY doc_id)
+SELECT d.doc_id AS doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % {bench_mod} <> 0) d
+LEFT JOIN h USING (doc_id)
+"""
