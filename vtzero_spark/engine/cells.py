@@ -102,8 +102,13 @@ def pip_join_cells(points: DataFrame, polys: DataFrame, level: int,
 
     index = bbox_covering(polys, level, world)
     pts = point_cells(points, level, world)
+    # same scalar L-inf bbox prefilter as joins.pip_join: cull before
+    # the ring-array refine (row-identical; bbox contains the ring)
+    bbox = (F.abs(F.col("wx") - F.col("cx")) <= F.col("r")) & \
+           (F.abs(F.col("wy") - F.col("cy")) <= F.col("r"))
     return (
         pts.join(F.broadcast(index), "cell")
+        .where(bbox)
         .where(_convex_inside_expr("wx", "wy"))
         .drop("cell")
     )
