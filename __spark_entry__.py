@@ -672,6 +672,13 @@ def q_dedup_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", F.length("text").alias("n_chars"))
 
 
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed ANN (simsearch.pq_topk): ADC scan over m-code
+    rows + exact re-rank of the shortlist — the third ANN tier
+    (recall floor + exact-rerank equality tested, not SQL-expressible)."""
+    return simsearch.pq_topk(synth.load(spark, sf_dir, "embeddings"))
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.cosine_topk_udf(synth.load(spark, sf_dir, "embeddings"))
 
@@ -785,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_neardup": q_dedup_neardup,
         "simhash_neardup": q_simhash_neardup,
         "cosine_topk": q_cosine_topk,
+        "pq_topk": q_pq_topk,
         "ivf_topk": q_ivf_topk,
         "image_features": q_image_features,
         "video_frames": q_video_frames,

@@ -277,3 +277,68 @@ def test_native_session_window_stream_matches_batch(spark, sf_dir, tmp_path):
                 "value_cents"):
         assert (got[col].to_numpy() == want[col].to_numpy()).all(), col
     assert np.allclose(got["value_sum"], want["value_sum"])
+
+
+def test_pq_topk_recall_and_rerank_exactness(spark, sf_dir):
+    """PQ-ADC with exact re-rank: (a) surviving ranks carry TRUE
+    distances never better than the exact scan's; (b) recall@5 against
+    brute force clears 0.6 at default overfetch and reaches 1.0 with a
+    generous overfetch (the exact top-k then always survives the
+    compressed shortlist, so results equal ann_topk exactly)."""
+    import pandas as pd
+
+    emb = synth.load(spark, sf_dir, "embeddings")
+    exact = simsearch.ann_topk(emb, n_queries=4, k=5).toPandas()
+
+    approx = simsearch.pq_topk(emb, n_queries=4, k=5).toPandas()
+    assert set(approx["qid"]) == {0, 1, 2, 3}
+    hits = total = 0
+    for qid in range(4):
+        want = set(exact[exact["qid"] == qid]["vec_id"])
+        got = set(approx[approx["qid"] == qid]["vec_id"])
+        assert approx[approx["qid"] == qid]["dist_q"].min() \
+            >= exact[exact["qid"] == qid]["dist_q"].min()
+        hits += len(want & got)
+        total += len(want)
+    assert hits / total >= 0.6, f"PQ recall too low: {hits / total}"
+
+    # generous overfetch -> identical to brute force (exact re-rank)
+    wide = simsearch.pq_topk(emb, n_queries=4, k=5, overfetch=100) \
+        .toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        wide, exact.sort_values(["qid", "rank"]).reset_index(drop=True))
+
+
+def test_pq_codebook_cache_trains_once(spark, sf_dir, monkeypatch):
+    import pandas as pd
+
+    emb = synth.load(spark, sf_dir, "embeddings")
+    simsearch._PQ_CACHE.clear()
+    calls: list[int] = []
+    orig = simsearch.pq_train
+
+    def counting(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(simsearch, "pq_train", counting)
+
+    def run():
+        return simsearch.pq_topk(emb, n_queries=2, k=3).toPandas() \
+            .sort_values(["qid", "rank"]).reset_index(drop=True)
+
+    r1 = run()
+    assert len(calls) == 1
+    r2 = run()
+    assert len(calls) == 1
+    pd.testing.assert_frame_equal(r1, r2)
+
+
+def test_pq_encode_compresses_to_m_codes(spark, sf_dir):
+    emb = synth.load(spark, sf_dir, "embeddings")
+    cb = simsearch.pq_train(emb, m=8, ksub=16, train_iters=1)
+    assert cb.shape == (8, 16, 8)
+    codes = simsearch.pq_encode(emb, cb).toPandas()
+    assert len(codes) == emb.count()
+    assert all(len(c) == 8 for c in codes["codes"])
+    assert all(0 <= v < 16 for c in codes["codes"] for v in c)

@@ -403,3 +403,212 @@ def cosine_topk_udf(emb: DataFrame, n_queries: int = 8, k: int = 5) -> DataFrame
         .where(F.col("grank") <= k)
         .select("qid", "vec_id", "cosine", F.col("grank").alias("rank"))
     )
+
+
+# ------------------------------------------------------------ PQ path
+
+_PQ_CACHE: dict[tuple, np.ndarray] = {}
+
+
+def pq_train(emb: DataFrame, m: int = 8, ksub: int = 16,
+             train_iters: int = 2, n_queries: int = 8) -> np.ndarray:
+    """Product-quantizer codebooks (the billion-vector compression
+    tier): the dim splits into ``m`` subspaces, each with its own
+    ``ksub``-centroid k-means codebook, so a vector stores as m small
+    codes instead of dim floats. ONE distributed Lloyd pass trains all
+    m codebooks simultaneously — partials are keyed (sub, cell), the
+    reduce is map-side combined, and only the m x ksub x dsub codebook
+    tensor ever reaches the driver (bounded collect per iteration,
+    same discipline as ivf_train). Deterministic init: the ksub
+    vectors following the query id range, sliced per subspace.
+    Returns np.ndarray (m, ksub, dsub)."""
+    from .textops import _spread
+
+    q = _spread(quantized(emb)).persist()
+    try:
+        dim = len(q.select("q").first()["q"])
+        assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+        dsub = dim // m
+        init_rows = q.where(
+            (F.col("vec_id") >= n_queries)
+            & (F.col("vec_id") < n_queries + ksub)
+        ).select("vec_id", "q").collect()
+        init = np.array(
+            [r["q"] for r in sorted(init_rows, key=lambda r: r["vec_id"])],
+            dtype=np.float64)
+        C = init.reshape(ksub, m, dsub).transpose(1, 0, 2).copy()
+        zero = f"array_repeat(CAST(0.0 AS DOUBLE), {dsub})"
+        for _ in range(train_iters):
+            Ci = C.copy()
+
+            def partials(batches: Iterator[pd.DataFrame],
+                         Ci=Ci) -> Iterator[pd.DataFrame]:
+                cnt = np.zeros((m, ksub), np.int64)
+                acc = np.zeros((m, ksub, dsub), np.float64)
+                for pdf in batches:
+                    mat = np.array(pdf["q"].tolist(), np.float64) \
+                        .reshape(-1, m, dsub)
+                    for s in range(m):
+                        d = ((mat[:, s, None, :] - Ci[s][None, :, :]) ** 2
+                             ).sum(-1)
+                        cell = d.argmin(1)
+                        np.add.at(cnt[s], cell, 1)
+                        np.add.at(acc[s], cell, mat[:, s, :])
+                rows = []
+                for s in range(m):
+                    for c in np.flatnonzero(cnt[s]):
+                        rows.append({"sub": s, "cell": int(c),
+                                     "n": int(cnt[s][c]),
+                                     "s": list(acc[s][c])})
+                yield pd.DataFrame(rows, columns=["sub", "cell", "n", "s"])
+
+            agg = (
+                q.select("q").mapInPandas(
+                    partials,
+                    schema="sub long, cell long, n long, s array<double>")
+                .groupBy("sub", "cell")
+                .agg(F.sum("n").alias("n"),
+                     F.expr(f"aggregate(collect_list(s), {zero},"
+                            " (a, v) -> zip_with(a, v, (x, y) -> x + y))"
+                            ).alias("s"))
+            )
+            for r in agg.collect():  # m * ksub rows — bounded
+                C[int(r["sub"]), int(r["cell"])] = np.array(r["s"]) / r["n"]
+        return C
+    finally:
+        q.unpersist(blocking=False)
+
+
+def pq_encode(emb: DataFrame, codebooks: np.ndarray) -> DataFrame:
+    """vec -> (vec_id, codes[m]): each subvector's nearest sub-centroid
+    index — the compressed representation the ADC scan reads (m codes
+    instead of dim floats per vector)."""
+    return _pq_encode_q(quantized(emb), codebooks)
+
+
+def _pq_encode_q(qdf: DataFrame, codebooks: np.ndarray) -> DataFrame:
+    """pq_encode over an already-quantized (vec_id, q) frame."""
+    m, ksub, dsub = codebooks.shape
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame({"vec_id": [], "codes": []},
+                                   columns=["vec_id", "codes"])
+                continue
+            mat = np.array(pdf["q"].tolist(), np.float64) \
+                .reshape(-1, m, dsub)
+            codes = np.empty((len(pdf), m), np.int64)
+            for s in range(m):
+                d = ((mat[:, s, None, :] - codebooks[s][None]) ** 2).sum(-1)
+                codes[:, s] = d.argmin(1)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                "codes": list(codes),
+            })
+
+    return qdf.select("vec_id", "q").mapInPandas(
+        fn, schema="vec_id long, codes array<long>")
+
+
+def pq_topk(
+    emb: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    overfetch: int = 8,
+    train_iters: int = 2,
+    codebooks: np.ndarray | None = None,
+) -> DataFrame:
+    """PQ-compressed approximate top-k with exact re-rank — the third
+    ANN tier (brute force -> IVF -> PQ): the scan reads m-code rows
+    (dim/m-fold narrower than the vectors), computes asymmetric
+    distances by summing per-query lookup tables (one m x ksub LUT per
+    query, built driver-side from the tiny query set), keeps the
+    k*overfetch best candidates per query partial-topk-first (no
+    global sort of scan rows), then re-ranks ONLY those candidates
+    exactly against the true vectors — same final total order as
+    ann_topk whenever the true top-k survive the overfetch.
+
+    Codebooks: pass pq_train output, or let the module cache key them
+    by the input plan's semantic hash (training runs at most once per
+    table+params per session). Compose with IVF by bucketing the codes
+    table on the coarse cell — the scan then touches nprobe cells of
+    m-code rows, the standard IVF-PQ layout."""
+    key = None
+    if codebooks is None:
+        try:
+            key = (emb.semanticHash(), "pq", m, ksub, train_iters,
+                   n_queries)
+        except Exception:
+            key = None
+        if key is not None:
+            codebooks = _PQ_CACHE.get(key)
+    if codebooks is None:
+        codebooks = pq_train(emb, m=m, ksub=ksub,
+                             train_iters=train_iters, n_queries=n_queries)
+        if key is not None:
+            _PQ_CACHE[key] = codebooks
+    C = codebooks
+    _, _, dsub = C.shape
+
+    from .textops import _spread
+
+    q = _spread(quantized(emb)).persist()
+    try:
+        q_rows = q.where(F.col("vec_id") < n_queries) \
+            .select("vec_id", "q").collect()
+        qmat = np.array(
+            [r["q"] for r in sorted(q_rows, key=lambda r: r["vec_id"])],
+            dtype=np.float64).reshape(len(q_rows), m, dsub)
+        # per-query LUT: distance from query subvector to every
+        # sub-centroid — (nq, m, ksub), rides in the closure
+        lut = ((qmat[:, :, None, :] - C[None, :, :, :]) ** 2).sum(-1)
+        nq = lut.shape[0]
+        fetch = k * overfetch
+
+        codes = _pq_encode_q(q, C)
+
+        def adc_scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            """Per-batch ADC + partial top-fetch per query: emits at
+            most nq*fetch rows per batch regardless of batch size."""
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                cd = np.array(pdf["codes"].tolist(), np.int64)  # (n, m)
+                vid = pdf["vec_id"].to_numpy(np.int64)
+                # dist[qi, row] = sum_s lut[qi, s, cd[row, s]]
+                d = lut[:, np.arange(m)[None, :], cd].sum(-1)  # (nq, n)
+                rows = []
+                for qi in range(nq):
+                    mask = vid != qi
+                    dv, vv = d[qi][mask], vid[mask]
+                    top = np.argsort(dv, kind="stable")[:fetch]
+                    rows.append(pd.DataFrame({
+                        "qid": qi, "vec_id": vv[top], "adc": dv[top]}))
+                yield pd.concat(rows, ignore_index=True)
+
+        cand = codes.mapInPandas(
+            adc_scan, schema="qid long, vec_id long, adc double")
+        w_adc = Window.partitionBy("qid").orderBy("adc", "vec_id")
+        short = cand.withColumn("_r", F.row_number().over(w_adc)) \
+            .where(F.col("_r") <= fetch).drop("_r", "adc")
+
+        # exact re-rank of the surviving candidates only
+        qq = q.sparkSession.createDataFrame(
+            [(int(r["vec_id"]), list(r["q"])) for r in q_rows],
+            "qid long, qv array<bigint>")
+        exact = short.join(q, "vec_id").join(F.broadcast(qq), "qid") \
+            .withColumn(
+                "dist_q",
+                F.expr("aggregate(zip_with(q, qv, (a, b) -> (a-b)*(a-b)),"
+                       " CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        w = Window.partitionBy("qid").orderBy("dist_q", "vec_id")
+        return (
+            exact.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qid", "vec_id", "dist_q", "rank")
+        )
+    finally:
+        q.unpersist(blocking=False)
