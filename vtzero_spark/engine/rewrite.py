@@ -209,7 +209,12 @@ def filter_tiles_by_property(
     zero shuffles. Layers left with no features are dropped; malformed
     tiles become empty tiles (errors-as-data). The match compares
     ENCODED value bytes against the layer's value table, so no value
-    ever decodes."""
+    ever decodes.
+
+    Task granularity is one tile (the CLI's own unit): a pathological
+    hot tile makes one heavy task — apply the hot-tile disciplines
+    upstream (tiling.feature_budget or the chunked encoder) if tiles
+    can grow unbounded."""
     key_b = key.encode("utf-8")
     val_b = V.encode_value(vtype, value)
 
