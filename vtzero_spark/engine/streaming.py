@@ -113,3 +113,15 @@ def tile_stream_counts(
             F.sum("loc_y").alias("sum_y"),
         )
     )
+
+
+def lint_stream(tile_stream: DataFrame) -> DataFrame:
+    """Continuous vtzero-check: lint every tile of a STREAM of
+    (z, x, y, tile_bytes) rows with the same per-tile pass as the
+    batch tile_lint — mapInPandas is stateless, so the operator
+    attaches to a streaming DataFrame unchanged and each micro-batch
+    emits its tiles' finding rows (append mode, no state, no
+    watermark needed)."""
+    from . import lint
+
+    return lint.tile_lint(tile_stream.select("z", "x", "y", "tile_bytes"))
