@@ -679,6 +679,13 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.pq_topk(synth.load(spark, sf_dir, "embeddings"))
 
 
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF-PQ ANN (simsearch.ivfpq_topk): coarse cells bound
+    the scan, PQ codes compress it, exact re-rank restores true
+    distances (full-probe == brute force tested)."""
+    return simsearch.ivfpq_topk(synth.load(spark, sf_dir, "embeddings"))
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.cosine_topk_udf(synth.load(spark, sf_dir, "embeddings"))
 
@@ -793,6 +800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "cosine_topk": q_cosine_topk,
         "pq_topk": q_pq_topk,
+        "ivfpq_topk": q_ivfpq_topk,
         "ivf_topk": q_ivf_topk,
         "image_features": q_image_features,
         "video_frames": q_video_frames,

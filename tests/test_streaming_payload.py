@@ -342,3 +342,31 @@ def test_pq_encode_compresses_to_m_codes(spark, sf_dir):
     assert len(codes) == emb.count()
     assert all(len(c) == 8 for c in codes["codes"])
     assert all(0 <= v < 16 for c in codes["codes"] for v in c)
+
+
+def test_ivfpq_topk_recall_and_full_probe_exactness(spark, sf_dir):
+    """Composed IVF-PQ: (a) default probe/overfetch clears a recall
+    floor with true distances never beating exact; (b) probing ALL
+    cells with a generous overfetch removes both approximations, so
+    the result equals brute force exactly."""
+    import pandas as pd
+
+    emb = synth.load(spark, sf_dir, "embeddings")
+    exact = simsearch.ann_topk(emb, n_queries=4, k=5).toPandas()
+
+    approx = simsearch.ivfpq_topk(emb, n_queries=4, k=5).toPandas()
+    hits = total = 0
+    for qid in range(4):
+        want = set(exact[exact["qid"] == qid]["vec_id"])
+        got = set(approx[approx["qid"] == qid]["vec_id"])
+        assert approx[approx["qid"] == qid]["dist_q"].min() \
+            >= exact[exact["qid"] == qid]["dist_q"].min()
+        hits += len(want & got)
+        total += len(want)
+    assert hits / total >= 0.5, f"IVF-PQ recall too low: {hits / total}"
+
+    full = simsearch.ivfpq_topk(
+        emb, n_queries=4, k=5, ncentroids=16, nprobe=16, overfetch=100
+    ).toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        full, exact.sort_values(["qid", "rank"]).reset_index(drop=True))

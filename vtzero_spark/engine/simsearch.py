@@ -612,3 +612,117 @@ def pq_topk(
         )
     finally:
         q.unpersist(blocking=False)
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    ncentroids: int = 32,
+    nprobe: int = 8,
+    m: int = 8,
+    ksub: int = 16,
+    overfetch: int = 8,
+    train_iters: int = 2,
+    coarse: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+) -> DataFrame:
+    """The full Faiss-style IVF-PQ layout: the coarse IVF codebook
+    buckets every vector into a cell (partition/bucket key at scale),
+    PQ compresses each vector to m codes, and a query (a) probes its
+    ``nprobe`` nearest cells, (b) ADC-scans only those cells' code
+    rows with its lookup table, (c) exactly re-ranks the shortlist
+    against the true vectors. The scan thus touches
+    ~nprobe/ncentroids of the data AND reads dim/m-fold less per row
+    — multiplicative with pq_topk's compression. Both codebooks come
+    from the existing distributed trainers (ivf_train via ivf_build,
+    pq_train) and cache the same way."""
+    from .textops import _spread
+
+    if coarse is None:
+        coarse = ivf_build(emb, n_queries=n_queries, ncentroids=ncentroids,
+                           train_iters=train_iters)
+    if codebooks is None:
+        key = None
+        try:
+            key = (emb.semanticHash(), "pq", m, ksub, train_iters, n_queries)
+        except Exception:
+            pass
+        codebooks = _PQ_CACHE.get(key) if key is not None else None
+        if codebooks is None:
+            codebooks = pq_train(emb, m=m, ksub=ksub,
+                                 train_iters=train_iters,
+                                 n_queries=n_queries)
+            if key is not None:
+                _PQ_CACHE[key] = codebooks
+    C = codebooks
+    _, _, dsub = C.shape
+
+    q = _spread(quantized(emb)).persist()
+    try:
+        q_rows = q.where(F.col("vec_id") < n_queries) \
+            .select("vec_id", "q").collect()
+        q_rows = sorted(q_rows, key=lambda r: r["vec_id"])
+        qmat = np.array([r["q"] for r in q_rows], np.float64) \
+            .reshape(len(q_rows), m, dsub)
+        lut = ((qmat[:, :, None, :] - C[None, :, :, :]) ** 2).sum(-1)
+        fetch = k * overfetch
+
+        # coarse assignment rides with the codes (one narrow pass)
+        cells = _cell_assign_df(q, coarse).select("vec_id", "cell")
+        codes = _pq_encode_q(q, C).join(cells, "vec_id")
+
+        # probe list per query (driver-side; queries tiny by contract)
+        c_norm2 = (coarse * coarse).sum(axis=1)
+        probes = []
+        for r in q_rows:
+            v = np.array(r["q"], np.float64)
+            d = (v * v).sum() - 2.0 * (coarse @ v) + c_norm2
+            for cell in np.argsort(d)[:nprobe]:
+                probes.append((int(r["vec_id"]), int(cell)))
+        probe_df = emb.sparkSession.createDataFrame(
+            probes, "qid long, cell long")
+
+        probed = codes.join(F.broadcast(probe_df), "cell").where(
+            F.col("vec_id") != F.col("qid"))
+
+        def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                cd = np.array(pdf["codes"].tolist(), np.int64)
+                vid = pdf["vec_id"].to_numpy(np.int64)
+                qid = pdf["qid"].to_numpy(np.int64)
+                d = lut[qid[:, None], np.arange(m)[None, :], cd].sum(-1)
+                # partial top-fetch per qid within the batch
+                out = []
+                for qi in np.unique(qid):
+                    sel = qid == qi
+                    dv, vv = d[sel], vid[sel]
+                    top = np.argsort(dv, kind="stable")[:fetch]
+                    out.append(pd.DataFrame({
+                        "qid": qi, "vec_id": vv[top], "adc": dv[top]}))
+                yield pd.concat(out, ignore_index=True)
+
+        cand = probed.select("qid", "vec_id", "codes").mapInPandas(
+            adc, schema="qid long, vec_id long, adc double")
+        w_adc = Window.partitionBy("qid").orderBy("adc", "vec_id")
+        short = cand.withColumn("_r", F.row_number().over(w_adc)) \
+            .where(F.col("_r") <= fetch).drop("_r", "adc")
+
+        qq = emb.sparkSession.createDataFrame(
+            [(int(r["vec_id"]), list(r["q"])) for r in q_rows],
+            "qid long, qv array<bigint>")
+        exact = short.join(q, "vec_id").join(F.broadcast(qq), "qid") \
+            .withColumn(
+                "dist_q",
+                F.expr("aggregate(zip_with(q, qv, (a, b) -> (a-b)*(a-b)),"
+                       " CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        w = Window.partitionBy("qid").orderBy("dist_q", "vec_id")
+        return (
+            exact.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qid", "vec_id", "dist_q", "rank")
+        )
+    finally:
+        q.unpersist(blocking=False)
