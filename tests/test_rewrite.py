@@ -206,3 +206,53 @@ def test_fuzz_rewrite_matches_scalar_reference(buf):
     got = rewrite.filter_tile_bytes(buf, _KEY, _VAL)
     want = _scalar_filter(buf, _KEY, _VAL)
     assert got == want
+
+
+def test_in_set_filter_keeps_any_matching_value(spark):
+    """value may be a LIST: features matching any of the values
+    survive, with the rebuilt dictionaries covering both."""
+    tiles = spark.createDataFrame(
+        [(1, 2, 3, bytearray(_mini_tile()))],
+        "z long, x long, y long, tile_bytes binary")
+    out = rewrite.filter_tiles_by_property(
+        tiles, "fmt", ["png", "jpg"]).toPandas()
+    layers = T.parse_tile(bytes(out.iloc[0]["tile_bytes"]))
+    assert [l.name for l in layers] == ["roads"]
+    # all three roads features carry fmt in {png, jpg}
+    assert [f.id for f in layers[0].features] == [1, 2, None]
+
+
+@settings(max_examples=100, deadline=None)
+@given(_tiles())
+def test_fuzz_in_set_matches_scalar_union(buf):
+    """IN-set filtering equals the per-value scalar reference run with
+    an OR of the survivor sets (same rebuild order)."""
+    vals = [_VAL, V.encode_value(V.VT_INT, 7)]
+    got = rewrite.filter_tile_bytes(buf, _KEY, vals)
+
+    # independent reference: per-feature loop with membership test
+    blobs = []
+    vset = set(vals)
+    for lv in T.tile_layer_views(buf):
+        layer = T.parse_layer(lv)
+        try:
+            kidx = layer.keys.index(_KEY)
+        except ValueError:
+            continue
+        vidxs = {i for i, v in enumerate(layer.values) if v in vset}
+        if not vidxs:
+            continue
+        surv = [
+            f for f in layer.features
+            if any(int(f.tags[i]) == kidx and int(f.tags[i + 1]) in vidxs
+                   for i in range(0, f.tags.size, 2))
+        ]
+        if not surv:
+            continue
+        feats = [(f.id, f.geom_type, f.geometry, layer.properties(f))
+                 for f in surv]
+        blobs.append(T.assemble_layer(
+            layer.name.encode("utf-8") if isinstance(layer.name, str)
+            else layer.name,
+            feats, version=layer.version, extent=layer.extent))
+    assert got == T.build_tile(blobs)

@@ -113,12 +113,14 @@ def _vartag_features_bytes(ids: np.ndarray, has_id: np.ndarray,
     return encode_varint_array(flat)
 
 
-def _rewrite_layer(layer: T.Layer, kidx: int, vidx: int) -> bytes | None:
-    """One layer's vtzero-streets pass: keep features carrying the tag
-    pair (kidx, vidx), rebuild both dictionaries in first-appearance
-    order over the survivors (property_mapper.hpp:31-99 semantics),
-    emit the rebuilt layer bytes. None when no feature survives (the
-    CLI's tile_builder drops empty layers, builder_impl.hpp:225-227)."""
+def _rewrite_layer(layer: T.Layer, kidx: int,
+                   vidxs: np.ndarray) -> bytes | None:
+    """One layer's vtzero-streets pass: keep features carrying a tag
+    pair (kidx, v) for any v in ``vidxs``, rebuild both dictionaries
+    in first-appearance order over the survivors
+    (property_mapper.hpp:31-99 semantics), emit the rebuilt layer
+    bytes. None when no feature survives (the CLI's tile_builder drops
+    empty layers, builder_impl.hpp:225-227)."""
     fs = layer.features
     if not fs:
         return None
@@ -128,7 +130,7 @@ def _rewrite_layer(layer: T.Layer, kidx: int, vidx: int) -> bytes | None:
     np.cumsum(tlens, out=toff[1:])
     tflat = (np.concatenate([f.tags for f in fs]).astype(np.int64)
              if toff[-1] else np.zeros(0, np.int64))
-    pair_hit = (tflat[0::2] == kidx) & (tflat[1::2] == vidx)
+    pair_hit = (tflat[0::2] == kidx) & np.isin(tflat[1::2], vidxs)
     poff = toff[:-1] // 2
     hits = np.add.reduceat(np.append(pair_hit, False).astype(np.int64), poff)
     keep = (hits > 0) & (tlens > 0)
@@ -175,21 +177,30 @@ def _rewrite_layer(layer: T.Layer, kidx: int, vidx: int) -> bytes | None:
     ])
 
 
-def filter_tile_bytes(buf: bytes, key_b: bytes, val_b: bytes) -> bytes:
+def filter_tile_bytes(buf: bytes, key_b: bytes,
+                      val_bs: bytes | list[bytes]) -> bytes:
     """One tile's vtzero-streets pass (the per-task core of
     filter_tiles_by_property): keep features whose tag pairs reference
-    ``key_b``/``val_b`` in the layer dictionaries, rebuild, drop empty
-    layers. Malformed input -> empty tile."""
+    ``key_b`` with ANY of the ``val_bs`` wire values in the layer
+    dictionaries, rebuild, drop empty layers. Malformed input -> empty
+    tile."""
+    if isinstance(val_bs, bytes):
+        val_bs = [val_bs]
+    val_set = set(val_bs)
     blobs: list[bytes] = []
     try:
         for lv in T.tile_layer_views(buf):
             layer = T.parse_layer(lv)
             try:
                 kidx = layer.keys.index(key_b)
-                vidx = layer.values.index(val_b)
             except ValueError:
                 continue
-            lb = _rewrite_layer(layer, kidx, vidx)
+            vidxs = np.fromiter(
+                (i for i, v in enumerate(layer.values) if v in val_set),
+                np.int64)
+            if not vidxs.size:
+                continue
+            lb = _rewrite_layer(layer, kidx, vidxs)
             if lb is not None:
                 blobs.append(lb)
     except MVTError:
@@ -204,7 +215,8 @@ def filter_tiles_by_property(
     vtype: int = V.VT_STRING,
 ) -> DataFrame:
     """tiles(z,x,y,tile_bytes) -> tiles with only the features whose
-    property ``key`` equals ``value`` — vtzero-streets
+    property ``key`` equals ``value`` (a scalar, or a list/tuple for
+    an IN-set match — e.g. several road classes) — vtzero-streets
     (examples/vtzero-streets.cpp:22-78) fused into one per-tile pass,
     zero shuffles. Layers left with no features are dropped; malformed
     tiles become empty tiles (errors-as-data). The match compares
@@ -216,13 +228,14 @@ def filter_tiles_by_property(
     upstream (tiling.feature_budget or the chunked encoder) if tiles
     can grow unbounded."""
     key_b = key.encode("utf-8")
-    val_b = V.encode_value(vtype, value)
+    vals = value if isinstance(value, (list, tuple)) else [value]
+    val_bs = [V.encode_value(vtype, v) for v in vals]
 
     def fn(batches):
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
-                out = filter_tile_bytes(bytes(r["tile_bytes"]), key_b, val_b)
+                out = filter_tile_bytes(bytes(r["tile_bytes"]), key_b, val_bs)
                 rows.append({
                     "z": int(r["z"]), "x": int(r["x"]), "y": int(r["y"]),
                     "num_layers": T.count_layers(out),
