@@ -135,3 +135,13 @@ def test_fused_rewrite_adds_no_shuffle(spark, sf_dir):
         F.col("decode_status") == "ok")
     p = plan(stats)
     assert len(re.findall(r"hashpartitioning\(", p)) == base_exchanges
+
+
+def test_decontaminate_probe_is_broadcast(spark, sf_dir):
+    """The gram probe must be a BroadcastHashJoin — the training side
+    never shuffles for the match."""
+    from vtzero_spark.engine import textops
+
+    docs = synth.load(spark, sf_dir, "documents").select("doc_id", "text")
+    p = plan(textops.decontaminate(docs))
+    assert "BroadcastHashJoin" in p
