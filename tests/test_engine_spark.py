@@ -374,7 +374,7 @@ def test_checkpoint_compaction_and_vacuum(spark, sf_dir, tmp_path):
     spark.read.parquet(os.path.join(out_dir, "data", "bucket=0")) \
         .limit(5).write.parquet(orphan)
     assert cp.read_checkpointed(spark, out_dir).count() == n_before
-    # pre-compaction reads keep the bucket partition column (basePath)
+    # the manifest-derived bucket column is part of the stable schema
     assert "bucket" in cp.read_checkpointed(spark, out_dir).columns
     # default-grace vacuum must NOT touch fresh directories — they may
     # be an in-flight write wave (data lands before the manifest row)
@@ -383,6 +383,14 @@ def test_checkpoint_compaction_and_vacuum(spark, sf_dir, tmp_path):
     res = cp.compact_all(spark, out_dir, target_files=1)
     assert res["buckets_compacted"] == 3
     after = cp.read_checkpointed(spark, out_dir)
+    # schema is stable across the maintenance lifecycle: bucket survives
+    # compaction (manifest-derived, not directory-name-inferred) and a
+    # bucket filter still selects exactly that bucket's rows
+    assert "bucket" in after.columns
+    assert sorted(r["bucket"] for r in
+                  after.select("bucket").distinct().collect()) == [0, 1, 2]
+    one = after.where(F.col("bucket") == 1).count()
+    assert 0 < one < n_before
     assert after.count() == n_before
     h_after = after.agg(F.bit_xor(F.xxhash64("image_id", "phash"))).collect()[0][0]
     assert h_after == h_before

@@ -122,6 +122,23 @@ def test_lint_over_mvt_files(spark, tmp_path):
     assert bad["path"].iloc[0].endswith("garbage.mvt")
 
 
+def test_lint_files_addressless_paths_distinct(spark, tmp_path):
+    """(z,x,y) is NOT unique per file: two address-less garbage files
+    both carry z=x=y=-1. The path must ride through the lint pass, so
+    each file reports exactly ONE fatal_parse attributed to its own
+    path (a re-join on z/x/y would fan out to 4 rows)."""
+    dst = tmp_path / "tiles"
+    dst.mkdir()
+    (dst / "broken_a.mvt").write_bytes(b"\x1a\x05garb")
+    (dst / "broken_b.mvt").write_bytes(b"\x1a\x05junk")
+
+    got = lint.lint_mvt_files(spark, str(dst)).toPandas()
+    assert len(got) == 2
+    assert list(got["check"]) == ["fatal_parse", "fatal_parse"]
+    assert sorted(p.rsplit("/", 1)[1] for p in got["path"]) == \
+        ["broken_a.mvt", "broken_b.mvt"]
+
+
 def test_lint_stream_matches_batch(spark, tmp_path):
     """Streaming lint over a file-fed tile stream emits exactly the
     batch tile_lint rows for the same tiles."""

@@ -229,6 +229,46 @@ def test_ivf_codebook_cache_trains_once(spark, sf_dir, monkeypatch):
     pd.testing.assert_frame_equal(r1, r3)
 
 
+def test_codebook_cache_bypass_clear_and_bound(spark, sf_dir, monkeypatch):
+    """The staleness escape hatches: use_cache=False retrains (and does
+    not populate the cache), clear_codebook_cache drops every entry,
+    and the cache never grows past its bound."""
+    import numpy as np
+
+    emb = synth.load(spark, sf_dir, "embeddings")
+    simsearch.clear_codebook_cache()
+    calls: list[int] = []
+    orig = simsearch.ivf_train
+
+    def counting_train(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(simsearch, "ivf_train", counting_train)
+
+    kw = dict(n_queries=2, k=3, ncentroids=8, nprobe=4)
+    simsearch.ivf_topk(emb, **kw).collect()
+    assert len(calls) == 1 and len(simsearch._CODEBOOK_CACHE) == 1
+    # bypass: retrains, leaves the cache untouched
+    simsearch.ivf_topk(emb, use_cache=False, **kw).collect()
+    assert len(calls) == 2 and len(simsearch._CODEBOOK_CACHE) == 1
+    # clear: next cached call retrains once
+    simsearch.clear_codebook_cache()
+    assert not simsearch._CODEBOOK_CACHE and not simsearch._PQ_CACHE
+    simsearch.ivf_topk(emb, **kw).collect()
+    assert len(calls) == 3
+
+    # bound: inserting past the cap evicts the oldest entry
+    for i in range(simsearch._CACHE_MAX_ENTRIES + 3):
+        simsearch._cache_put(
+            simsearch._CODEBOOK_CACHE, ("k", i), np.zeros(1))
+    assert len(simsearch._CODEBOOK_CACHE) == simsearch._CACHE_MAX_ENTRIES
+    assert ("k", 2) not in simsearch._CODEBOOK_CACHE
+    assert ("k", simsearch._CACHE_MAX_ENTRIES + 2) \
+        in simsearch._CODEBOOK_CACHE
+    simsearch.clear_codebook_cache()
+
+
 def test_native_session_window_stream_matches_batch(spark, sf_dir, tmp_path):
     """The built-in session_window operator run as a STREAM (state
     store merges fragments across micro-batches, watermark closes

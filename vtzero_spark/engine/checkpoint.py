@@ -115,24 +115,23 @@ def read_checkpointed(spark: SparkSession, out_dir: str) -> DataFrame:
     manifest row is invisible; uncommitted/orphaned directories are
     never read.
 
-    While every referenced path is still a pristine ``data/bucket=N``
-    directory, ``basePath`` is set so the ``bucket`` partition column
-    stays in the schema (parity with a directory-scan read). Once a
-    bucket has been compacted its directory is ``bucket=N-cG`` — not a
-    key=value name — and the column disappears; consumers that need it
-    should derive it from the manifest, not the path."""
-    import re
-
+    The ``bucket`` column is ALWAYS present and always derived from the
+    manifest (a per-path literal), never from directory-name inference —
+    so the schema is stable across the whole maintenance lifecycle
+    (pristine ``bucket=N`` dirs and compacted ``bucket=N-cG`` dirs look
+    identical to consumers). A filter on ``bucket`` still prunes whole
+    buckets: the literal folds per union branch, so non-matching
+    branches collapse to empty relations before any file is scanned."""
     rows = _manifest_rows(out_dir)
     base = os.path.join(out_dir, "data")
     if not rows:
         return spark.read.parquet(base)
-    paths = [_bucket_data_path(out_dir, r) for r in rows]
-    if all(os.path.dirname(os.path.abspath(p)) == os.path.abspath(base)
-           and re.fullmatch(r"bucket=\d+", os.path.basename(p))
-           for p in paths):
-        return spark.read.option("basePath", base).parquet(*paths)
-    return spark.read.parquet(*paths)
+    out = None
+    for r in sorted(rows, key=lambda r: r["bucket"]):
+        df = spark.read.parquet(_bucket_data_path(out_dir, r)) \
+            .withColumn("bucket", F.lit(int(r["bucket"])))
+        out = df if out is None else out.unionByName(df)
+    return out
 
 
 # --------------------------------------------------------- maintenance

@@ -11,6 +11,15 @@ severity 2 (error)   — empty layer name, duplicate layer name
                        consecutive point in linestring/ring, zero-area
                        ring, first ring not outer
                        (vtzero-check.cpp:110-167)
+
+One handler branch is intentionally absent: the CLI's "Not enough
+points in linestring" (vtzero-check.cpp:112-115, count < 2). Through
+the strict decoder the CLI actually runs, that branch is unreachable —
+a LineTo count of 0 throws before linestring_begin is ever called
+(geometry.hpp:320-324), so the CLI reports such a tile as a FATAL
+top-level catch (vtzero-check.cpp:219-226) and aborts the tile scan.
+Our fatal_geometry does exactly that; adding a severity-2 check here
+would diverge from the CLI's observable behavior, not match it.
 severity 1 (warning) — zero-feature layer, zero-layer tile (spec 4.1),
                        point beyond the [-extent, 2*extent] band
                        (vtzero-check.cpp:81-88)
@@ -126,24 +135,46 @@ def lint_tile_bytes(buf: bytes) -> Counter:
     return out
 
 
-def tile_lint(tiles: DataFrame) -> DataFrame:
-    """tiles(z,x,y,tile_bytes) -> finding rows
-    (z, x, y, check, severity, n); a clean tile yields no rows. Use
-    ``return_codes`` for the per-tile CLI exit code."""
+def tile_lint(
+    tiles: DataFrame, id_cols: tuple[str, ...] = ("z", "x", "y"),
+) -> DataFrame:
+    """tiles(*id_cols, tile_bytes) -> finding rows
+    (*id_cols, check, severity, n); a clean tile yields no rows. Use
+    ``return_codes`` for the per-tile CLI exit code.
+
+    ``id_cols`` are carried through the lint pass verbatim (types taken
+    from the input schema), so identity columns that are not unique —
+    or not present — as (z,x,y) (e.g. a file ``path`` for address-less
+    tiles, which all share z=x=y=-1) never need a post-hoc re-join."""
+    from pyspark.sql.types import (
+        IntegerType, LongType, StringType, StructField, StructType)
+
+    id_fields = [
+        StructField(c, tiles.schema[c].dataType, True) for c in id_cols]
+    schema = StructType(id_fields + [
+        StructField("check", StringType(), True),
+        StructField("severity", IntegerType(), True),
+        StructField("n", LongType(), True),
+    ])
+    cols = list(id_cols) + ["check", "severity", "n"]
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = ["z", "x", "y", "check", "severity", "n"]
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                found = lint_tile_bytes(bytes(r["tile_bytes"]))
+            ids = [pdf[c].to_numpy() for c in id_cols]
+            bufs = pdf["tile_bytes"].to_numpy()
+            for i in range(len(pdf)):
+                found = lint_tile_bytes(bytes(bufs[i]))
+                if not found:
+                    continue
+                base = {c: ids[j][i] for j, c in enumerate(id_cols)}
                 for chk, n in sorted(found.items()):
                     rows.append({
-                        "z": int(r["z"]), "x": int(r["x"]), "y": int(r["y"]),
-                        "check": chk, "severity": _SEVERITY[chk],
-                        "n": int(n)})
+                        **base, "check": chk,
+                        "severity": _SEVERITY[chk], "n": int(n)})
             yield pd.DataFrame(rows, columns=cols)
 
-    return tiles.mapInPandas(fn, schema=LINT_SCHEMA)
+    return tiles.mapInPandas(fn, schema=schema)
 
 
 def return_codes(lint_df: DataFrame, tiles: DataFrame) -> DataFrame:
@@ -163,10 +194,13 @@ def lint_mvt_files(spark, path_glob: str) -> DataFrame:
     invoked (examples/vtzero-check.cpp:190-229 reads one file path):
     binary-file scan -> per-tile findings, one row per (tile, check).
     Column ``path`` identifies the source file alongside the z/x/y
-    parsed from the filename (address-less files keep z=x=y=-1)."""
+    parsed from the filename; it rides through the lint pass itself
+    (not a re-join — (z,x,y) is not unique across address-less files,
+    which all carry z=x=y=-1, or duplicate filenames in different
+    directories)."""
     from . import mvt_files
 
     tiles = mvt_files.read_mvt_files(spark, path_glob)
-    findings = tile_lint(tiles.select("z", "x", "y", "tile_bytes"))
-    return findings.join(
-        tiles.select("z", "x", "y", "path"), ["z", "x", "y"], "left")
+    return tile_lint(
+        tiles.select("z", "x", "y", "path", "tile_bytes"),
+        id_cols=("z", "x", "y", "path"))

@@ -233,15 +233,14 @@ def filter_tiles_by_property(
 
     def fn(batches):
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                out = filter_tile_bytes(bytes(r["tile_bytes"]), key_b, val_bs)
-                rows.append({
-                    "z": int(r["z"]), "x": int(r["x"]), "y": int(r["y"]),
-                    "num_layers": T.count_layers(out),
-                    "tile_bytes": out,
-                })
-            yield pd.DataFrame(
-                rows, columns=["z", "x", "y", "num_layers", "tile_bytes"])
+            outs = [filter_tile_bytes(bytes(b), key_b, val_bs)
+                    for b in pdf["tile_bytes"].to_numpy()]
+            yield pd.DataFrame({
+                "z": pdf["z"].to_numpy(),
+                "x": pdf["x"].to_numpy(),
+                "y": pdf["y"].to_numpy(),
+                "num_layers": [T.count_layers(o) for o in outs],
+                "tile_bytes": outs,
+            }, columns=["z", "x", "y", "num_layers", "tile_bytes"])
 
     return tiles.mapInPandas(fn, schema=TILE_SCHEMA)

@@ -234,7 +234,30 @@ def ivf_train(q: DataFrame, init: np.ndarray, iters: int = 2) -> np.ndarray:
 # repeated ivf_topk calls over the same table (the serving pattern — a
 # bench loop, a query service) skip the Lloyd jobs entirely; the entry
 # is ncentroids x dim floats, driver-resident by design.
+#
+# STALENESS CAVEAT: semanticHash() hashes the LOGICAL PLAN, not the
+# data. If the files behind the same path/plan are rewritten, a cached
+# codebook is silently stale — recall degrades with no error. For
+# mutable tables pass ``use_cache=False`` (or an explicit pre-trained
+# codebook), or call ``clear_codebook_cache()`` after a rewrite. Both
+# caches are bounded FIFO (oldest entry evicted) so a long-lived
+# session cannot grow driver memory without limit.
+_CACHE_MAX_ENTRIES = 16
 _CODEBOOK_CACHE: dict[tuple, np.ndarray] = {}
+
+
+def _cache_put(cache: dict, key: tuple, val: np.ndarray) -> None:
+    while len(cache) >= _CACHE_MAX_ENTRIES:
+        cache.pop(next(iter(cache)))
+    cache[key] = val
+
+
+def clear_codebook_cache() -> None:
+    """Drop every cached IVF and PQ codebook. Call after rewriting the
+    data behind a previously-searched table (the caches key on the
+    logical plan, which cannot see file-level rewrites)."""
+    _CODEBOOK_CACHE.clear()
+    _PQ_CACHE.clear()
 
 
 def _codebook_key(emb: DataFrame, n_queries: int, ncentroids: int,
@@ -276,6 +299,7 @@ def ivf_topk(
     nprobe: int = 8,
     train_iters: int = 2,
     codebook: np.ndarray | None = None,
+    use_cache: bool = True,
 ) -> DataFrame:
     """IVF approximate top-k with a TRAINED k-means codebook: Lloyd
     iterations run distributed (ivf_train), every vector is
@@ -287,6 +311,9 @@ def ivf_topk(
     pre-trained ``codebook`` (ivf_build), or let the module-level cache
     key the trained centroids by the input plan's semantic hash —
     training then runs at most once per (table, params) per session.
+    The plan hash cannot see file-level rewrites behind the same path;
+    pass ``use_cache=False`` (or call clear_codebook_cache) when the
+    underlying data is mutable.
 
     Scale shape: the candidate scan touches ~nprobe/ncentroids of the
     data; the probe list is broadcast; the inverted lists are just a
@@ -297,7 +324,7 @@ def ivf_topk(
     from .textops import _spread
 
     key = None
-    if codebook is None:
+    if codebook is None and use_cache:
         key = _codebook_key(emb, n_queries, ncentroids, train_iters)
         if key is not None:
             codebook = _CODEBOOK_CACHE.get(key)
@@ -315,7 +342,7 @@ def ivf_topk(
             q_rows = [r for r in head if r["vec_id"] < n_queries]
             codebook = ivf_train(q, init, iters=train_iters)
             if key is not None:
-                _CODEBOOK_CACHE[key] = codebook
+                _cache_put(_CODEBOOK_CACHE, key, codebook)
         else:
             q_rows = (
                 q.where(F.col("vec_id") < n_queries)
@@ -520,6 +547,7 @@ def pq_topk(
     overfetch: int = 8,
     train_iters: int = 2,
     codebooks: np.ndarray | None = None,
+    use_cache: bool = True,
 ) -> DataFrame:
     """PQ-compressed approximate top-k with exact re-rank — the third
     ANN tier (brute force -> IVF -> PQ): the scan reads m-code rows
@@ -533,11 +561,13 @@ def pq_topk(
 
     Codebooks: pass pq_train output, or let the module cache key them
     by the input plan's semantic hash (training runs at most once per
-    table+params per session). Compose with IVF by bucketing the codes
+    table+params per session; ``use_cache=False`` bypasses it for
+    mutable tables — the plan hash cannot see file-level rewrites).
+    Compose with IVF by bucketing the codes
     table on the coarse cell — the scan then touches nprobe cells of
     m-code rows, the standard IVF-PQ layout."""
     key = None
-    if codebooks is None:
+    if codebooks is None and use_cache:
         try:
             key = (emb.semanticHash(), "pq", m, ksub, train_iters,
                    n_queries)
@@ -549,7 +579,7 @@ def pq_topk(
         codebooks = pq_train(emb, m=m, ksub=ksub,
                              train_iters=train_iters, n_queries=n_queries)
         if key is not None:
-            _PQ_CACHE[key] = codebooks
+            _cache_put(_PQ_CACHE, key, codebooks)
     C = codebooks
     _, _, dsub = C.shape
 
@@ -626,6 +656,7 @@ def ivfpq_topk(
     train_iters: int = 2,
     coarse: np.ndarray | None = None,
     codebooks: np.ndarray | None = None,
+    use_cache: bool = True,
 ) -> DataFrame:
     """The full Faiss-style IVF-PQ layout: the coarse IVF codebook
     buckets every vector into a cell (partition/bucket key at scale),
@@ -640,21 +671,30 @@ def ivfpq_topk(
     from .textops import _spread
 
     if coarse is None:
-        coarse = ivf_build(emb, n_queries=n_queries, ncentroids=ncentroids,
-                           train_iters=train_iters)
+        ckey = (_codebook_key(emb, n_queries, ncentroids, train_iters)
+                if use_cache else None)
+        coarse = _CODEBOOK_CACHE.get(ckey) if ckey is not None else None
+        if coarse is None:
+            coarse = ivf_build(emb, n_queries=n_queries,
+                               ncentroids=ncentroids,
+                               train_iters=train_iters)
+            if ckey is not None:
+                _cache_put(_CODEBOOK_CACHE, ckey, coarse)
     if codebooks is None:
         key = None
-        try:
-            key = (emb.semanticHash(), "pq", m, ksub, train_iters, n_queries)
-        except Exception:
-            pass
+        if use_cache:
+            try:
+                key = (emb.semanticHash(), "pq", m, ksub, train_iters,
+                       n_queries)
+            except Exception:
+                pass
         codebooks = _PQ_CACHE.get(key) if key is not None else None
         if codebooks is None:
             codebooks = pq_train(emb, m=m, ksub=ksub,
                                  train_iters=train_iters,
                                  n_queries=n_queries)
             if key is not None:
-                _PQ_CACHE[key] = codebooks
+                _cache_put(_PQ_CACHE, key, codebooks)
     C = codebooks
     _, _, dsub = C.shape
 
