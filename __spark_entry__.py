@@ -749,6 +749,16 @@ def q_payload_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Exactly 50 entries — the driver's correctness harness records at
+    most 50, and round 3 silently dropped the last five (the whole
+    multimodal surface). Five redundant rows-only twins were retired
+    from this dict (their code and pytest coverage remain):
+    pyramid_tiles / pyramid_tiles_hot (chunked-encoder byte parity is
+    covered by polygon_tiles_hot + the oracle-matched pyramid),
+    cosine_topk (float twin of the oracle-matched ann_topk),
+    dedup_neardup (representative anti-join over neardup_clusters),
+    and pq_topk (subsumed by ivfpq_topk, which trains and scans the
+    same PQ path)."""
     return {
         "tile_assign": q_tile_assign,
         "tile_counts": q_tile_counts,
@@ -791,15 +801,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mvt_tiles": q_mvt_tiles,
         "layer_filter": q_layer_filter,
         "mvt_ingest": q_mvt_ingest,
-        "pyramid_tiles": q_pyramid_tiles,
-        "pyramid_tiles_hot": q_pyramid_tiles_hot,
         "polygon_tiles_hot": q_polygon_tiles_hot,
         "minhash_lsh": q_minhash_lsh,
         "neardup_clusters": q_neardup_clusters,
-        "dedup_neardup": q_dedup_neardup,
         "simhash_neardup": q_simhash_neardup,
-        "cosine_topk": q_cosine_topk,
-        "pq_topk": q_pq_topk,
         "ivfpq_topk": q_ivfpq_topk,
         "ivf_topk": q_ivf_topk,
         "image_features": q_image_features,
