@@ -443,9 +443,14 @@ def q_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pip_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-tier salted PIP (the 100 TB shape): a cheap per-cell census
+    finds hot probe cells; only their index rows replicate salt ways,
+    cold cells take a plain shuffle join — row-identical to broadcast
+    pip (same oracle)."""
     pts = synth.images(spark, sf_dir)
     polys = synth.polygons(spark, sf_dir)
-    return joins.pip_join(pts, polys, salt=8).select("image_id", "pid")
+    return joins.pip_join(pts, polys, salt=8, hot_threshold=1800) \
+        .select("image_id", "pid")
 
 
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -162,6 +162,39 @@ def test_parent_children_roundtrip(spark):
     assert len(set(row["children"])) == 4
 
 
+def test_pip_two_tier_salting_row_identical(spark, sf_dir):
+    """Two-tier salted PIP == broadcast PIP == always-salted PIP, on
+    (a) the uniform synth data at every threshold regime (all-cold,
+    mixed, all-hot) and (b) a PLANTED hot cell holding half the
+    points — the skew case the hot tier exists for."""
+    pts = synth.images(spark, sf_dir)
+    polys = synth.polygons(spark, sf_dir)
+    want = sorted(
+        joins.pip_join(pts, polys).select("image_id", "pid").collect())
+    assert len(want) > 0
+    for thr in (0, 180, 10**9):  # all-hot / mixed / all-cold
+        got = sorted(
+            joins.pip_join(pts, polys, salt=4, hot_threshold=thr)
+            .select("image_id", "pid").collect())
+        assert got == want, f"threshold {thr} diverged"
+
+    # planted skew: half the probe points stacked on one world coord
+    from pyspark.sql import functions as F
+    hot_pt = pts.limit(1).select("wx", "wy").collect()[0]
+    skewed = pts.withColumn(
+        "wx", F.when(F.col("iid") % 2 == 0, F.lit(hot_pt["wx"]))
+        .otherwise(F.col("wx"))
+    ).withColumn(
+        "wy", F.when(F.col("iid") % 2 == 0, F.lit(hot_pt["wy"]))
+        .otherwise(F.col("wy")))
+    want_s = sorted(
+        joins.pip_join(skewed, polys).select("image_id", "pid").collect())
+    got_s = sorted(
+        joins.pip_join(skewed, polys, salt=4, hot_threshold=500)
+        .select("image_id", "pid").collect())
+    assert got_s == want_s and len(got_s) > 0
+
+
 def test_pip_cells_equals_pip_join(spark, sf_dir):
     pts = synth.images(spark, sf_dir)
     polys = synth.polygons(spark, sf_dir)

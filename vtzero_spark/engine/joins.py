@@ -71,6 +71,7 @@ def pip_join(
     cell: int = EXTENT,
     salt: int | None = None,
     point_id: str = "image_id",
+    hot_threshold: int | None = None,
 ) -> DataFrame:
     """Point-in-polygon join: points (wx, wy) x polygons (pid, cx, cy,
     r, ring) -> one row per containment (boundary inclusive).
@@ -79,6 +80,14 @@ def pip_join(
     salt=N: salted repartition join for hot cells — the index is
     replicated N times, the probe side picks a deterministic salt from
     its point id, so result rows are identical to the unsalted join.
+    hot_threshold=T (with salt=N): TWO-TIER salting, the 100 TB shape —
+    a cheap per-cell probe count (map-side combine collapses it to one
+    row per distinct cell) finds the cells holding more than T points;
+    only THOSE cells' index rows are replicated N ways, while the cold
+    cells take a plain shuffle join with zero replication. Cell sets
+    are disjoint, so rows are identical to the always-salted form at a
+    fraction of its index replication (always-on salting replicates
+    the whole index N times no matter how few cells are hot).
     """
     index = polygon_cell_index(polys, cell)
     pts = (
@@ -87,7 +96,7 @@ def pip_join(
     )
     if salt is None:
         joined = pts.join(F.broadcast(index), ["cell_x", "cell_y"])
-    else:
+    elif hot_threshold is None:
         index_salted = index.withColumn(
             "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
         )
@@ -95,6 +104,37 @@ def pip_join(
             "_salt", F.pmod(F.xxhash64(F.col(point_id)), F.lit(salt)).cast("int")
         )
         joined = pts_salted.join(index_salted, ["cell_x", "cell_y", "_salt"]).drop("_salt")
+    else:
+        # hot-cell census: tiny result (<= #distinct cells rows),
+        # broadcast to tag both sides without another shuffle
+        hot = F.broadcast(
+            pts.groupBy("cell_x", "cell_y")
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") > hot_threshold)
+            .select("cell_x", "cell_y", F.lit(True).alias("_hot"))
+        )
+        pts_t = pts.join(hot, ["cell_x", "cell_y"], "left")
+        idx_t = index.join(hot, ["cell_x", "cell_y"], "left")
+        cold = (
+            pts_t.where(F.col("_hot").isNull()).drop("_hot")
+            .join(idx_t.where(F.col("_hot").isNull()).drop("_hot"),
+                  ["cell_x", "cell_y"])
+        )
+        idx_hot = (
+            idx_t.where(F.col("_hot").isNotNull()).drop("_hot")
+            .withColumn("_salt",
+                        F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+        )
+        pts_hot = (
+            pts_t.where(F.col("_hot").isNotNull()).drop("_hot")
+            .withColumn("_salt",
+                        F.pmod(F.xxhash64(F.col(point_id)),
+                               F.lit(salt)).cast("int"))
+        )
+        joined = cold.unionByName(
+            pts_hot.join(idx_hot, ["cell_x", "cell_y", "_salt"])
+            .drop("_salt")
+        )
     # bbox prefilter: cells are coarse (one covering cell can dwarf the
     # polygon), so a scalar L-inf check culls most candidates before the
     # ring-array refine ever allocates — row-identical (bbox contains
