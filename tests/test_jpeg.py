@@ -1,0 +1,103 @@
+"""Baseline JPEG codec (engine/jpeg.py): real T.81 sequential DCT.
+
+The encoder and decoder share no state beyond the public byte stream —
+the decoder reads quantization and Huffman tables from DQT/DHT
+segments, so a quality-50 stream and a quality-95 stream both decode
+correctly through the same code path.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from vtzero_spark.engine import jpeg
+from vtzero_spark.engine.payload import psnr, synth_pixels
+
+# every (w, h) the synthetic corpus produces (synth.images: w from
+# [16,32,64,256], h from [16,32,64])
+CORPUS_SIZES = [(w, h) for w in (16, 32, 64, 256) for h in (16, 32, 64)]
+
+
+def test_roundtrip_psnr_gate_all_corpus_sizes():
+    worst = 99.0
+    for i, (w, h) in enumerate(CORPUS_SIZES):
+        px = synth_pixels(2654435761 * i + 17, w, h)
+        out = jpeg.decode_jpeg(jpeg.encode_jpeg(px, quality=90))
+        assert out.shape == (h, w, 3)
+        worst = min(worst, psnr(px, out))
+    assert worst >= 40.0, f"PSNR gate violated: {worst:.2f} dB"
+
+
+def test_quality_tradeoff_monotone():
+    """Higher quality -> larger stream and better PSNR; tables are
+    read from the stream (q50 and q95 share one decoder)."""
+    px = synth_pixels(99, 64, 64)
+    sizes, psnrs = [], []
+    for q in (50, 75, 95):
+        data = jpeg.encode_jpeg(px, quality=q)
+        sizes.append(len(data))
+        psnrs.append(psnr(px, jpeg.decode_jpeg(data)))
+    assert sizes == sorted(sizes)
+    assert psnrs == sorted(psnrs)
+
+
+def test_stream_structure_and_determinism():
+    px = synth_pixels(7, 32, 16)
+    data = jpeg.encode_jpeg(px, quality=90)
+    assert data[:2] == b"\xFF\xD8" and data[-2:] == b"\xFF\xD9"
+    assert b"JFIF\x00" in data[:32]
+    # one SOF0 with 8-bit precision, 3 components, 1x1 sampling
+    i = data.index(b"\xFF\xC0")
+    prec, h, w, nc = struct.unpack(">BHHB", data[i + 4:i + 10])
+    assert (prec, h, w, nc) == (8, 16, 32, 3)
+    assert data == jpeg.encode_jpeg(px, quality=90)
+
+
+def test_compresses_smooth_content():
+    px = synth_pixels(4242, 256, 64)
+    data = jpeg.encode_jpeg(px, quality=90)
+    assert len(data) < 256 * 64 * 3 / 4  # >4:1 on photographic-like data
+
+
+def test_non_multiple_of_8_dimensions():
+    rng = np.random.default_rng(5)
+    base = synth_pixels(11, 64, 32)
+    for (w, h) in ((13, 9), (17, 24), (8, 8), (1, 1)):
+        px = base[:h, :w].copy()
+        out = jpeg.decode_jpeg(jpeg.encode_jpeg(px, quality=92))
+        assert out.shape == (h, w, 3)
+        assert psnr(px, out) >= 35.0  # partial edge blocks, no gate claim
+    del rng
+
+
+def test_rejects_garbage_and_unsupported():
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(b"not a jpeg")
+    px = synth_pixels(3, 16, 16)
+    data = bytearray(jpeg.encode_jpeg(px, quality=90))
+    # flip SOF0 -> SOF2 (progressive): must refuse, not mis-decode
+    i = bytes(data).index(b"\xFF\xC0")
+    data[i + 1] = 0xC2
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(bytes(data))
+    # truncated stream (header only) is incomplete
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(jpeg.encode_jpeg(px)[:20])
+
+
+def test_byte_stuffing_roundtrip():
+    """At least one corpus stream contains a stuffed 0xFF00 in its
+    entropy segment; it must destuff transparently."""
+    found = False
+    for seed in range(40):
+        px = synth_pixels(seed * 7919 + 1, 32, 32)
+        data = jpeg.encode_jpeg(px, quality=90)
+        i = data.index(b"\xFF\xDA")
+        if b"\xFF\x00" in data[i:]:
+            found = True
+            assert psnr(px, jpeg.decode_jpeg(data)) >= 40.0
+            break
+    assert found, "no stream with byte stuffing found in 40 seeds"

