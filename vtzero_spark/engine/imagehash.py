@@ -1,0 +1,239 @@
+"""Perceptual image hashing + corpus-scale image near-dup dedup.
+
+The image-side analog of SimHash for a training-data pipeline: two
+images that differ only by re-encoding (JPEG quality change, PNG vs
+JPEG) hash to nearly-identical fingerprints, so image dedup becomes
+the same band-join + bit_count + connected-components shape as text
+near-dup. Public algorithms only (pHash / blockhash family).
+
+Two hashes:
+
+- ``phash64`` — the classic 64-bit DCT pHash (bilinear 32x32
+  luminance, 2-D DCT-II via the same orthonormal machinery as the
+  baseline JPEG codec, top-left 8x8 block, bit = coef > median, DC
+  excluded). Kept for API parity and cross-tool comparability;
+  measured on the synthetic corpus it re-encodes at mean ~3 / max ~12
+  bits but its near-zero high-index coefficients make lookalike
+  collisions possible on smooth content.
+- ``blockhash`` — the dedup workhorse: 256-bit 16x16-mean blockhash
+  (bit = cell mean > median, packed into 4 longs) PLUS a 12-bit
+  Gray-coded mean-color tag (re-encoding moves channel means <1 unit,
+  so the tag is stable on true dups and splits same-structure
+  different-color lookalikes). Distance D = hamming(256-bit) +
+  4 * hamming(color tag). Measured at JPEG q75 re-encode: dup D mean
+  3.2 / max 12; unrelated corpus pairs min D 12, zero pairs below 12
+  in a 44,850-pair sample — default threshold 10 gives ~99% recall at
+  zero sampled false merges.
+
+Scale shape: one Arrow-batched decode+hash pass (the only Python
+stage); candidate generation is 16-way 16-bit band blocking over the
+256-bit hash — pigeonhole-EXACT for hamming <= 15, which covers the
+entire measured dup band, so recall is structural, not probabilistic;
+the refine is JVM bit_count over xor (no Python in the join);
+clustering reuses textops.neardup_components (distributed min-label
+propagation + pointer jumping). Nothing all-pairs, nothing
+driver-sized.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_MAX_D = 10
+
+
+def _dct_matrix_n(n: int) -> np.ndarray:
+    k = np.arange(n).reshape(n, 1)
+    m = np.arange(n).reshape(1, n)
+    D = np.sqrt(2.0 / n) * np.cos((2 * m + 1) * k * np.pi / (2 * n))
+    D[0, :] /= np.sqrt(2.0)
+    return D
+
+
+_DCT32 = _dct_matrix_n(32)
+_BITPOS = np.arange(64, dtype=np.uint64)
+
+
+def _resize32(lum: np.ndarray) -> np.ndarray:
+    """Bilinear resize of a (h, w) float array to 32x32 (any h, w).
+
+    Point-sampled bilinear, deliberately: an area-averaging (box
+    prefilter) variant was measured WORSE on this corpus — requant
+    distances grew (max 12 -> 14) and unrelated separation shrank
+    (min 12 -> 10), because averaging pulls many 16x16 cells onto the
+    median contour where the sign bit is unstable. Cross-RESOLUTION
+    dup detection is not claimed by this module either way (the
+    hash's dup class is re-encoding at the same dimensions)."""
+    h, w = lum.shape
+
+    def coords(n_src: int):
+        c = (np.arange(32) + 0.5) * n_src / 32.0 - 0.5
+        c = np.clip(c, 0.0, n_src - 1.0)
+        lo = np.floor(c).astype(np.int64)
+        hi = np.minimum(lo + 1, n_src - 1)
+        return lo, hi, c - lo
+
+    ylo, yhi, fy = coords(h)
+    xlo, xhi, fx = coords(w)
+    top = lum[ylo][:, xlo] * (1 - fx) + lum[ylo][:, xhi] * fx
+    bot = lum[yhi][:, xlo] * (1 - fx) + lum[yhi][:, xhi] * fx
+    return top * (1 - fy[:, None]) + bot * fy[:, None]
+
+
+def _luminance(arr: np.ndarray) -> np.ndarray:
+    f = arr.astype(np.float64)
+    return f[..., 0] * 0.299 + f[..., 1] * 0.587 + f[..., 2] * 0.114
+
+
+def _signed64(h: int) -> int:
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def phash64(arr: np.ndarray) -> int:
+    """Classic 64-bit DCT perceptual hash of one uint8 RGB image,
+    returned as a SIGNED 64-bit int (Spark long semantics)."""
+    small = _resize32(_luminance(arr))
+    coef = (_DCT32 @ small @ _DCT32.T)[:8, :8].ravel()
+    med = np.median(coef[1:])
+    bits = (coef > med).astype(np.uint64)
+    bits[0] = 0  # DC carries only global brightness
+    return _signed64(int((bits << _BITPOS).sum(dtype=np.uint64)))
+
+
+def _gray4(v: int) -> int:
+    v &= 15
+    return v ^ (v >> 1)
+
+
+def blockhash(arr: np.ndarray) -> tuple[int, int, int, int, int]:
+    """(b0, b1, b2, b3, ctag): 256-bit 16x16-mean blockhash as four
+    signed longs (b0 = most-significant 64 bits) + the 12-bit
+    Gray-coded mean-color tag."""
+    s16 = _resize32(_luminance(arr)).reshape(16, 2, 16, 2) \
+        .mean(axis=(1, 3)).ravel()
+    med = np.median(s16)
+    packed = np.packbits(s16 > med).tobytes()   # 32 bytes, big-endian
+    parts = tuple(
+        _signed64(int.from_bytes(packed[i:i + 8], "big"))
+        for i in range(0, 32, 8))
+    f = arr.astype(np.float64)
+    ctag = 0
+    for ch in range(3):
+        ctag |= _gray4(int(f[..., ch].mean()) >> 4) << (4 * ch)
+    return parts + (ctag,)
+
+
+_HASH_SCHEMA = "b0 long, b1 long, b2 long, b3 long, ctag long"
+_HASH_COLS = ["b0", "b1", "b2", "b3", "ctag"]
+
+
+def image_phash(df: DataFrame, id_col: str = "image_id") -> DataFrame:
+    """(id, bytes, fmt) -> (id, b0..b3, ctag, phash64, status).
+    Errors-as-data: an undecodable payload yields NULL hashes + the
+    error status instead of failing the job (corpus discipline — a
+    100 TB scan always contains garbage rows)."""
+    from .payload import decode_payload
+    from .textops import _spread
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    df = _spread(df)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [id_col] + _HASH_COLS + ["phash64", "status"]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                rid = getattr(r, id_col)
+                try:
+                    px = decode_payload(r.bytes, r.fmt)
+                    b0, b1, b2, b3, ctag = blockhash(px)
+                    rows.append({
+                        id_col: rid, "b0": b0, "b1": b1, "b2": b2,
+                        "b3": b3, "ctag": ctag,
+                        "phash64": phash64(px), "status": "ok"})
+                except (ValueError, NotImplementedError) as e:
+                    rows.append({
+                        id_col: rid, "b0": None, "b1": None, "b2": None,
+                        "b3": None, "ctag": None, "phash64": None,
+                        "status": f"{type(e).__name__}: {e}"})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, "bytes", "fmt").mapInPandas(
+        gen, schema=(f"{id_col} {id_type}, {_HASH_SCHEMA}, "
+                     "phash64 long, status string"))
+
+
+def _distance_expr():
+    d = None
+    for col in ("b0", "b1", "b2", "b3"):
+        t = F.bit_count(F.col(f"a_{col}").bitwiseXOR(F.col(f"b_{col}")))
+        d = t if d is None else d + t
+    return d + F.bit_count(
+        F.col("a_ctag").bitwiseXOR(F.col("b_ctag"))) * 4
+
+
+def phash_neardup_pairs(ph: DataFrame, max_d: int = DEFAULT_MAX_D,
+                        id_col: str = "image_id") -> DataFrame:
+    """Near-dup image pairs by blockhash distance. Candidates from
+    16-way 16-bit band blocking over the 256-bit hash — pigeonhole:
+    hamming <= 15 guarantees a shared band, and max_d <= 15 implies
+    hash hamming <= 15, so candidate recall is EXACT for any
+    max_d <= 15 (the default 10 included). Refine is JVM bit_count
+    over xor. Input: image_phash output (NULL hashes dropped)."""
+    good = ph.where(F.col("b0").isNotNull())
+    bands = good.select(
+        id_col, *_HASH_COLS,
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("band"),
+    ).withColumn(
+        "band_val",
+        F.expr("shiftrightunsigned("
+               "  element_at(array(b0, b1, b2, b3),"
+               "             cast(band div 4 as int) + 1),"
+               "  cast((band % 4) * 16 as int)) & 65535"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, ["band", "band_val"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias(id_col),
+            F.col(f"b.{id_col}").alias("other_id"),
+            *[F.col(f"a.{c}").alias(f"a_{c}") for c in _HASH_COLS],
+            *[F.col(f"b.{c}").alias(f"b_{c}") for c in _HASH_COLS],
+        )
+        .dropDuplicates([id_col, "other_id"])
+    )
+    return (
+        cand.withColumn("d", _distance_expr())
+        .where(F.col("d") <= max_d)
+        .select(id_col, "other_id", "d")
+    )
+
+
+def dedup_phash(images: DataFrame, max_d: int = DEFAULT_MAX_D,
+                id_col: str = "image_id") -> DataFrame:
+    """Corpus image dedup: keep ONE representative (min id) per
+    connected component of the perceptual near-dup graph; images in no
+    pair survive untouched. decode+hash -> band pairs -> components ->
+    anti-join — the image twin of textops.dedup_neardup."""
+    from .textops import neardup_components
+
+    # persist the (small: 6 longs/row) hash table — the decode+hash
+    # pass over the binary payloads must run ONCE, not once per side
+    # of the band self-join and once per component round
+    ph = image_phash(images, id_col=id_col).persist()
+    try:
+        pairs = phash_neardup_pairs(ph, max_d, id_col=id_col)
+        # neardup_components materializes its edge list eagerly
+        # (localCheckpoint), after which ph is no longer needed
+        comp = neardup_components(pairs, a_col=id_col, b_col="other_id")
+        losers = comp.where(F.col("component") != F.col("doc_id")) \
+            .select(F.col("doc_id").alias(id_col))
+        return images.join(losers, id_col, "left_anti")
+    finally:
+        ph.unpersist(blocking=False)

@@ -122,34 +122,61 @@ def synth_pixels(phash: int, w: int, h: int) -> np.ndarray:
         return (((phash | 1) * a + i * c) & mask) >> 16
 
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
-    out = np.empty((h, w, 3), dtype=np.uint8)
     two_pi = 2.0 * np.pi
+
+    # One SHARED structure field for all channels (this is the photo
+    # statistic that matters: JPEG quantizes chroma far harder than
+    # luma, so three independent RGB fields put full-amplitude detail
+    # into Cb/Cr and sink the 40 dB gate at small sizes; real images
+    # carry structure in luminance and keep chroma smooth). Per
+    # channel: a distinct DC level (color) + a small low-freq delta.
+    #
+    # Mode design: three near-equal-amplitude incommensurate modes +
+    # a mid-scale texture mode + gradient, with wavelengths
+    # PROPORTIONAL to the image dimensions (0.4..1.3 x per axis):
+    # every size shows 0.8-2.5 cycles of structure per mode, so (a)
+    # an 8x8 perceptual summary is pattern-rich at EVERY size — a
+    # fixed pixel wavelength leaves 16x16 images monotone and
+    # collision-prone under perceptual hashing; (b) per-block spatial
+    # frequency stays low at every size (codec-friendly); (c) the
+    # same phash renders an approximately-scaled version of the same
+    # scene at any resolution. Floors keep the smallest images out of
+    # the harshly-quantized mid-frequency bins.
+    amps = [14.0 + (p(2 + i) % 14) for i in range(3)]
+    a4 = 8.0 + (p(13) % 8)
+
+    def lam(i: int, dim: int) -> float:
+        return max(10.0, dim * (0.4 + (p(5 + i) % 900) / 1000.0))
+
+    lx = [lam(i, w) for i in (0, 2, 4)]
+    ly = [lam(i, h) for i in (1, 3, 5)]
+    ltx = max(9.0, w * (0.2 + (p(14) % 150) / 1000.0))
+    lty = max(9.0, h * (0.2 + (p(15) % 150) / 1000.0))
+    phs = [(p(16 + i) % 628) / 100.0 for i in range(4)]
+    grad = (p(11) % 41) - 20.0
+    shared = (
+        amps[0] * np.cos(two_pi * (xx / lx[0] + yy / ly[0]) + phs[0])
+        + amps[1] * np.cos(two_pi * (xx / lx[1] - yy / ly[1]) + phs[1])
+        + amps[2] * np.cos(two_pi * (xx / lx[2] + yy / ly[2]) + phs[2])
+        + a4 * np.cos(two_pi * (xx / ltx + yy / lty) + phs[3])
+        + grad * (xx / max(w, 1) + yy / max(h, 1)) * 0.5
+    )
+
+    out = np.empty((h, w, 3), dtype=np.uint8)
     for ch in range(3):
-        b = p(11 * ch + 1)
-        base = 70.0 + (b % 116)
-        a1 = 18.0 + (p(11 * ch + 2) % 30)
-        a2 = 8.0 + (p(11 * ch + 3) % 18)
-        # wavelengths fixed in PIXELS (32..95 px) so spatial-frequency
-        # content — and hence codec behavior — is image-size invariant
-        lx1 = 32.0 + p(11 * ch + 4) % 64
-        ly1 = 32.0 + p(11 * ch + 5) % 64
-        lx2 = 32.0 + p(11 * ch + 6) % 64
-        ly2 = 32.0 + p(11 * ch + 7) % 64
-        ph1 = (p(11 * ch + 8) % 628) / 100.0
-        ph2 = (p(11 * ch + 9) % 628) / 100.0
-        grad = (p(11 * ch + 10) % 41) - 20.0
-        field = (
-            base
-            + a1 * np.cos(two_pi * (xx / lx1 + yy / ly1) + ph1)
-            + a2 * np.cos(two_pi * (xx / lx2 - yy / ly2) + ph2)
-            + grad * (xx / max(w, 1) + yy / max(h, 1)) * 0.5
-        )
+        base = 70.0 + (p(97 * ch + 1) % 116)
+        da = 3.0 + (p(97 * ch + 2) % 5)
+        dlx = max(12.0, w * (0.5 + (p(97 * ch + 3) % 700) / 1000.0))
+        dly = max(12.0, h * (0.5 + (p(97 * ch + 4) % 700) / 1000.0))
+        dph = (p(97 * ch + 5) % 628) / 100.0
+        delta = da * np.cos(two_pi * (xx / dlx + yy / dly) + dph)
         # faint dither so every pixel still depends on phash
         idx = (yy * w + xx) * 3 + ch
         x = ((np.uint64(phash | 1) * (idx.astype(np.uint64) + np.uint64(1))
               * np.uint64(a)) + np.uint64(c))
         dither = ((x >> np.uint64(33)) & np.uint64(3)).astype(np.float64) - 1.5
-        out[..., ch] = np.clip(np.round(field + dither), 0, 255).astype(np.uint8)
+        out[..., ch] = np.clip(
+            np.round(base + shared + delta + dither), 0, 255).astype(np.uint8)
     return out
 
 
@@ -187,7 +214,16 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 # ------------------------------------------------------------ Spark side
 
 def with_image_bytes(df: DataFrame) -> DataFrame:
-    """Attach the binary payload column (Arrow-batched generation)."""
+    """Attach the binary payload column (Arrow-batched generation).
+
+    The input is spread to the session parallelism first: a single
+    small parquet file scans as ONE partition, which would serialize
+    the whole encode pass into one task holding one giant Arrow batch
+    (with the real JPEG encoder that is both slow and a JVM-memory
+    cliff). No-op on already-parallel scans."""
+    from .textops import _spread
+
+    df = _spread(df)
     cols = df.columns
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
