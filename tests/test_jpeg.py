@@ -88,6 +88,30 @@ def test_rejects_garbage_and_unsupported():
         jpeg.decode_jpeg(jpeg.encode_jpeg(px)[:20])
 
 
+def test_420_subsampling_roundtrip():
+    """4:2:0 — the dominant real-world layout: decodes through the
+    general MCU walk (2x2 luma + half-res chroma, replicated up) with
+    only a chroma-fidelity cost vs 4:4:4. Includes odd dimensions
+    (partial MCUs on both axes)."""
+    for (w, h) in [(16, 16), (64, 32), (256, 16), (17, 9), (33, 31)]:
+        px = synth_pixels(w * 1000 + h, w, h)
+        data = jpeg.encode_jpeg(px, quality=90, subsampling="420")
+        i = data.index(b"\xFF\xC0")
+        assert data[i + 11] == 0x22  # luma sampling factor 2x2
+        out = jpeg.decode_jpeg(data)
+        assert out.shape == (h, w, 3)
+        assert psnr(px, out) >= 35.0  # chroma cost keeps it below 444
+    with pytest.raises(ValueError):
+        jpeg.encode_jpeg(synth_pixels(1, 16, 16), subsampling="422")
+
+
+def test_420_not_larger_than_444():
+    px = synth_pixels(31337, 256, 64)
+    d4 = jpeg.encode_jpeg(px, quality=90)
+    d2 = jpeg.encode_jpeg(px, quality=90, subsampling="420")
+    assert len(d2) <= len(d4)
+
+
 def test_byte_stuffing_roundtrip():
     """At least one corpus stream contains a stuffed 0xFF00 in its
     entropy segment; it must destuff transparently."""

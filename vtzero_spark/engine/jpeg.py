@@ -8,10 +8,11 @@ repo has no image surface — this serves the BASELINE.json input_hint
 PSNR gate with a REAL lossy format instead of the round-1..3 stub.
 
 Decoder scope (documented, ValueError on anything else): baseline SOF0,
-8-bit precision, 1 or 3 components, 1x1 sampling (4:4:4), no restart
-intervals, no progressive/arithmetic modes. That is exactly what the
-encoder here emits, and the common subset a data pipeline can verify
-end to end without external fixtures.
+8-bit precision, 1 or 3 components, sampling factors 1..2 per axis —
+which covers 4:4:4, 4:2:2 and the real-world-dominant 4:2:0 — no
+restart intervals, no progressive/arithmetic modes. The encoder emits
+4:4:4 (default) or 4:2:0, so both layouts verify end to end without
+external fixtures.
 
 Performance shape: everything per-image is vectorized across blocks
 (level shift, DCT/IDCT as two 8x8 matrix products over the whole block
@@ -310,24 +311,58 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">HH", marker, len(payload) + 2) + payload
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
-    """8-bit RGB (h, w, 3) -> baseline JFIF bytes, 4:4:4."""
+def _quantized_zigzag(plane: np.ndarray, qt: np.ndarray) -> list:
+    """(hp, wp) plane (8-multiples) -> per-block zigzag coefficient
+    lists in raster block order; DCT + quantize vectorized across the
+    whole block stack."""
+    blocks = _blocks(plane) - 128.0
+    coef = np.einsum("ij,njk,lk->nil", _DCT, blocks, _DCT)
+    q = np.round(coef.reshape(-1, 64) / qt.reshape(1, 64))
+    return q[:, ZIGZAG].astype(np.int64).tolist()
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 90,
+                subsampling: str = "444") -> bytes:
+    """8-bit RGB (h, w, 3) -> baseline JFIF bytes.
+
+    subsampling="444": no chroma subsampling (1x1 factors, highest
+    fidelity — the PSNR-gate default). subsampling="420": 2x2 luma
+    sampling with half-resolution chroma (box-mean downsample) — the
+    dominant real-world JPEG layout, ~2x smaller streams on
+    photographic content for a modest chroma-fidelity cost."""
     h, w, c = arr.shape
     assert c == 3 and arr.dtype == np.uint8
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
     ql, qc = quality_tables(quality)
-    qts = (ql, qc, qc)
-
     ycc = _rgb_to_ycbcr(arr)
-    hp, wp = -(-h // 8) * 8, -(-w // 8) * 8
-    ycc = np.pad(ycc, ((0, hp - h), (0, wp - w), (0, 0)), mode="edge")
 
-    # all blocks of all channels: DCT + quantize + zigzag, vectorized
-    zz_by_comp = []
-    for ci in range(3):
-        blocks = _blocks(ycc[..., ci]) - 128.0
-        coef = np.einsum("ij,njk,lk->nil", _DCT, blocks, _DCT)
-        q = np.round(coef.reshape(-1, 64) / qts[ci].reshape(1, 64))
-        zz_by_comp.append(q[:, ZIGZAG].astype(np.int64))
+    if subsampling == "444":
+        hp, wp = -(-h // 8) * 8, -(-w // 8) * 8
+        ycc = np.pad(ycc, ((0, hp - h), (0, wp - w), (0, 0)), mode="edge")
+        zz = [_quantized_zigzag(ycc[..., ci], (ql, qc, qc)[ci])
+              for ci in range(3)]
+        samp = (0x11, 0x11, 0x11)
+        # MCU = one block per component, raster order
+        mcus = [[(0, [bi]), (1, [bi]), (2, [bi])]
+                for bi in range(len(zz[0]))]
+    else:
+        hp, wp = -(-h // 16) * 16, -(-w // 16) * 16
+        ycc = np.pad(ycc, ((0, hp - h), (0, wp - w), (0, 0)), mode="edge")
+        cb = ycc[..., 1].reshape(hp // 2, 2, wp // 2, 2).mean(axis=(1, 3))
+        cr = ycc[..., 2].reshape(hp // 2, 2, wp // 2, 2).mean(axis=(1, 3))
+        zz = [_quantized_zigzag(ycc[..., 0], ql),
+              _quantized_zigzag(cb, qc), _quantized_zigzag(cr, qc)]
+        samp = (0x22, 0x11, 0x11)
+        ybw, cbw = wp // 8, wp // 16
+        mcus = []
+        for my in range(hp // 16):
+            for mx in range(wp // 16):
+                ys = [(2 * my + by) * ybw + (2 * mx + bx)
+                      for by in (0, 1) for bx in (0, 1)]
+                ci_blocks = [(0, ys), (1, [my * cbw + mx]),
+                             (2, [my * cbw + mx])]
+                mcus.append(ci_blocks)
 
     dct_l = _encode_table(DC_LUMA_BITS, DC_LUMA_VALS)
     act_l = _encode_table(AC_LUMA_BITS, AC_LUMA_VALS)
@@ -337,11 +372,11 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
 
     wr = _BitWriter()
     prev = [0, 0, 0]
-    zz_lists = [z.tolist() for z in zz_by_comp]
-    for bi in range(len(zz_lists[0])):
-        for ci in range(3):
-            prev[ci] = _encode_block(
-                wr, zz_lists[ci][bi], prev[ci], *tabs[ci])
+    for mcu in mcus:
+        for ci, block_ids in mcu:
+            for bi in block_ids:
+                prev[ci] = _encode_block(
+                    wr, zz[ci][bi], prev[ci], *tabs[ci])
     entropy = wr.finish()
 
     out = bytearray(b"\xFF\xD8")                       # SOI
@@ -351,8 +386,8 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
         out += _seg(0xFFDB, bytes([tid])
                     + bytes(qt.astype(np.uint8)[ZIGZAG]))
     sof = struct.pack(">BHHB", 8, h, w, 3)
-    for cid, tq in ((1, 0), (2, 1), (3, 1)):
-        sof += bytes([cid, 0x11, tq])                  # 1x1 sampling
+    for i, (cid, tq) in enumerate(((1, 0), (2, 1), (3, 1))):
+        sof += bytes([cid, samp[i], tq])
     out += _seg(0xFFC0, sof)                           # SOF0 baseline
     for cls, tid, bits, vals in (
         (0, 0, DC_LUMA_BITS, DC_LUMA_VALS),
@@ -467,10 +502,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise ValueError("only 1 or 3 components supported")
             for i in range(nc):
                 cid, samp, tq = seg[6 + 3 * i:9 + 3 * i]
-                if samp != 0x11:
+                hi, vi = samp >> 4, samp & 0x0F
+                if hi not in (1, 2) or vi not in (1, 2):
                     raise ValueError(
-                        "only 1x1 sampling (4:4:4) supported")
-                comps.append((cid, tq))
+                        f"sampling factors {hi}x{vi} unsupported "
+                        "(1..2 per axis: 4:4:4 / 4:2:2 / 4:2:0)")
+                comps.append((cid, tq, hi, vi))
             dims = (h, w)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -504,39 +541,61 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         raise ValueError("incomplete JPEG stream")
 
     h, w = dims
-    hp, wp = -(-h // 8) * 8, -(-w // 8) * 8
-    nb = (hp // 8) * (wp // 8)
     nc = len(scan)
-    qt_by_comp = []
-    luts = []
+    meta = {cid: (tq, hi, vi) for cid, tq, hi, vi in comps}
+    hmax = max(m[1] for m in meta.values())
+    vmax = max(m[2] for m in meta.values())
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    qt_by_comp, luts, sampf, grids = [], [], [], []
     for cid, dct, act in scan:
-        tq = dict(comps)[cid]
+        tq, hi, vi = meta[cid]
         qt_by_comp.append(qtabs[tq])
         luts.append((htabs[(0, dct)], htabs[(1, act)]))
+        sampf.append((hi, vi))
+        grids.append((mcuy * vi, mcux * hi))       # block grid (bh, bw)
 
     rd = _BitReader(entropy)
-    vals = np.zeros((nc, nb, 64), dtype=np.int64)
+    vals = [np.zeros((bh * bw, 64), dtype=np.int64) for bh, bw in grids]
     prev = [0] * nc
     row_buf: list = [0] * 64
-    for bi in range(nb):
-        for ci in range(nc):
-            (dc_sym, dc_len), (ac_sym, ac_len) = luts[ci]
-            for k in range(64):
-                row_buf[k] = 0
-            prev[ci] = _decode_block(
-                rd, row_buf, dc_sym, dc_len, ac_sym, ac_len, prev[ci])
-            vals[ci, bi] = row_buf
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(nc):
+                (dc_sym, dc_len), (ac_sym, ac_len) = luts[ci]
+                hi, vi = sampf[ci]
+                bw = grids[ci][1]
+                for by in range(vi):
+                    for bx in range(hi):
+                        for k in range(64):
+                            row_buf[k] = 0
+                        prev[ci] = _decode_block(
+                            rd, row_buf, dc_sym, dc_len,
+                            ac_sym, ac_len, prev[ci])
+                        bi = (my * vi + by) * bw + (mx * hi + bx)
+                        vals[ci][bi] = row_buf
 
     chans = []
     for ci in range(nc):
+        bh, bw = grids[ci]
+        hi, vi = sampf[ci]
         deq = vals[ci].astype(np.float64) * qt_by_comp[ci].reshape(1, 64)
-        flat = np.zeros((nb, 64), dtype=np.float64)
+        flat = np.zeros((bh * bw, 64), dtype=np.float64)
         flat[:, ZIGZAG] = deq                         # de-zigzag
-        coef = flat.reshape(nb, 8, 8)
+        coef = flat.reshape(bh * bw, 8, 8)
         px = np.einsum("ji,njk,kl->nil", _DCT, coef, _DCT) + 128.0
-        chan = (px.reshape(hp // 8, wp // 8, 8, 8)
-                .transpose(0, 2, 1, 3).reshape(hp, wp))
-        chans.append(chan[:h, :w])
+        plane = (px.reshape(bh, bw, 8, 8)
+                 .transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8))
+        # crop to the component's true resolution, then replicate up
+        # to full resolution (sample expansion per JFIF)
+        ch_h, ch_w = -(-h * vi // vmax), -(-w * hi // hmax)
+        plane = plane[:ch_h, :ch_w]
+        if vi != vmax:
+            plane = np.repeat(plane, vmax // vi, axis=0)
+        if hi != hmax:
+            plane = np.repeat(plane, hmax // hi, axis=1)
+        chans.append(plane[:h, :w])
     if nc == 1:
         rgb = np.stack([chans[0]] * 3, axis=-1)
     else:
