@@ -76,6 +76,55 @@ def test_local_rewrite_semantics(spark):
     assert l.features[1].geometry.tolist() == POINT
 
 
+def test_generalized_rewrite_has_key_and_layer_selector():
+    """rewrite_tile_bytes composes vtzero-filter's layer selector with
+    vtzero-streets' predicate, plus the HAS-KEY form."""
+    buf = _mini_tile()
+    views = T.tile_layer_views(buf)
+
+    # layer selection alone = BYTE-VERBATIM passthrough of that layer
+    only_roads = rewrite.rewrite_tile_bytes(buf, "roads", None, None)
+    assert T.tile_layer_views(only_roads) == [bytes(views[0])]
+    # ordinal selector (CLI digits-mean-index semantics)
+    only_water = rewrite.rewrite_tile_bytes(buf, "1", None, None)
+    assert T.tile_layer_views(only_water) == [bytes(views[1])]
+    # no selector, no predicate: identical tile bytes
+    assert rewrite.rewrite_tile_bytes(buf, None, None, None) == buf
+    # unknown layer -> empty tile
+    assert rewrite.rewrite_tile_bytes(buf, "nope", None, None) == b""
+
+    # HAS-KEY: every 'roads' feature carries fmt; 'water' has no fmt
+    out = rewrite.rewrite_tile_bytes(buf, None, b"fmt", None)
+    layers = T.parse_tile(out)
+    assert [l.name for l in layers] == ["roads"]
+    assert [f.id for f in layers[0].features] == [1, 2, None]
+    # has-key for a key only some features carry
+    out2 = T.parse_tile(rewrite.rewrite_tile_bytes(buf, None, b"rank", None))
+    assert [f.id for f in out2[0].features] == [1, None]
+    # dictionaries rebuilt first-appearance over survivors
+    assert out2[0].keys == [b"fmt", b"rank"]
+
+    # compose: layer selector + property predicate in one pass
+    both = rewrite.rewrite_tile_bytes(
+        buf, "roads", b"fmt", [V.encode_value(V.VT_STRING, "jpg")])
+    layers = T.parse_tile(both)
+    assert [l.name for l in layers] == ["roads"]
+    assert [f.id for f in layers[0].features] == [2]
+    # water selected but predicate key absent -> empty tile
+    assert rewrite.rewrite_tile_bytes(buf, "water", b"fmt", None) == b""
+
+
+def test_rewrite_tiles_spark_has_key(spark):
+    tiles = spark.createDataFrame(
+        [(1, 2, 3, bytearray(_mini_tile()))],
+        "z long, x long, y long, tile_bytes binary")
+    out = rewrite.rewrite_tiles(tiles, layer="roads", key="rank") \
+        .toPandas().iloc[0]
+    layers = T.parse_tile(bytes(out["tile_bytes"]))
+    assert out["num_layers"] == 1
+    assert [f.id for f in layers[0].features] == [1, None]
+
+
 def test_fused_rewrite_byte_parity_with_distributed_pipeline(spark, sf_dir):
     """filter_tiles_by_property(tiles, fmt, png) must produce
     byte-identical tiles to filtering the FEATURES plan-side and

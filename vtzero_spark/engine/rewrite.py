@@ -183,29 +183,101 @@ def filter_tile_bytes(buf: bytes, key_b: bytes,
     filter_tiles_by_property): keep features whose tag pairs reference
     ``key_b`` with ANY of the ``val_bs`` wire values in the layer
     dictionaries, rebuild, drop empty layers. Malformed input -> empty
-    tile."""
+    tile. Thin wrapper over the generalized rewrite_tile_bytes."""
     if isinstance(val_bs, bytes):
         val_bs = [val_bs]
-    val_set = set(val_bs)
+    return rewrite_tile_bytes(buf, None, key_b, list(val_bs))
+
+
+def rewrite_tile_bytes(buf: bytes, layer_sel: str | None,
+                       key_b: bytes | None,
+                       val_bs: list[bytes] | None) -> bytes:
+    """One tile's generalized rewrite pass, composing the reference
+    CLIs' selection semantics in a single scan:
+
+    - ``layer_sel``: vtzero-filter's layer selector (digits -> by
+      ordinal, else by name; examples/vtzero-filter.cpp parity with
+      get_layer) — None keeps every layer;
+    - ``key_b`` None: no property predicate — selected layers pass
+      through BYTE-VERBATIM (no parse beyond the name field, the
+      add_existing_layer fast path);
+    - ``key_b`` set, ``val_bs`` None: HAS-KEY — keep features carrying
+      the key with ANY value (one index lookup, no value decode);
+    - ``key_b`` + ``val_bs``: equality / IN-set on wire value bytes
+      (vtzero-streets semantics, dictionaries rebuilt
+      first-appearance).
+
+    Malformed input -> empty tile (errors-as-data)."""
+    val_set = set(val_bs) if val_bs is not None else None
+    by_ordinal = layer_sel is not None and layer_sel.isdigit()
+    want_ord = int(layer_sel) if by_ordinal else -1
     blobs: list[bytes] = []
     try:
-        for lv in T.tile_layer_views(buf):
+        for ordinal, lv in enumerate(T.tile_layer_views(buf)):
+            if layer_sel is not None:
+                if by_ordinal:
+                    if ordinal != want_ord:
+                        continue
+                elif T.layer_name_only(lv) != layer_sel:
+                    continue
+            if key_b is None:
+                blobs.append(bytes(lv))        # verbatim passthrough
+                continue
             layer = T.parse_layer(lv)
             try:
                 kidx = layer.keys.index(key_b)
             except ValueError:
                 continue
-            vidxs = np.fromiter(
-                (i for i, v in enumerate(layer.values) if v in val_set),
-                np.int64)
-            if not vidxs.size:
-                continue
+            if val_set is None:
+                vidxs = np.arange(len(layer.values), dtype=np.int64)
+            else:
+                vidxs = np.fromiter(
+                    (i for i, v in enumerate(layer.values)
+                     if v in val_set), np.int64)
+                if not vidxs.size:
+                    continue
             lb = _rewrite_layer(layer, kidx, vidxs)
             if lb is not None:
                 blobs.append(lb)
     except MVTError:
         blobs = []
     return T.build_tile(blobs)
+
+
+def rewrite_tiles(
+    tiles: DataFrame,
+    layer: str | int | None = None,
+    key: str | None = None,
+    value=None,
+    vtype: int = V.VT_STRING,
+) -> DataFrame:
+    """Generalized fused tile rewrite: compose vtzero-filter's layer
+    selection with vtzero-streets' property predicate in ONE
+    zero-shuffle mapInPandas pass (see rewrite_tile_bytes for the
+    predicate matrix). ``value=None`` with a key means HAS-KEY;
+    ``layer`` accepts a name or an ordinal (CLI selector semantics).
+    Same task-granularity caveat as filter_tiles_by_property."""
+    layer_sel = None if layer is None else str(layer)
+    key_b = None if key is None else key.encode("utf-8")
+    if value is None:
+        val_bs = None
+    else:
+        vals = value if isinstance(value, (list, tuple)) else [value]
+        val_bs = [V.encode_value(vtype, v) for v in vals]
+
+    def fn(batches):
+        for pdf in batches:
+            outs = [rewrite_tile_bytes(bytes(b), layer_sel, key_b, val_bs)
+                    for b in pdf["tile_bytes"].to_numpy()]
+            yield pd.DataFrame({
+                "z": pdf["z"].to_numpy(),
+                "x": pdf["x"].to_numpy(),
+                "y": pdf["y"].to_numpy(),
+                "num_layers": [T.count_layers(o) for o in outs],
+                "tile_bytes": outs,
+            }, columns=["z", "x", "y", "num_layers", "tile_bytes"])
+
+    return tiles.mapInPandas(fn, schema=TILE_SCHEMA)
 
 
 def filter_tiles_by_property(
