@@ -112,6 +112,30 @@ def test_420_not_larger_than_444():
     assert len(d2) <= len(d4)
 
 
+def test_restart_intervals_pixel_identical():
+    """DRI/RSTn streams decode to EXACTLY the unrestarted pixels
+    (same quantized coefficients; restarts only byte-align and reset
+    DC predictors) — across 4:4:4, 4:2:0, and partial-MCU sizes."""
+    for (w, h) in [(16, 16), (64, 32), (17, 9)]:
+        for sub in ("444", "420"):
+            px = synth_pixels(w * 100 + h, w, h)
+            plain = jpeg.decode_jpeg(jpeg.encode_jpeg(px, 90, subsampling=sub))
+            for ri in (1, 3):
+                data = jpeg.encode_jpeg(px, 90, subsampling=sub,
+                                        restart_interval=ri)
+                assert b"\xFF\xDD" in data
+                assert np.array_equal(jpeg.decode_jpeg(data), plain)
+
+
+def test_restart_markers_without_dri_rejected():
+    px = synth_pixels(3, 32, 16)
+    data = bytearray(jpeg.encode_jpeg(px, 90, restart_interval=2))
+    i = bytes(data).index(b"\xFF\xDD")
+    del data[i:i + 6]  # strip the DRI segment, keep the RST markers
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(bytes(data))
+
+
 def test_byte_stuffing_roundtrip():
     """At least one corpus stream contains a stuffed 0xFF00 in its
     entropy segment; it must destuff transparently."""

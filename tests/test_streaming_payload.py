@@ -269,6 +269,44 @@ def test_codebook_cache_bypass_clear_and_bound(spark, sf_dir, monkeypatch):
     simsearch.clear_codebook_cache()
 
 
+def test_verify_payload_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming payload verification (the ingestion-time quality
+    gate) emits exactly the batch verify_payloads rows for the same
+    images, including an undecodable payload's failure verdict."""
+    import pandas as pd
+
+    from vtzero_spark.engine import payload, streaming
+
+    src = str(tmp_path / "img_in")
+    imgs = synth.images(spark, sf_dir, with_bytes=True) \
+        .orderBy("iid").limit(120) \
+        .select("image_id", "bytes", "phash", "w", "h", "fmt", "caption")
+    # corrupt one payload: must surface as pixels_ok=False, not a crash
+    victim = imgs.select(F.min("image_id")).collect()[0][0]
+    imgs = imgs.withColumn(
+        "bytes",
+        F.when(F.col("image_id") == victim,
+               F.lit(bytes(b"\xFF\xD8garbage"))).otherwise(F.col("bytes")))
+    imgs.write.parquet(src)
+
+    want = payload.verify_payloads(spark.read.parquet(src)).toPandas() \
+        .sort_values("image_id").reset_index(drop=True)
+    assert (~want["pixels_ok"]).sum() == 1
+
+    sdf = spark.readStream.schema(spark.read.parquet(src).schema) \
+        .parquet(src)
+    q = (streaming.verify_payload_stream(sdf)
+         .writeStream.format("memory").queryName("verify_out")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = spark.table("verify_out").toPandas() \
+            .sort_values("image_id").reset_index(drop=True)
+    finally:
+        q.stop()
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_native_session_window_stream_matches_batch(spark, sf_dir, tmp_path):
     """The built-in session_window operator run as a STREAM (state
     store merges fragments across micro-batches, watermark closes

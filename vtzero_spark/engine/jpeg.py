@@ -9,10 +9,11 @@ PSNR gate with a REAL lossy format instead of the round-1..3 stub.
 
 Decoder scope (documented, ValueError on anything else): baseline SOF0,
 8-bit precision, 1 or 3 components, sampling factors 1..2 per axis —
-which covers 4:4:4, 4:2:2 and the real-world-dominant 4:2:0 — no
-restart intervals, no progressive/arithmetic modes. The encoder emits
-4:4:4 (default) or 4:2:0, so both layouts verify end to end without
-external fixtures.
+which covers 4:4:4, 4:2:2 and the real-world-dominant 4:2:0 — restart
+intervals (DRI + RSTn segment splitting, DC predictor resets), no
+progressive/arithmetic modes. The encoder emits 4:4:4 (default) or
+4:2:0, optionally with restart markers, so every supported layout
+verifies end to end without external fixtures.
 
 Performance shape: everything per-image is vectorized across blocks
 (level shift, DCT/IDCT as two 8x8 matrix products over the whole block
@@ -164,10 +165,19 @@ class _BitWriter:
             self.n -= 8
             self.acc &= (1 << self.n) - 1
 
-    def finish(self) -> bytes:
+    def align(self) -> None:
         if self.n:
             pad = 8 - self.n
             self.write((1 << pad) - 1, pad)  # pad with 1-bits
+
+    def raw_marker(self, second: int) -> None:
+        """Append a marker verbatim — markers are NOT byte-stuffed
+        (0xFF followed by a non-zero byte IS the marker)."""
+        self.out.append(0xFF)
+        self.out.append(second)
+
+    def finish(self) -> bytes:
+        self.align()
         return bytes(self.out)
 
 
@@ -322,14 +332,23 @@ def _quantized_zigzag(plane: np.ndarray, qt: np.ndarray) -> list:
 
 
 def encode_jpeg(arr: np.ndarray, quality: int = 90,
-                subsampling: str = "444") -> bytes:
+                subsampling: str = "444",
+                restart_interval: int = 0) -> bytes:
     """8-bit RGB (h, w, 3) -> baseline JFIF bytes.
 
     subsampling="444": no chroma subsampling (1x1 factors, highest
     fidelity — the PSNR-gate default). subsampling="420": 2x2 luma
     sampling with half-resolution chroma (box-mean downsample) — the
     dominant real-world JPEG layout, ~2x smaller streams on
-    photographic content for a modest chroma-fidelity cost."""
+    photographic content for a modest chroma-fidelity cost.
+
+    restart_interval=N (MCUs) emits a DRI segment and an RSTm marker
+    every N MCUs (byte-aligned, DC predictors reset — T.81 F.1.2.6,
+    E.1.4). Decoded pixels are IDENTICAL to the unrestarted stream
+    (same quantized coefficients); what restarts buy is isolation —
+    a corrupt segment loses only its own MCUs, and the entropy stream
+    becomes splittable at markers, the hook a 100 TB pipeline uses to
+    decode giant images with intra-image parallelism."""
     h, w, c = arr.shape
     assert c == 3 and arr.dtype == np.uint8
     if subsampling not in ("444", "420"):
@@ -372,7 +391,12 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
 
     wr = _BitWriter()
     prev = [0, 0, 0]
-    for mcu in mcus:
+    ri = int(restart_interval)
+    for mi, mcu in enumerate(mcus):
+        if ri and mi and mi % ri == 0:
+            wr.align()
+            wr.raw_marker(0xD0 + ((mi // ri - 1) % 8))
+            prev = [0, 0, 0]
         for ci, block_ids in mcu:
             for bi in block_ids:
                 prev[ci] = _encode_block(
@@ -397,6 +421,8 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
     ):
         out += _seg(0xFFC4, bytes([(cls << 4) | tid])
                     + bytes(bits) + bytes(vals))
+    if ri:
+        out += _seg(0xFFDD, struct.pack(">H", ri))  # DRI
     sos = bytes([3]) + bytes([1, 0x00, 2, 0x11, 3, 0x11]) \
         + bytes([0, 63, 0])
     out += _seg(0xFFDA, sos)
@@ -457,9 +483,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[tuple[int, int], tuple[list, list]] = {}
     dims = None           # (h, w)
-    comps: list[tuple[int, int]] = []   # (component id, quant table id)
+    comps: list = []      # (component id, quant table id, hi, vi)
     scan: list[tuple[int, int, int]] = []   # (cid, dc table, ac table)
-    entropy = None
+    entropy: list[bytes] | None = None      # RST-split segments
+    restart_ri = 0
     n = len(data)
     while pos < n:
         if data[pos] != 0xFF:
@@ -513,28 +540,33 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("non-baseline JPEG mode unsupported")
         elif marker == 0xDD:        # DRI
-            (ri,) = struct.unpack(">H", seg[:2])
-            if ri != 0:
-                raise ValueError("restart intervals unsupported")
+            (restart_ri,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:        # SOS
             ns = seg[0]
             for i in range(ns):
                 cid, tt = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan.append((cid, tt >> 4, tt & 0x0F))
-            # entropy data runs to the next real marker (EOI; no DRI)
-            end = pos
+            # entropy data runs to the next real marker; RSTn markers
+            # split it into independently-decodable segments (each
+            # byte-aligned with fresh DC predictors)
+            def destuff(lo: int, hi: int) -> bytes:
+                raw = np.frombuffer(data[lo:hi], dtype=np.uint8)
+                stuffed = np.flatnonzero(
+                    (raw[:-1] == 0xFF) & (raw[1:] == 0x00)) + 1
+                return (np.delete(raw, stuffed).tobytes()
+                        if len(stuffed) else raw.tobytes())
+
+            entropy = []
+            start = end = pos
             while end < n - 1:
-                if data[end] == 0xFF and data[end + 1] not in (0x00,):
+                if data[end] == 0xFF and data[end + 1] != 0x00:
                     if 0xD0 <= data[end + 1] <= 0xD7:
-                        raise ValueError("restart markers unsupported")
+                        entropy.append(destuff(start, end))
+                        start = end = end + 2
+                        continue
                     break
                 end += 1
-            raw = np.frombuffer(data[pos:end], dtype=np.uint8)
-            # destuff FF00 -> FF, vectorized
-            stuffed = np.flatnonzero(
-                (raw[:-1] == 0xFF) & (raw[1:] == 0x00)) + 1
-            entropy = (np.delete(raw, stuffed).tobytes()
-                       if len(stuffed) else raw.tobytes())
+            entropy.append(destuff(start, end))
             pos = end
         # APPn / COM / others: skipped via the length field
     if dims is None or entropy is None or not scan:
@@ -556,12 +588,22 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         sampf.append((hi, vi))
         grids.append((mcuy * vi, mcux * hi))       # block grid (bh, bw)
 
-    rd = _BitReader(entropy)
+    if restart_ri == 0 and len(entropy) > 1:
+        raise ValueError("restart markers present without a DRI segment")
+    rd = _BitReader(entropy[0])
+    seg_idx = 0
     vals = [np.zeros((bh * bw, 64), dtype=np.int64) for bh, bw in grids]
     prev = [0] * nc
     row_buf: list = [0] * 64
     for my in range(mcuy):
         for mx in range(mcux):
+            mi = my * mcux + mx
+            if restart_ri and mi and mi % restart_ri == 0:
+                seg_idx += 1
+                if seg_idx >= len(entropy):
+                    raise ValueError("missing restart segment")
+                rd = _BitReader(entropy[seg_idx])
+                prev = [0] * nc
             for ci in range(nc):
                 (dc_sym, dc_len), (ac_sym, ac_len) = luts[ci]
                 hi, vi = sampf[ci]

@@ -115,6 +115,20 @@ def tile_stream_counts(
     )
 
 
+def verify_payload_stream(image_stream: DataFrame) -> DataFrame:
+    """Continuous payload verification: the input_hint PSNR/caption
+    gate (payload.verify_payloads) run over a STREAM of image rows —
+    the ingestion-time quality gate of an image+caption pipeline
+    (reject/flag undecodable or corrupted payloads as they land).
+    Stateless mapInPandas, so the batch operator attaches unchanged;
+    each micro-batch emits its rows' verdicts (append mode, no
+    watermark needed)."""
+    from . import payload
+
+    return payload.verify_payloads(image_stream.select(
+        "image_id", "bytes", "phash", "w", "h", "fmt", "caption"))
+
+
 def lint_stream(tile_stream: DataFrame) -> DataFrame:
     """Continuous vtzero-check: lint every tile of a STREAM of
     (z, x, y, tile_bytes) rows with the same per-tile pass as the
