@@ -136,6 +136,28 @@ def test_restart_markers_without_dri_rejected():
         jpeg.decode_jpeg(bytes(data))
 
 
+def test_segment_decode_matches_whole(spark):
+    """Per-segment entropy decode (the parallel unit) reassembles to
+    the exact serial result, and the distributed single-image decode
+    over Spark produces identical pixels."""
+    from vtzero_spark.engine.payload import decode_jpeg_distributed
+
+    base = synth_pixels(77, 128, 64)
+    big = np.tile(base, (4, 4, 1))  # 512x256 "giant" image
+    for sub in ("444", "420"):
+        data = jpeg.encode_jpeg(big, quality=85, subsampling=sub,
+                                restart_interval=8)
+        assert jpeg.restart_segment_count(data) > 8
+        want = jpeg.decode_jpeg(data)
+        got = decode_jpeg_distributed(spark, data)
+        assert np.array_equal(got, want)
+    # a stream without restarts takes the serial path unchanged
+    plain = jpeg.encode_jpeg(base, quality=85)
+    assert jpeg.restart_segment_count(plain) == 1
+    assert np.array_equal(decode_jpeg_distributed(spark, plain),
+                          jpeg.decode_jpeg(plain))
+
+
 def test_byte_stuffing_roundtrip():
     """At least one corpus stream contains a stuffed 0xFF00 in its
     entropy segment; it must destuff transparently."""

@@ -474,9 +474,9 @@ def _decode_block(rd: _BitReader, out: list,
     return dc
 
 
-def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> uint8 RGB (h, w, 3) (or (h, w, 1)-shaped
-    RGB replication for grayscale single-component scans)."""
+def _parse_jpeg(data: bytes) -> dict:
+    """Parse headers + split entropy into restart segments; returns
+    the decode plan consumed by _decode_segment/_assemble_planes."""
     if data[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -590,39 +590,67 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 
     if restart_ri == 0 and len(entropy) > 1:
         raise ValueError("restart markers present without a DRI segment")
-    rd = _BitReader(entropy[0])
-    seg_idx = 0
-    vals = [np.zeros((bh * bw, 64), dtype=np.int64) for bh, bw in grids]
+    return {
+        "h": h, "w": w, "nc": nc, "hmax": hmax, "vmax": vmax,
+        "mcux": mcux, "mcuy": mcuy, "ri": restart_ri,
+        "segments": entropy, "qt_by_comp": qt_by_comp, "luts": luts,
+        "sampf": sampf, "grids": grids,
+    }
+
+
+def restart_segment_count(data: bytes) -> int:
+    """Number of independently-decodable entropy segments (1 when the
+    stream has no restart markers) — the intra-image parallelism
+    available to a distributed decode."""
+    return len(_parse_jpeg(data)["segments"])
+
+
+def _decode_segment(p: dict, si: int) -> list:
+    """Entropy-decode ONE restart segment (fresh DC predictors,
+    byte-aligned by construction) -> per-component (block indices,
+    coefficient rows). Segments are independent: this is the unit a
+    parallel decode fans out over."""
+    nc, mcux = p["nc"], p["mcux"]
+    nmcu = mcux * p["mcuy"]
+    ri = p["ri"] or nmcu
+    mcu0, mcu1 = si * ri, min((si + 1) * ri, nmcu)
+    if mcu0 >= nmcu:
+        raise ValueError("segment index past the MCU count")
+    rd = _BitReader(p["segments"][si])
     prev = [0] * nc
     row_buf: list = [0] * 64
-    for my in range(mcuy):
-        for mx in range(mcux):
-            mi = my * mcux + mx
-            if restart_ri and mi and mi % restart_ri == 0:
-                seg_idx += 1
-                if seg_idx >= len(entropy):
-                    raise ValueError("missing restart segment")
-                rd = _BitReader(entropy[seg_idx])
-                prev = [0] * nc
-            for ci in range(nc):
-                (dc_sym, dc_len), (ac_sym, ac_len) = luts[ci]
-                hi, vi = sampf[ci]
-                bw = grids[ci][1]
-                for by in range(vi):
-                    for bx in range(hi):
-                        for k in range(64):
-                            row_buf[k] = 0
-                        prev[ci] = _decode_block(
-                            rd, row_buf, dc_sym, dc_len,
-                            ac_sym, ac_len, prev[ci])
-                        bi = (my * vi + by) * bw + (mx * hi + bx)
-                        vals[ci][bi] = row_buf
+    idxs = [[] for _ in range(nc)]
+    rows = [[] for _ in range(nc)]
+    for mi in range(mcu0, mcu1):
+        my, mx = divmod(mi, mcux)
+        for ci in range(nc):
+            (dc_sym, dc_len), (ac_sym, ac_len) = p["luts"][ci]
+            hi, vi = p["sampf"][ci]
+            bw = p["grids"][ci][1]
+            for by in range(vi):
+                for bx in range(hi):
+                    for k in range(64):
+                        row_buf[k] = 0
+                    prev[ci] = _decode_block(
+                        rd, row_buf, dc_sym, dc_len,
+                        ac_sym, ac_len, prev[ci])
+                    idxs[ci].append((my * vi + by) * bw + (mx * hi + bx))
+                    rows[ci].append(list(row_buf))
+    return [(ci, np.array(idxs[ci], dtype=np.int64),
+             np.array(rows[ci], dtype=np.int64)) for ci in range(nc)]
 
+
+def _assemble_planes(p: dict, vals: list) -> np.ndarray:
+    """Dequantize + IDCT + plane assembly + chroma upsample + color
+    convert — fully vectorized over the whole block stack."""
+    h, w, nc = p["h"], p["w"], p["nc"]
+    hmax, vmax = p["hmax"], p["vmax"]
     chans = []
     for ci in range(nc):
-        bh, bw = grids[ci]
-        hi, vi = sampf[ci]
-        deq = vals[ci].astype(np.float64) * qt_by_comp[ci].reshape(1, 64)
+        bh, bw = p["grids"][ci]
+        hi, vi = p["sampf"][ci]
+        deq = vals[ci].astype(np.float64) \
+            * p["qt_by_comp"][ci].reshape(1, 64)
         flat = np.zeros((bh * bw, 64), dtype=np.float64)
         flat[:, ZIGZAG] = deq                         # de-zigzag
         coef = flat.reshape(bh * bw, 8, 8)
@@ -643,3 +671,18 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     else:
         rgb = _ycbcr_to_rgb(chans[0], chans[1], chans[2])
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JFIF bytes -> uint8 RGB (h, w, 3) (grayscale
+    single-component scans decode with the luma plane replicated).
+    Serial composition of parse -> per-segment entropy decode ->
+    vectorized assembly; see _decode_segment for the parallel unit."""
+    p = _parse_jpeg(data)
+    vals = [np.zeros((bh * bw, 64), dtype=np.int64)
+            for bh, bw in p["grids"]]
+    for si in range(len(p["segments"])):
+        for ci, idx, rows in _decode_segment(p, si):
+            if idx.size:
+                vals[ci][idx] = rows
+    return _assemble_planes(p, vals)

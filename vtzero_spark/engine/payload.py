@@ -211,6 +211,60 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return 10.0 * np.log10(255.0 * 255.0 / mse)
 
 
+def decode_jpeg_distributed(spark, data: bytes) -> np.ndarray:
+    """Intra-image parallel decode of ONE restart-interval JPEG: the
+    entropy segments (the inherently-serial part of JPEG decode) fan
+    out as DataFrame rows, each task decodes its segment against a
+    broadcast of the stream, and the driver scatters the coefficient
+    blocks and runs the vectorized dequant+IDCT assembly once. This is
+    the scale path for GIANT images (satellite scenes, stitched
+    mosaics) where one image exceeds a single core's decode budget —
+    restart markers are exactly the format feature that makes the
+    split safe (byte-aligned segments, fresh DC predictors).
+
+    Demo scope: coefficients return to the driver (8x the compressed
+    size); a production giant-image pipeline would keep going
+    per-segment — IDCT each segment's MCU rows in the same task and
+    write plane stripes to storage — but the fan-out/scatter shape is
+    identical."""
+    from . import jpeg as J
+
+    p = J._parse_jpeg(data)
+    nseg = len(p["segments"])
+    if nseg == 1:
+        return J.decode_jpeg(data)
+    bc = spark.sparkContext.broadcast(data)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parsed = None
+        for pdf in batches:
+            rows = []
+            for si in pdf["si"]:
+                if parsed is None:
+                    parsed = J._parse_jpeg(bc.value)
+                for ci, idx, mat in J._decode_segment(parsed, int(si)):
+                    rows.append({
+                        "ci": int(ci), "n": int(idx.size),
+                        "idx": idx.tobytes(), "coefs": mat.tobytes()})
+            yield pd.DataFrame(rows, columns=["ci", "n", "idx", "coefs"])
+
+    from pyspark.sql import functions as F
+
+    segs = spark.range(nseg).select(
+        F.col("id").cast("int").alias("si"))
+    out = segs.repartition(min(nseg, 64)).mapInPandas(
+        fn, schema="ci int, n long, idx binary, coefs binary").collect()
+    vals = [np.zeros((bh * bw, 64), dtype=np.int64)
+            for bh, bw in p["grids"]]
+    for r in out:
+        if r["n"]:
+            idx = np.frombuffer(r["idx"], dtype=np.int64)
+            mat = np.frombuffer(r["coefs"], dtype=np.int64) \
+                .reshape(r["n"], 64)
+            vals[r["ci"]][idx] = mat
+    return J._assemble_planes(p, vals)
+
+
 # ------------------------------------------------------------ Spark side
 
 def with_image_bytes(df: DataFrame) -> DataFrame:
