@@ -105,36 +105,53 @@ def pip_join(
         )
         joined = pts_salted.join(index_salted, ["cell_x", "cell_y", "_salt"]).drop("_salt")
     else:
-        # hot-cell census: tiny result (<= #distinct cells rows),
-        # broadcast to tag both sides without another shuffle
-        hot = F.broadcast(
+        # hot-cell census, MATERIALIZED once: the census subtree would
+        # otherwise be re-planned into every tier branch (4-6 extra
+        # full scans of the probe side — verified in the static plan,
+        # which shows no exchange reuse across the branches). Hot
+        # cells are few BY DEFINITION (that is what the threshold
+        # means), so the collect is bounded and the downstream joins
+        # consume a literal broadcast relation.
+        hot_rows = (
             pts.groupBy("cell_x", "cell_y")
             .agg(F.count("*").alias("_n"))
             .where(F.col("_n") > hot_threshold)
-            .select("cell_x", "cell_y", F.lit(True).alias("_hot"))
+            .select("cell_x", "cell_y").collect()
         )
-        pts_t = pts.join(hot, ["cell_x", "cell_y"], "left")
-        idx_t = index.join(hot, ["cell_x", "cell_y"], "left")
-        cold = (
-            pts_t.where(F.col("_hot").isNull()).drop("_hot")
-            .join(idx_t.where(F.col("_hot").isNull()).drop("_hot"),
-                  ["cell_x", "cell_y"])
-        )
-        idx_hot = (
-            idx_t.where(F.col("_hot").isNotNull()).drop("_hot")
-            .withColumn("_salt",
-                        F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
-        )
-        pts_hot = (
-            pts_t.where(F.col("_hot").isNotNull()).drop("_hot")
-            .withColumn("_salt",
-                        F.pmod(F.xxhash64(F.col(point_id)),
-                               F.lit(salt)).cast("int"))
-        )
-        joined = cold.unionByName(
-            pts_hot.join(idx_hot, ["cell_x", "cell_y", "_salt"])
-            .drop("_salt")
-        )
+        if not hot_rows:
+            # no hot cells: a two-tier join degenerates to one plain
+            # shuffle join with zero replication
+            joined = pts.join(index, ["cell_x", "cell_y"])
+        else:
+            spark = points.sparkSession
+            hot = F.broadcast(
+                spark.createDataFrame(
+                    [(r["cell_x"], r["cell_y"]) for r in hot_rows],
+                    "cell_x long, cell_y long")
+                .withColumn("_hot", F.lit(True)))
+            pts_t = pts.join(hot, ["cell_x", "cell_y"], "left")
+            idx_t = index.join(hot, ["cell_x", "cell_y"], "left")
+            cold = (
+                pts_t.where(F.col("_hot").isNull()).drop("_hot")
+                .join(idx_t.where(F.col("_hot").isNull()).drop("_hot"),
+                      ["cell_x", "cell_y"])
+            )
+            idx_hot = (
+                idx_t.where(F.col("_hot").isNotNull()).drop("_hot")
+                .withColumn(
+                    "_salt",
+                    F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+            )
+            pts_hot = (
+                pts_t.where(F.col("_hot").isNotNull()).drop("_hot")
+                .withColumn("_salt",
+                            F.pmod(F.xxhash64(F.col(point_id)),
+                                   F.lit(salt)).cast("int"))
+            )
+            joined = cold.unionByName(
+                pts_hot.join(idx_hot, ["cell_x", "cell_y", "_salt"])
+                .drop("_salt")
+            )
     # bbox prefilter: cells are coarse (one covering cell can dwarf the
     # polygon), so a scalar L-inf check culls most candidates before the
     # ring-array refine ever allocates — row-identical (bbox contains
