@@ -53,3 +53,63 @@ def test_encode_payload_dispatch():
 def test_png_rejects_garbage():
     with pytest.raises(ValueError):
         decode_png(b"not a png at all")
+
+
+def test_quality_metrics_scalar():
+    from vtzero_spark.engine.payload import quality_metrics
+
+    flat = np.full((32, 32, 3), 7, dtype=np.uint8)
+    m = quality_metrics(flat)
+    assert m["lum_std"] == 0.0 and m["sharpness"] == 0.0
+    assert m["entropy"] == 0.0
+    rich = synth_pixels(99, 64, 64)
+    m2 = quality_metrics(rich)
+    assert m2["entropy"] > 1.0 and m2["sharpness"] > 0.5
+    assert m2["lum_std"] > 4.0
+
+
+def test_image_quality_and_curation_distributed(spark):
+    """curate_images = verify -> quality -> perceptual dedup, one
+    plan: a corrupt payload fails verification, a flat image fails
+    the quality gate, a re-encoded near-dup is removed by dedup, and
+    every ordinary image survives."""
+    import pandas as pd
+
+    from vtzero_spark.engine import jpeg
+    from vtzero_spark.engine.payload import (
+        curate_images, encode_payload, image_quality)
+
+    rows = []
+    for i in range(40):
+        w, h = [(16, 16), (32, 16), (64, 32)][i % 3]
+        fmt = "jpeg" if i % 2 else "png"
+        ph = i * 7919 + 13
+        rows.append((f"img{i:012d}", encode_payload(ph, w, h, fmt),
+                     w, h, fmt, f"cap {i}", ph))
+    # near-dup of img 4 (PNG original, JPEG re-encode — cross-FORMAT
+    # dup; passes verify: same phash reference, q90 stays over the
+    # PSNR gate; larger id -> dedup loser)
+    px4 = synth_pixels(4 * 7919 + 13, 32, 16)
+    rows.append((f"img{10**9 + 5:012d}", jpeg.encode_jpeg(px4, 90),
+                 32, 16, "jpeg", f"cap {10**9 + 5}", 4 * 7919 + 13))
+    # corrupt payload: fails verification
+    rows.append((f"img{10**9 + 7:012d}", b"\xFF\xD8garbage",
+                 16, 16, "jpeg", f"cap {10**9 + 7}", 1))
+    # flat image: decodes fine, fails the quality gate (and the
+    # pixel-reference check)
+    from vtzero_spark.engine.payload import encode_png
+    flat = np.full((16, 16, 3), 7, dtype=np.uint8)
+    rows.append((f"img{10**9 + 9:012d}", encode_png(flat),
+                 16, 16, "png", f"cap {10**9 + 9}", 2))
+
+    pdf = pd.DataFrame(rows, columns=[
+        "image_id", "bytes", "w", "h", "fmt", "caption", "phash"])
+    df = spark.createDataFrame(pdf)
+
+    iq = image_quality(df).toPandas().set_index("image_id")
+    assert bool(iq.loc[f"img{10**9 + 9:012d}", "quality_ok"]) is False
+    assert iq.loc[f"img{10**9 + 9:012d}", "status"] == "ok"
+    assert bool(iq.loc["img000000000003", "quality_ok"]) is True
+
+    kept = set(curate_images(df).toPandas()["image_id"])
+    assert kept == {f"img{i:012d}" for i in range(40)}

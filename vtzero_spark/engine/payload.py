@@ -355,6 +355,100 @@ def image_features(df: DataFrame, thumb: int = 8) -> DataFrame:
     )
 
 
+def quality_metrics(arr: np.ndarray) -> dict:
+    """Deterministic per-image quality signals (numpy-only, the
+    standard curation heuristics): luminance mean/std, gradient
+    sharpness (mean |Laplacian|), 32-bin luminance entropy, and
+    colorfulness (Hasler-Suesstrunk rg/yb statistic)."""
+    f = arr.astype(np.float64)
+    lum = f[..., 0] * 0.299 + f[..., 1] * 0.587 + f[..., 2] * 0.114
+    lap = (
+        -4.0 * lum[1:-1, 1:-1]
+        + lum[:-2, 1:-1] + lum[2:, 1:-1]
+        + lum[1:-1, :-2] + lum[1:-1, 2:]
+    ) if min(lum.shape) >= 3 else np.zeros((1, 1))
+    hist, _ = np.histogram(lum, bins=32, range=(0.0, 256.0))
+    p = hist / max(lum.size, 1)
+    nz = p[p > 0]
+    rg = f[..., 0] - f[..., 1]
+    yb = 0.5 * (f[..., 0] + f[..., 1]) - f[..., 2]
+    colorfulness = float(
+        np.hypot(rg.std(), yb.std())
+        + 0.3 * np.hypot(abs(rg.mean()), abs(yb.mean())))
+    return {
+        "lum_mean": float(lum.mean()),
+        "lum_std": float(lum.std()),
+        "sharpness": float(np.abs(lap).mean()),
+        "entropy": float(-(nz * np.log2(nz)).sum()),
+        "colorfulness": colorfulness,
+    }
+
+
+_IQ_COLS = ["lum_mean", "lum_std", "sharpness", "entropy", "colorfulness"]
+
+
+def image_quality(df: DataFrame) -> DataFrame:
+    """(image_id, bytes, fmt) -> per-image quality signals + pass/fail
+    flags (too dark/bright, too flat, too blurry) — the image twin of
+    textops.quality_score for curation gating. Arrow-batched;
+    errors-as-data (undecodable -> status + NULL metrics)."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["image_id"] + _IQ_COLS + ["status"]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                try:
+                    m = quality_metrics(decode_payload(r.bytes, r.fmt))
+                    rows.append({"image_id": r.image_id, **m,
+                                 "status": "ok"})
+                except (ValueError, NotImplementedError) as e:
+                    rows.append({
+                        "image_id": r.image_id,
+                        **{c: None for c in _IQ_COLS},
+                        "status": f"{type(e).__name__}: {e}"})
+            yield pd.DataFrame(rows, columns=cols)
+
+    from .textops import _spread
+
+    out = _spread(df.select("image_id", "bytes", "fmt")).mapInPandas(
+        gen, schema=("image_id string, lum_mean double, lum_std double, "
+                     "sharpness double, entropy double, "
+                     "colorfulness double, status string"))
+    from pyspark.sql import functions as F
+    return out.select(
+        "*",
+        ((F.col("status") == "ok")
+         & F.col("lum_mean").between(16.0, 240.0)
+         & (F.col("lum_std") >= 4.0)
+         & (F.col("sharpness") >= 0.5)
+         & (F.col("entropy") >= 1.0)).alias("quality_ok"))
+
+
+def curate_images(df: DataFrame, max_d: int = 10) -> DataFrame:
+    """Composed image-curation pipeline — the image twin of
+    textops.curation_pipeline: payload verification (PSNR + caption
+    gate) -> quality gating -> perceptual near-dup dedup, one
+    declarative plan. Input: rows with (image_id, bytes, fmt, phash,
+    w, h, caption). Output: surviving rows + the per-stage verdicts
+    (verified, quality_ok) for lineage/debugging. Each stage is the
+    already-tested operator; the composition adds two broadcast-able
+    id joins and the dedup anti-join, nothing else."""
+    from pyspark.sql import functions as F
+
+    from .imagehash import dedup_phash
+
+    verdicts = verify_payloads(df).select(
+        "image_id",
+        (F.col("pixels_ok") & F.col("caption_ok")).alias("verified"))
+    quality = image_quality(df).select("image_id", "quality_ok")
+    good = (
+        df.join(verdicts, "image_id")
+        .join(quality, "image_id")
+        .where(F.col("verified") & F.col("quality_ok"))
+    )
+    return dedup_phash(good, max_d=max_d)
+
+
 def verify_payloads(df: DataFrame) -> DataFrame:
     """Per-row invariant check vs the reference pixels: psnr_db and
     caption_ok columns (input_hint contract). Vectorized per Arrow
