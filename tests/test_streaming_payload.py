@@ -448,3 +448,63 @@ def test_ivfpq_topk_recall_and_full_probe_exactness(spark, sf_dir):
     ).toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(
         full, exact.sort_values(["qid", "rank"]).reset_index(drop=True))
+
+
+def test_neardup_band_stream_bounded_state(spark, tmp_path):
+    """Streaming near-dup: band-bucket first-ownership with bounded
+    state. An exact re-arrival loses ALL its bands, a lightly-edited
+    near-dup loses SOME (shares >=1 band with the batch-1 owner held
+    in state across triggers), unrelated docs own all 16."""
+    import os
+
+    import pandas as pd
+
+    from vtzero_spark.engine import streaming
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "band plays on")[:64].ljust(64, "x")
+    other = ("completely different content with nothing shared at all "
+             "here ok")[:64].ljust(64, "y")
+    third = ("yet another unrelated document body for the second batch "
+             "stream")[:64].ljust(64, "z")
+    edited = base[:40] + "EDIT" + base[44:]
+    t0 = pd.Timestamp("2026-01-01 00:00:00").to_pydatetime()
+
+    src = str(tmp_path / "docs_in")
+    os.makedirs(src)
+    schema = "doc_id long, ts timestamp, text string"
+    b1 = spark.createDataFrame(
+        [(1, t0, base), (2, t0, other)], schema)
+    b1.write.parquet(os.path.join(src, "b1"))
+
+    sdf = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1000").parquet(src + "/*")
+    q = (streaming.neardup_band_stream(sdf, watermark="1 hour")
+         .writeStream.format("memory").queryName("nd_bands")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        n_after_b1 = spark.table("nd_bands").count()
+        assert n_after_b1 == 32  # 2 docs x 16 bands, all first owners
+
+        t1 = (pd.Timestamp(t0) + pd.Timedelta(minutes=1)).to_pydatetime()
+        b2 = spark.createDataFrame(
+            [(3, t1, base),    # exact re-arrival
+             (4, t1, third),   # unrelated
+             (5, t1, edited)], # partial near-dup
+            schema)
+        b2.write.parquet(os.path.join(src, "b2"))
+        q.processAllAvailable()
+        allrows = spark.table("nd_bands")
+        owned = allrows.groupBy("doc_id").count().toPandas() \
+            .set_index("doc_id")["count"].to_dict()
+    finally:
+        q.stop()
+
+    assert owned[1] == 16 and owned[2] == 16 and owned[4] == 16
+    assert 3 not in owned              # identical sig: loses every band
+    assert 0 < owned.get(5, 0) < 16    # shares >=1 band across batches
+
+    kept = set(r["doc_id"] for r in
+               streaming.neardup_first_owners(allrows).collect())
+    assert kept == {1, 2, 4}

@@ -51,6 +51,75 @@ def dedup_stream(docs: DataFrame, ts_col: str = "ts",
     )
 
 
+def neardup_band_stream(docs: DataFrame, ts_col: str = "ts",
+                        watermark: str = "10 minutes") -> DataFrame:
+    """Streaming NEAR-dup candidate filter — the continuous-ingest
+    twin of the MinHash-LSH batch pipeline, with BOUNDED state.
+
+    Each document's 64-lane MinHash signature (the identical batch
+    kernel, so sketches match the batch pipeline byte-for-byte) is cut
+    into 16 band buckets; the stream registers FIRST OWNERSHIP of each
+    (band, bucket) via dropDuplicatesWithinWatermark, so state is one
+    row per distinct band bucket inside the watermark horizon — evicted
+    as the watermark advances, never corpus-sized. A document that is
+    the first owner of ALL 16 of its buckets has no near-dup inside the
+    horizon; one that loses any bucket shares a band with an earlier
+    document (exactly the batch LSH candidate condition).
+
+    Emits surviving (doc_id, ts, band, bucket) rows; a document's rows
+    travel in one trigger, so the doc-level verdict is the per-batch
+    (stateless) rollup ``neardup_first_owners`` — compose under
+    foreachBatch. Ownership among same-batch duplicates follows arrival
+    order, and near-dups farther apart than the horizon pass — the same
+    at-least-once tradeoff dedup_stream documents."""
+    from .textops import _N_BANDS, _N_HASH, _minhash_batch
+
+    def fn(batches):
+        import pandas as pd
+        for pdf in batches:
+            out = next(iter(_minhash_batch(
+                iter([pdf[["doc_id", "text"]]]))))
+            # the kernel preserves row order: re-attach the timestamp
+            out[ts_col] = pdf[ts_col].to_numpy()
+            yield out[["doc_id", ts_col, "sig"]]
+
+    sig = docs.select(
+        "doc_id", ts_col, F.substring("text", 1, 64).alias("text")
+    ).mapInPandas(
+        fn, schema=f"doc_id long, {ts_col} timestamp, sig array<long>")
+    rows_per_band = _N_HASH // _N_BANDS
+    bands = sig.select(
+        "doc_id", ts_col,
+        F.explode(F.sequence(F.lit(0), F.lit(_N_BANDS - 1))).alias("band"),
+        "sig",
+    ).select(
+        "doc_id", ts_col, "band",
+        F.xxhash64(F.col("band"), F.expr(
+            f"slice(sig, band * {rows_per_band} + 1, {rows_per_band})")
+        ).alias("bucket"),
+    )
+    return (
+        bands.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["band", "bucket"])
+    )
+
+
+def neardup_first_owners(band_batch: DataFrame,
+                         n_bands: int | None = None) -> DataFrame:
+    """Per-batch rollup of neardup_band_stream output: documents that
+    own ALL their band buckets (no near-dup inside the horizon).
+    Stateless — run inside foreachBatch."""
+    from .textops import _N_BANDS
+
+    n = n_bands if n_bands is not None else _N_BANDS
+    return (
+        band_batch.groupBy("doc_id")
+        .agg(F.count("*").alias("_owned"))
+        .where(F.col("_owned") == n)
+        .select("doc_id")
+    )
+
+
 def stream_encode_tiles(
     stream_df: DataFrame,
     out_dir: str,
