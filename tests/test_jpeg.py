@@ -171,3 +171,46 @@ def test_byte_stuffing_roundtrip():
             assert psnr(px, jpeg.decode_jpeg(data)) >= 40.0
             break
     assert found, "no stream with byte stuffing found in 40 seeds"
+
+
+def test_fuzz_random_arrays_roundtrip():
+    """Hypothesis-style fuzz without the decorator overhead: random
+    uint8 arrays of random small shapes round-trip through every
+    (subsampling, restart) combination without error, and at q95 the
+    luma error stays bounded even on noise (chroma is the documented
+    4:2:0 cost)."""
+    rng = np.random.default_rng(12345)
+    for trial in range(25):
+        h = int(rng.integers(1, 40))
+        w = int(rng.integers(1, 40))
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        sub = ("444", "420")[trial % 2]
+        ri = (0, 2)[(trial // 2) % 2]
+        data = jpeg.encode_jpeg(px, quality=95, subsampling=sub,
+                                restart_interval=ri)
+        out = jpeg.decode_jpeg(data)
+        assert out.shape == (h, w, 3)
+        if sub == "444":
+            assert psnr(px, out) >= 28.0  # noise at q95, 4:4:4
+
+
+def test_fuzz_decoder_never_hangs_or_segfaults():
+    """Bit-flipped and truncated streams must either decode or raise
+    ValueError — never crash, hang, or return a wrong-shape array."""
+    px = synth_pixels(8, 32, 16)
+    data = jpeg.encode_jpeg(px, quality=90)
+    rng = np.random.default_rng(777)
+    for _ in range(60):
+        buf = bytearray(data)
+        for _ in range(int(rng.integers(1, 4))):
+            buf[int(rng.integers(2, len(buf)))] = int(rng.integers(0, 256))
+        try:
+            out = jpeg.decode_jpeg(bytes(buf))
+            assert out.dtype == np.uint8 and out.ndim == 3
+        except (ValueError, struct.error, IndexError):
+            pass
+    for cut in range(2, len(data), max(1, len(data) // 40)):
+        try:
+            jpeg.decode_jpeg(data[:cut])
+        except (ValueError, struct.error, IndexError):
+            pass

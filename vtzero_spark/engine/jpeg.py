@@ -582,7 +582,13 @@ def _parse_jpeg(data: bytes) -> dict:
 
     qt_by_comp, luts, sampf, grids = [], [], [], []
     for cid, dct, act in scan:
+        if cid not in meta:
+            raise ValueError("SOS references an unknown component id")
         tq, hi, vi = meta[cid]
+        if tq not in qtabs:
+            raise ValueError("missing quantization table")
+        if (0, dct) not in htabs or (1, act) not in htabs:
+            raise ValueError("missing Huffman table")
         qt_by_comp.append(qtabs[tq])
         luts.append((htabs[(0, dct)], htabs[(1, act)]))
         sampf.append((hi, vi))
@@ -590,6 +596,15 @@ def _parse_jpeg(data: bytes) -> dict:
 
     if restart_ri == 0 and len(entropy) > 1:
         raise ValueError("restart markers present without a DRI segment")
+    # sanity vs corrupted SOF dimensions: every block costs >= ~4 bits
+    # (shortest DC code + EOB), so a stream with far fewer bits than
+    # blocks is corrupt — reject instead of grinding through millions
+    # of phantom MCUs
+    total_blocks = sum(bh * bw for bh, bw in grids)
+    total_bits = sum(len(s) for s in entropy) * 8
+    if total_blocks * 3 > max(total_bits, 1) * 2:
+        raise ValueError(
+            "entropy stream too short for the declared dimensions")
     return {
         "h": h, "w": w, "nc": nc, "hmax": hmax, "vmax": vmax,
         "mcux": mcux, "mcuy": mcuy, "ri": restart_ri,

@@ -466,8 +466,12 @@ def verify_payloads(df: DataFrame) -> DataFrame:
                 except (ValueError, NotImplementedError) as e:
                     p, ok = -1.0, False
                 # exact caption equality vs the reference derivation
-                # (caption of image img%012d is "cap <iid>")
-                cap_ok = r.caption == f"cap {int(r.image_id[3:])}"
+                # (caption of image img%012d is "cap <iid>"); a
+                # malformed id is a failed check, not a task failure
+                try:
+                    cap_ok = r.caption == f"cap {int(r.image_id[3:])}"
+                except (ValueError, TypeError):
+                    cap_ok = False
                 out.append({"image_id": r.image_id, "psnr_db": p,
                             "pixels_ok": bool(ok), "caption_ok": bool(cap_ok)})
             yield pd.DataFrame(out, columns=["image_id", "psnr_db", "pixels_ok", "caption_ok"])
