@@ -102,7 +102,26 @@ def test_420_subsampling_roundtrip():
         assert out.shape == (h, w, 3)
         assert psnr(px, out) >= 35.0  # chroma cost keeps it below 444
     with pytest.raises(ValueError):
-        jpeg.encode_jpeg(synth_pixels(1, 16, 16), subsampling="422")
+        jpeg.encode_jpeg(synth_pixels(1, 16, 16), subsampling="411")
+
+
+def test_422_subsampling_roundtrip():
+    """4:2:2 (broadcast-video layout): exercises the decoder's
+    MIXED-factor MCU walk (2x1 luma, horizontally-halved chroma),
+    including odd sizes and restart intervals."""
+    for (w, h) in [(16, 16), (64, 32), (17, 9), (33, 31)]:
+        px = synth_pixels(w * 31 + h, w, h)
+        data = jpeg.encode_jpeg(px, quality=90, subsampling="422")
+        i = data.index(b"\xFF\xC0")
+        assert data[i + 11] == 0x21  # luma sampling factor 2x1
+        out = jpeg.decode_jpeg(data)
+        assert out.shape == (h, w, 3)
+        assert psnr(px, out) >= 36.0
+    px = synth_pixels(9, 48, 24)
+    plain = jpeg.decode_jpeg(jpeg.encode_jpeg(px, 90, subsampling="422"))
+    rst = jpeg.decode_jpeg(
+        jpeg.encode_jpeg(px, 90, subsampling="422", restart_interval=2))
+    assert np.array_equal(plain, rst)
 
 
 def test_420_not_larger_than_444():

@@ -341,6 +341,9 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
     sampling with half-resolution chroma (box-mean downsample) — the
     dominant real-world JPEG layout, ~2x smaller streams on
     photographic content for a modest chroma-fidelity cost.
+    subsampling="422": 2x1 luma sampling, chroma halved horizontally
+    only (the broadcast-video layout; exercises the decoder's
+    mixed-factor MCU walk).
 
     restart_interval=N (MCUs) emits a DRI segment and an RSTm marker
     every N MCUs (byte-aligned, DC predictors reset — T.81 F.1.2.6,
@@ -351,7 +354,7 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
     decode giant images with intra-image parallelism."""
     h, w, c = arr.shape
     assert c == 3 and arr.dtype == np.uint8
-    if subsampling not in ("444", "420"):
+    if subsampling not in ("444", "422", "420"):
         raise ValueError(f"unsupported subsampling {subsampling!r}")
     ql, qc = quality_tables(quality)
     ycc = _rgb_to_ycbcr(arr)
@@ -365,6 +368,21 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
         # MCU = one block per component, raster order
         mcus = [[(0, [bi]), (1, [bi]), (2, [bi])]
                 for bi in range(len(zz[0]))]
+    elif subsampling == "422":
+        hp, wp = -(-h // 8) * 8, -(-w // 16) * 16
+        ycc = np.pad(ycc, ((0, hp - h), (0, wp - w), (0, 0)), mode="edge")
+        cb = ycc[..., 1].reshape(hp, wp // 2, 2).mean(axis=2)
+        cr = ycc[..., 2].reshape(hp, wp // 2, 2).mean(axis=2)
+        zz = [_quantized_zigzag(ycc[..., 0], ql),
+              _quantized_zigzag(cb, qc), _quantized_zigzag(cr, qc)]
+        samp = (0x21, 0x11, 0x11)
+        ybw, cbw = wp // 8, wp // 16
+        mcus = []
+        for my in range(hp // 8):
+            for mx in range(wp // 16):
+                ys = [my * ybw + 2 * mx, my * ybw + 2 * mx + 1]
+                mcus.append([(0, ys), (1, [my * cbw + mx]),
+                             (2, [my * cbw + mx])])
     else:
         hp, wp = -(-h // 16) * 16, -(-w // 16) * 16
         ycc = np.pad(ycc, ((0, hp - h), (0, wp - w), (0, 0)), mode="edge")
