@@ -124,6 +124,21 @@ def test_422_subsampling_roundtrip():
     assert np.array_equal(plain, rst)
 
 
+def test_grayscale_roundtrip():
+    """Single-component streams: the decoder replicates luma into
+    RGB; round-trip error stays within the luma quantization budget."""
+    for (w, h) in [(16, 16), (33, 31), (64, 32)]:
+        px = synth_pixels(w + h, w, h).astype(np.float64)
+        lum = np.clip(np.round(
+            px[..., 0] * 0.299 + px[..., 1] * 0.587 + px[..., 2] * 0.114
+        ), 0, 255).astype(np.uint8)
+        out = jpeg.decode_jpeg(jpeg.encode_jpeg_gray(lum, quality=90))
+        assert out.shape == (h, w, 3)
+        assert (out[..., 0] == out[..., 1]).all()
+        assert (out[..., 0] == out[..., 2]).all()
+        assert psnr(np.stack([lum] * 3, axis=-1), out) >= 40.0
+
+
 def test_420_not_larger_than_444():
     px = synth_pixels(31337, 256, 64)
     d4 = jpeg.encode_jpeg(px, quality=90)
