@@ -508,3 +508,55 @@ def test_neardup_band_stream_bounded_state(spark, tmp_path):
     kept = set(r["doc_id"] for r in
                streaming.neardup_first_owners(allrows).collect())
     assert kept == {1, 2, 4}
+
+
+def test_image_neardup_band_stream(spark, tmp_path):
+    """Streaming image near-dup: a q75 re-encode arriving in a LATER
+    trigger shares at least one band with the batch-1 owner held in
+    state (pigeonhole: requant distance <= 15), so it is flagged;
+    unrelated images own all 16 of their buckets."""
+    import os
+
+    import pandas as pd
+
+    from vtzero_spark.engine import jpeg, streaming
+    from vtzero_spark.engine.payload import encode_payload, synth_pixels
+
+    t0 = pd.Timestamp("2026-01-01 00:00:00").to_pydatetime()
+    t1 = pd.Timestamp("2026-01-01 00:01:00").to_pydatetime()
+    schema = "image_id string, ts timestamp, bytes binary, fmt string"
+    src = str(tmp_path / "imgs_in")
+    os.makedirs(src)
+
+    b1 = spark.createDataFrame(
+        [("a", t0, encode_payload(11, 32, 16, "png"), "png"),
+         ("b", t0, encode_payload(22, 32, 16, "jpeg"), "jpeg")], schema)
+    b1.write.parquet(os.path.join(src, "b1"))
+
+    sdf = spark.readStream.schema(schema).parquet(src + "/*")
+    q = (streaming.image_neardup_band_stream(sdf, watermark="1 hour")
+         .writeStream.format("memory").queryName("img_nd")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        assert spark.table("img_nd").count() == 32
+
+        dup = jpeg.encode_jpeg(synth_pixels(11, 32, 16), quality=75)
+        b2 = spark.createDataFrame(
+            [("a_dup", t1, dup, "jpeg"),
+             ("c", t1, encode_payload(33, 32, 16, "png"), "png")], schema)
+        b2.write.parquet(os.path.join(src, "b2"))
+        q.processAllAvailable()
+        allrows = spark.table("img_nd")
+        owned = allrows.groupBy("image_id").count().toPandas() \
+            .set_index("image_id")["count"].to_dict()
+    finally:
+        q.stop()
+
+    assert owned["a"] == 16 and owned["b"] == 16 and owned["c"] == 16
+    assert owned.get("a_dup", 0) < 16  # lost >=1 band to 'a'
+    kept = set(r["doc_id"] for r in
+               streaming.neardup_first_owners(
+                   allrows.withColumnRenamed("image_id", "doc_id"),
+                   n_bands=16).collect())
+    assert kept == {"a", "b", "c"}

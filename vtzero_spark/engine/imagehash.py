@@ -133,39 +133,50 @@ _HASH_SCHEMA = "b0 long, b1 long, b2 long, b3 long, ctag long"
 _HASH_COLS = ["b0", "b1", "b2", "b3", "ctag"]
 
 
-def image_phash(df: DataFrame, id_col: str = "image_id") -> DataFrame:
-    """(id, bytes, fmt) -> (id, b0..b3, ctag, phash64, status).
-    Errors-as-data: an undecodable payload yields NULL hashes + the
-    error status instead of failing the job (corpus discipline — a
-    100 TB scan always contains garbage rows)."""
+def image_phash(df: DataFrame, id_col: str = "image_id",
+                passthrough: tuple[str, ...] = ()) -> DataFrame:
+    """(id, [passthrough...], bytes, fmt) -> (id, [passthrough...],
+    b0..b3, ctag, phash64, status). Errors-as-data: an undecodable
+    payload yields NULL hashes + the error status instead of failing
+    the job (corpus discipline — a 100 TB scan always contains garbage
+    rows). ``passthrough`` columns ride through verbatim (types from
+    the input schema) — e.g. an event-time column for the streaming
+    near-dup operator; mapInPandas is stateless so the operator also
+    attaches to streaming DataFrames unchanged."""
     from .payload import decode_payload
     from .textops import _spread
 
-    id_type = df.schema[id_col].dataType.simpleString()
-    df = _spread(df)
+    lead = [id_col, *passthrough]
+    lead_types = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in lead)
+    if not df.isStreaming:
+        df = _spread(df)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [id_col] + _HASH_COLS + ["phash64", "status"]
+        cols = lead + _HASH_COLS + ["phash64", "status"]
         for pdf in batches:
             rows = []
-            for r in pdf.itertuples():
-                rid = getattr(r, id_col)
+            lead_vals = [pdf[c].to_numpy() for c in lead]
+            bufs = pdf["bytes"].to_numpy()
+            fmts = pdf["fmt"].to_numpy()
+            for i in range(len(pdf)):
+                base = {c: lead_vals[j][i] for j, c in enumerate(lead)}
                 try:
-                    px = decode_payload(r.bytes, r.fmt)
+                    px = decode_payload(bufs[i], fmts[i])
                     b0, b1, b2, b3, ctag = blockhash(px)
                     rows.append({
-                        id_col: rid, "b0": b0, "b1": b1, "b2": b2,
+                        **base, "b0": b0, "b1": b1, "b2": b2,
                         "b3": b3, "ctag": ctag,
                         "phash64": phash64(px), "status": "ok"})
                 except (ValueError, NotImplementedError) as e:
                     rows.append({
-                        id_col: rid, "b0": None, "b1": None, "b2": None,
+                        **base, "b0": None, "b1": None, "b2": None,
                         "b3": None, "ctag": None, "phash64": None,
                         "status": f"{type(e).__name__}: {e}"})
             yield pd.DataFrame(rows, columns=cols)
 
-    return df.select(id_col, "bytes", "fmt").mapInPandas(
-        gen, schema=(f"{id_col} {id_type}, {_HASH_SCHEMA}, "
+    return df.select(*lead, "bytes", "fmt").mapInPandas(
+        gen, schema=(f"{lead_types}, {_HASH_SCHEMA}, "
                      "phash64 long, status string"))
 
 

@@ -104,6 +104,40 @@ def neardup_band_stream(docs: DataFrame, ts_col: str = "ts",
     )
 
 
+def image_neardup_band_stream(image_stream: DataFrame,
+                              ts_col: str = "ts",
+                              watermark: str = "10 minutes") -> DataFrame:
+    """Streaming IMAGE near-dup candidate filter — the image twin of
+    neardup_band_stream, completing the batch/stream x text/image
+    dedup matrix: decode + 256-bit perceptual blockhash (the batch
+    imagehash kernel via passthrough columns, so hashes are identical
+    to the batch pipeline), 16-way 16-bit band cut, first ownership
+    per (band, bucket) via dropDuplicatesWithinWatermark. State is one
+    row per distinct band bucket in the horizon; an image losing any
+    bucket is within hamming <= 15 of an earlier image on that band
+    slice (re-encodes land entire-hash-close, so they lose most or
+    all 16 bands). Compose with ``neardup_first_owners(n_bands=16)``
+    per micro-batch for doc-level verdicts; undecodable payloads are
+    dropped here (their status rows live in the batch operator)."""
+    from .imagehash import image_phash
+
+    ph = image_phash(image_stream, passthrough=(ts_col,))
+    bands = ph.where(F.col("b0").isNotNull()).select(
+        "image_id", ts_col,
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("band"),
+        "b0", "b1", "b2", "b3",
+    ).select(
+        "image_id", ts_col, "band",
+        F.expr("shiftrightunsigned("
+               "  element_at(array(b0, b1, b2, b3),"
+               "             cast(band div 4 as int) + 1),"
+               "  cast((band % 4) * 16 as int)) & 65535").alias("bucket"))
+    return (
+        bands.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["band", "bucket"])
+    )
+
+
 def neardup_first_owners(band_batch: DataFrame,
                          n_bands: int | None = None) -> DataFrame:
     """Per-batch rollup of neardup_band_stream output: documents that
