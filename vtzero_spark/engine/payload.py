@@ -252,8 +252,11 @@ def decode_jpeg_distributed(spark, data: bytes) -> np.ndarray:
 
     segs = spark.range(nseg).select(
         F.col("id").cast("int").alias("si"))
-    out = segs.repartition(min(nseg, 64)).mapInPandas(
-        fn, schema="ci int, n long, idx binary, coefs binary").collect()
+    try:
+        out = segs.repartition(min(nseg, 64)).mapInPandas(
+            fn, schema="ci int, n long, idx binary, coefs binary").collect()
+    finally:
+        bc.unpersist(blocking=False)  # one-shot broadcast, don't leak
     vals = [np.zeros((bh * bw, 64), dtype=np.int64)
             for bh, bw in p["grids"]]
     for r in out:
@@ -432,7 +435,14 @@ def curate_images(df: DataFrame, max_d: int = 10) -> DataFrame:
     w, h, caption). Output: surviving rows + the per-stage verdicts
     (verified, quality_ok) for lineage/debugging. Each stage is the
     already-tested operator; the composition adds two broadcast-able
-    id joins and the dedup anti-join, nothing else."""
+    id joins and the dedup anti-join.
+
+    Cost note: composing the stock operators decodes each payload
+    once per stage (verify, quality, hash) — three decode passes. At
+    100 TB you would fuse them into one decode pass emitting all
+    three verdict column sets (the operators share decode_payload, so
+    the fusion is mechanical); the composition here optimizes for
+    operator reuse and per-stage testability."""
     from pyspark.sql import functions as F
 
     from .imagehash import dedup_phash
