@@ -138,6 +138,18 @@ def test_lint_files_addressless_paths_distinct(spark, tmp_path):
     assert sorted(p.rsplit("/", 1)[1] for p in got["path"]) == \
         ["broken_a.mvt", "broken_b.mvt"]
 
+    # per-FILE exit codes: the CLI return code per path, computed with
+    # the same id columns the lint ran with (a bare z/x/y join would
+    # fan out across the two z=x=y=-1 files)
+    from vtzero_spark.engine import mvt_files
+
+    tiles = mvt_files.read_mvt_files(spark, str(dst))
+    rc = lint.return_codes(
+        lint.lint_mvt_files(spark, str(dst)), tiles,
+        id_cols=("z", "x", "y", "path")).toPandas()
+    assert len(rc) == 2
+    assert (rc["return_code"] == 3).all()
+
 
 def test_lint_stream_matches_batch(spark, tmp_path):
     """Streaming lint over a file-fed tile stream emits exactly the

@@ -177,14 +177,19 @@ def tile_lint(
     return tiles.mapInPandas(fn, schema=schema)
 
 
-def return_codes(lint_df: DataFrame, tiles: DataFrame) -> DataFrame:
+def return_codes(lint_df: DataFrame, tiles: DataFrame,
+                 id_cols: tuple[str, ...] = ("z", "x", "y")) -> DataFrame:
     """Per-tile exit code — max finding severity, 0 for clean tiles
-    (the CLI's result class, vtzero-check.cpp:21-48)."""
-    worst = lint_df.groupBy("z", "x", "y").agg(
+    (the CLI's result class, vtzero-check.cpp:21-48). Pass the same
+    ``id_cols`` the lint ran with: for file lint that includes
+    ``path``, since (z,x,y) alone is not unique across address-less
+    files (all z=x=y=-1) and a bare z/x/y join would fan out."""
+    keys = list(id_cols)
+    worst = lint_df.groupBy(*keys).agg(
         F.max("severity").alias("return_code"))
     return (
-        tiles.select("z", "x", "y")
-        .join(worst, ["z", "x", "y"], "left")
+        tiles.select(*keys)
+        .join(worst, keys, "left")
         .withColumn("return_code", F.coalesce("return_code", F.lit(0)))
     )
 
