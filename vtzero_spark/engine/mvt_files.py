@@ -69,7 +69,10 @@ def write_mvt_files(tiles: DataFrame, out_dir: str) -> DataFrame:
     writes (each task writes its own partition's tiles, no driver
     collect); returns the manifest (z, x, y, path, nbytes), which
     materializes the writes when acted on. Addresses must be unique
-    per tile, as in any tileset directory. Paths are plain filesystem
+    per tile, as in any tileset directory — duplicates are NOT
+    detected here (two tasks writing the same address race,
+    last-writer-wins); run a ``groupBy(z, x, y).count`` assertion
+    first when the input is untrusted. Paths are plain filesystem
     paths (local/NFS); for object stores write tiles as a parquet
     binary column instead and export at the edge."""
     import os
@@ -80,15 +83,19 @@ def write_mvt_files(tiles: DataFrame, out_dir: str) -> DataFrame:
 
     def fn(batches):
         for pdf in batches:
+            zs = pdf["z"].to_numpy()
+            xs = pdf["x"].to_numpy()
+            ys = pdf["y"].to_numpy()
+            bufs = pdf["tile_bytes"].to_numpy()
             rows = []
-            for _, r in pdf.iterrows():
+            for i in range(len(pdf)):
                 path = os.path.join(
-                    out_dir, f"{int(r['z'])}-{int(r['x'])}-{int(r['y'])}.mvt")
-                data = bytes(r["tile_bytes"])
+                    out_dir, f"{int(zs[i])}-{int(xs[i])}-{int(ys[i])}.mvt")
+                data = bytes(bufs[i])
                 with open(path, "wb") as fh:
                     fh.write(data)
-                rows.append({"z": int(r["z"]), "x": int(r["x"]),
-                             "y": int(r["y"]), "path": path,
+                rows.append({"z": int(zs[i]), "x": int(xs[i]),
+                             "y": int(ys[i]), "path": path,
                              "nbytes": len(data)})
             yield pd.DataFrame(
                 rows, columns=["z", "x", "y", "path", "nbytes"])
