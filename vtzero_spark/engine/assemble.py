@@ -740,10 +740,14 @@ def decode_layers(tiles: DataFrame) -> DataFrame:
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                z, x, y = int(r["z"]), int(r["x"]), int(r["y"])
+            zs = pdf["z"].to_numpy()
+            xs = pdf["x"].to_numpy()
+            ys = pdf["y"].to_numpy()
+            bufs = pdf["tile_bytes"].to_numpy()
+            for i in range(len(pdf)):
+                z, x, y = int(zs[i]), int(xs[i]), int(ys[i])
                 try:
-                    views = T.tile_layer_views(bytes(r["tile_bytes"]))
+                    views = T.tile_layer_views(bytes(bufs[i]))
                 except MVTError as e:
                     rows.append({
                         "z": z, "x": x, "y": y, "layer_ordinal": -1,
