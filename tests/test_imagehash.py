@@ -105,15 +105,26 @@ def test_dedup_phash_distributed_planted(spark):
 
 
 def test_image_phash_errors_as_data(spark):
+    from vtzero_spark.engine.payload import decode_payload
+
+    good_bytes = encode_payload(7, 16, 16, "png")
     pdf = pd.DataFrame(
-        [("good", encode_payload(7, 16, 16, "png"), "png"),
+        [("good", good_bytes, "png"),
          ("bad", b"\xFF\xD8garbage", "jpeg")],
         columns=["image_id", "bytes", "fmt"])
-    out = imagehash.image_phash(spark.createDataFrame(pdf)).toPandas() \
-        .set_index("image_id")
-    assert out.loc["good", "status"] == "ok"
-    assert out.loc["bad", "status"] != "ok"
-    assert pd.isna(out.loc["bad", "b0"])
+    out = {r["image_id"]: r for r in imagehash.image_phash(
+        spark.createDataFrame(pdf).coalesce(1)).collect()}
+    assert out["good"]["status"] == "ok"
+    assert out["bad"]["status"] != "ok"
+    assert out["bad"]["b0"] is None
+    # PRECISION pin: the good row's 63-bit hashes must be EXACT even
+    # when its Arrow batch contains a NULL-hash row — a float64
+    # coercion inside the UDF would silently round them past the
+    # 53-bit float mantissa (the bug this test caught; readback is via
+    # collect() because toPandas() itself floats nullable longs)
+    want = imagehash.blockhash(decode_payload(good_bytes, "png"))
+    got = tuple(out["good"][c] for c in ("b0", "b1", "b2", "b3", "ctag"))
+    assert got == want
 
 
 def test_phash_pairs_respect_threshold(spark):

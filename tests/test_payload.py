@@ -113,3 +113,54 @@ def test_image_quality_and_curation_distributed(spark):
 
     kept = set(curate_images(df).toPandas()["image_id"])
     assert kept == {f"img{i:012d}" for i in range(40)}
+
+
+def test_curate_images_checkpointed_resume(spark, tmp_path):
+    """The resumable image-curation job: one fused decode pass per
+    bucket wave behind the manifest protocol, then the dedup graph
+    over the checkpointed hash table. Matches the composed
+    curate_images operator exactly, and a kill-mid-run (dropped
+    manifests) resumes on just the missing buckets."""
+    import os
+
+    import pandas as pd
+
+    from vtzero_spark.engine import checkpoint as cp
+    from vtzero_spark.engine import jpeg
+    from vtzero_spark.engine.payload import (
+        curate_images, curate_images_checkpointed, encode_payload)
+
+    rows = []
+    for i in range(40):
+        w, h = [(16, 16), (32, 16), (64, 32)][i % 3]
+        fmt = "jpeg" if i % 2 else "png"
+        ph = i * 7919 + 13
+        rows.append((f"img{i:012d}", encode_payload(ph, w, h, fmt),
+                     w, h, fmt, f"cap {i}", ph))
+    px4 = synth_pixels(4 * 7919 + 13, 32, 16)
+    rows.append((f"img{10**9 + 5:012d}", jpeg.encode_jpeg(px4, 90),
+                 32, 16, "jpeg", f"cap {10**9 + 5}", 4 * 7919 + 13))
+    rows.append((f"img{10**9 + 7:012d}", b"\xFF\xD8garbage",
+                 16, 16, "jpeg", f"cap {10**9 + 7}", 1))
+    pdf = pd.DataFrame(rows, columns=[
+        "image_id", "bytes", "w", "h", "fmt", "caption", "phash"])
+    df = spark.createDataFrame(pdf)
+
+    want = set(curate_images(df).toPandas()["image_id"])
+
+    out_dir = str(tmp_path / "curate_ckpt")
+    got = set(r["image_id"] for r in
+              curate_images_checkpointed(spark, df, out_dir,
+                                         n_buckets=4).collect())
+    assert got == want
+
+    # kill-mid-run simulation: drop two manifests, resume runs exactly
+    # the missing buckets and the result is unchanged
+    for b in (1, 3):
+        os.remove(os.path.join(out_dir, "_manifest", f"bucket-{b}.json"))
+    assert cp.completed_buckets(spark, out_dir) == {0, 2}
+    got2 = set(r["image_id"] for r in
+               curate_images_checkpointed(spark, df, out_dir,
+                                          n_buckets=4).collect())
+    assert got2 == want
+    assert cp.completed_buckets(spark, out_dir) == {0, 1, 2, 3}

@@ -152,28 +152,39 @@ def image_phash(df: DataFrame, id_col: str = "image_id",
     if not df.isStreaming:
         df = _spread(df)
 
+    hash_cols = _HASH_COLS + ["phash64"]
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = lead + _HASH_COLS + ["phash64", "status"]
+        cols = lead + hash_cols + ["status"]
         for pdf in batches:
-            rows = []
             lead_vals = [pdf[c].to_numpy() for c in lead]
             bufs = pdf["bytes"].to_numpy()
             fmts = pdf["fmt"].to_numpy()
+            hvals: dict[str, list] = {c: [] for c in hash_cols}
+            status = []
             for i in range(len(pdf)):
-                base = {c: lead_vals[j][i] for j, c in enumerate(lead)}
                 try:
                     px = decode_payload(bufs[i], fmts[i])
                     b0, b1, b2, b3, ctag = blockhash(px)
-                    rows.append({
-                        **base, "b0": b0, "b1": b1, "b2": b2,
-                        "b3": b3, "ctag": ctag,
-                        "phash64": phash64(px), "status": "ok"})
+                    for c, v in zip(hash_cols,
+                                    (b0, b1, b2, b3, ctag, phash64(px))):
+                        hvals[c].append(v)
+                    status.append("ok")
                 except (ValueError, NotImplementedError) as e:
-                    rows.append({
-                        **base, "b0": None, "b1": None, "b2": None,
-                        "b3": None, "ctag": None, "phash64": None,
-                        "status": f"{type(e).__name__}: {e}"})
-            yield pd.DataFrame(rows, columns=cols)
+                    for c in hash_cols:
+                        hvals[c].append(None)
+                    status.append(f"{type(e).__name__}: {e}")
+            out = {c: lead_vals[j] for j, c in enumerate(lead)}
+            # CRITICAL: nullable Int64, NOT a dict->DataFrame object
+            # column — with any None in the batch, pandas would coerce
+            # these to float64 and silently ROUND 63-bit hashes past
+            # the 53-bit float mantissa, corrupting every OTHER row's
+            # hash in the batch (one garbage payload would break its
+            # neighbors' dedup)
+            for c in hash_cols:
+                out[c] = pd.array(hvals[c], dtype="Int64")
+            out["status"] = status
+            yield pd.DataFrame(out, columns=cols)
 
     return df.select(*lead, "bytes", "fmt").mapInPandas(
         gen, schema=(f"{lead_types}, {_HASH_SCHEMA}, "

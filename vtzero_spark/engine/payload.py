@@ -459,6 +459,97 @@ def curate_images(df: DataFrame, max_d: int = 10) -> DataFrame:
     return dedup_phash(good, max_d=max_d)
 
 
+def curate_images_checkpointed(spark, images: DataFrame, out_dir: str,
+                               n_buckets: int = 8,
+                               max_d: int = 10) -> DataFrame:
+    """Resumable image curation — the north-rule checkpoint discipline
+    applied to the image pipeline, in two phases:
+
+    PHASE 1 (expensive, row-local, CHECKPOINTED): one decode pass per
+    bucket wave computes the verification verdict, the quality gate,
+    and the perceptual hash per image; each bucket commits a manifest
+    row (rows, wall time, lineage), so a killed job resumes at the
+    first uncommitted bucket and never re-decodes finished work. All
+    phase-1 columns are per-row facts — bucket-independent by
+    construction, safe to compute in any wave order.
+
+    PHASE 2 (cheap, graph-shaped, RE-RUN ON RESUME): near-dup
+    components over the checkpointed HASH TABLE (6 longs/row — orders
+    of magnitude smaller than the payloads) and the min-id
+    representative anti-join. Re-running phase 2 after a resume is
+    deliberate: the pair graph spans buckets, so it must see the
+    complete hash table; its cost is proportional to the hash table,
+    not the corpus bytes.
+
+    Returns the curated id set (image_id of survivors)."""
+    from pyspark.sql import functions as F
+
+    from . import checkpoint as cp
+    from .imagehash import (
+        _HASH_COLS, blockhash, phash_neardup_pairs)
+    from .textops import neardup_components
+
+    def phase1(part: DataFrame) -> DataFrame:
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cols = (["image_id", "verified", "quality_ok"]
+                    + _HASH_COLS)
+            for pdf in batches:
+                ids, ver_l, q_l = [], [], []
+                hvals: dict[str, list] = {c: [] for c in _HASH_COLS}
+                for r in pdf.itertuples():
+                    ids.append(r.image_id)
+                    try:
+                        px = decode_payload(r.bytes, r.fmt)
+                        ref = synth_pixels(int(r.phash), int(r.w),
+                                           int(r.h))
+                        p = psnr(ref, px)
+                        ver = p >= (40.0 if r.fmt == "jpeg" else 99.0)
+                        try:
+                            ver = ver and (
+                                r.caption == f"cap {int(r.image_id[3:])}")
+                        except (ValueError, TypeError):
+                            ver = False
+                        m = quality_metrics(px)
+                        q_ok = (16.0 <= m["lum_mean"] <= 240.0
+                                and m["lum_std"] >= 4.0
+                                and m["sharpness"] >= 0.5
+                                and m["entropy"] >= 1.0)
+                        for c, v in zip(_HASH_COLS, blockhash(px)):
+                            hvals[c].append(v)
+                        ver_l.append(bool(ver))
+                        q_l.append(bool(q_ok))
+                    except (ValueError, NotImplementedError):
+                        for c in _HASH_COLS:
+                            hvals[c].append(None)
+                        ver_l.append(False)
+                        q_l.append(False)
+                out = {"image_id": ids, "verified": ver_l,
+                       "quality_ok": q_l}
+                # nullable Int64: a float64 coercion (any None in the
+                # batch) would round 63-bit hashes (see image_phash)
+                for c in _HASH_COLS:
+                    out[c] = pd.array(hvals[c], dtype="Int64")
+                yield pd.DataFrame(out, columns=cols)
+
+        return part.select(
+            "image_id", "bytes", "fmt", "phash", "w", "h", "caption"
+        ).mapInPandas(
+            gen, schema=("image_id string, verified boolean, "
+                         "quality_ok boolean, b0 long, b1 long, "
+                         "b2 long, b3 long, ctag long"))
+
+    cp.run_with_checkpoint(
+        spark, images, phase1, out_dir, bucket_col="image_id",
+        n_buckets=n_buckets, lineage={"stage": "image-curation-phase1"})
+    facts = cp.read_checkpointed(spark, out_dir)
+    good = facts.where(F.col("verified") & F.col("quality_ok"))
+    pairs = phash_neardup_pairs(good, max_d=max_d)
+    comp = neardup_components(pairs, a_col="image_id", b_col="other_id")
+    losers = comp.where(F.col("component") != F.col("doc_id")) \
+        .select(F.col("doc_id").alias("image_id"))
+    return good.select("image_id").join(losers, "image_id", "left_anti")
+
+
 def verify_payloads(df: DataFrame) -> DataFrame:
     """Per-row invariant check vs the reference pixels: psnr_db and
     caption_ok columns (input_hint contract). Vectorized per Arrow
