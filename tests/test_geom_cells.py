@@ -195,6 +195,17 @@ def test_pip_two_tier_salting_row_identical(spark, sf_dir):
     assert got_s == want_s and len(got_s) > 0
 
 
+def test_pip_hot_threshold_without_salt_raises(spark, sf_dir):
+    """hot_threshold with salt=None used to be silently ignored (the
+    broadcast branch won) — now an explicit ValueError."""
+    import pytest
+
+    pts = synth.images(spark, sf_dir)
+    polys = synth.polygons(spark, sf_dir)
+    with pytest.raises(ValueError, match="hot_threshold requires salt"):
+        joins.pip_join(pts, polys, hot_threshold=100)
+
+
 def test_pip_cells_equals_pip_join(spark, sf_dir):
     pts = synth.images(spark, sf_dir)
     polys = synth.polygons(spark, sf_dir)

@@ -234,6 +234,9 @@ def test_fuzz_decoder_never_hangs_or_segfaults():
     px = synth_pixels(8, 32, 16)
     data = jpeg.encode_jpeg(px, quality=90)
     rng = np.random.default_rng(777)
+    # ValueError ONLY: the decoder normalizes IndexError/OverflowError/
+    # struct.error/KeyError from corrupt streams (jpeg._CORRUPT_ERRORS),
+    # so this test enforces the documented contract as stated.
     for _ in range(60):
         buf = bytearray(data)
         for _ in range(int(rng.integers(1, 4))):
@@ -241,10 +244,10 @@ def test_fuzz_decoder_never_hangs_or_segfaults():
         try:
             out = jpeg.decode_jpeg(bytes(buf))
             assert out.dtype == np.uint8 and out.ndim == 3
-        except (ValueError, struct.error, IndexError):
+        except ValueError:
             pass
     for cut in range(2, len(data), max(1, len(data) // 40)):
         try:
             jpeg.decode_jpeg(data[:cut])
-        except (ValueError, struct.error, IndexError):
+        except ValueError:
             pass

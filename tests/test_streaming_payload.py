@@ -555,8 +555,8 @@ def test_image_neardup_band_stream(spark, tmp_path):
 
     assert owned["a"] == 16 and owned["b"] == 16 and owned["c"] == 16
     assert owned.get("a_dup", 0) < 16  # lost >=1 band to 'a'
-    kept = set(r["doc_id"] for r in
+    # the documented composition: id_col='image_id', no rename needed
+    kept = set(r["image_id"] for r in
                streaming.neardup_first_owners(
-                   allrows.withColumnRenamed("image_id", "doc_id"),
-                   n_bands=16).collect())
+                   allrows, n_bands=16, id_col="image_id").collect())
     assert kept == {"a", "b", "c"}

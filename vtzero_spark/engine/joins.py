@@ -89,6 +89,10 @@ def pip_join(
     fraction of its index replication (always-on salting replicates
     the whole index N times no matter how few cells are hot).
     """
+    if hot_threshold is not None and salt is None:
+        raise ValueError(
+            "hot_threshold requires salt=N (two-tier salting); with "
+            "salt=None the broadcast join would silently ignore it")
     index = polygon_cell_index(polys, cell)
     pts = (
         points.withColumn("cell_x", F.expr(f"wx div {cell}"))
@@ -112,12 +116,23 @@ def pip_join(
         # cells are few BY DEFINITION (that is what the threshold
         # means), so the collect is bounded and the downstream joins
         # consume a literal broadcast relation.
+        # cap the census materialization: hot cells are few by
+        # definition, so a census larger than this means the threshold
+        # is mis-set for the grid — fail loudly instead of OOMing the
+        # driver with an unbounded collect
+        _HOT_CELL_CAP = 100_000
         hot_rows = (
             pts.groupBy("cell_x", "cell_y")
             .agg(F.count("*").alias("_n"))
             .where(F.col("_n") > hot_threshold)
-            .select("cell_x", "cell_y").collect()
+            .select("cell_x", "cell_y")
+            .limit(_HOT_CELL_CAP + 1).collect()
         )
+        if len(hot_rows) > _HOT_CELL_CAP:
+            raise ValueError(
+                f"hot-cell census exceeds {_HOT_CELL_CAP} cells — "
+                f"hot_threshold={hot_threshold} is too low for this "
+                "cell grid (raise it, or use always-on salting)")
         if not hot_rows:
             # no hot cells: a two-tier join degenerates to one plain
             # shuffle join with zero replication

@@ -26,9 +26,34 @@ from Spark: one image per row, Arrow batches across cores.
 
 from __future__ import annotations
 
+import functools
 import struct
 
 import numpy as np
+
+# Corrupt streams drive the bit/byte parsers off the rails in ways
+# that surface as stdlib exceptions rather than our own checks:
+# IndexError (truncated DHT value list in _canonical_codes, short
+# header slices), OverflowError (np.int64 construction from a DC
+# predictor inflated past 2^63 by a garbage Huffman table),
+# struct.error (truncated fixed-width header fields), KeyError
+# (scan referencing an undeclared table id). The module contract is
+# "ValueError on anything else" — normalize at the decoder entry
+# points so one garbage payload becomes a status row in the Spark
+# operators (payload.verify_payloads etc.), not a task failure.
+_CORRUPT_ERRORS = (IndexError, OverflowError, struct.error, KeyError)
+
+
+def _valueerror_on_corruption(fn):
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except _CORRUPT_ERRORS as exc:
+            raise ValueError(
+                f"corrupt JPEG stream: {type(exc).__name__}: {exc}"
+            ) from exc
+    return wrapper
 
 # ---------------------------------------------------------------- tables
 
@@ -529,9 +554,11 @@ def _decode_block(rd: _BitReader, out: list,
     return dc
 
 
+@_valueerror_on_corruption
 def _parse_jpeg(data: bytes) -> dict:
     """Parse headers + split entropy into restart segments; returns
-    the decode plan consumed by _decode_segment/_assemble_planes."""
+    the decode plan consumed by _decode_segment/_assemble_planes.
+    Raises ValueError (only) on any malformed stream."""
     if data[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -675,11 +702,13 @@ def restart_segment_count(data: bytes) -> int:
     return len(_parse_jpeg(data)["segments"])
 
 
+@_valueerror_on_corruption
 def _decode_segment(p: dict, si: int) -> list:
     """Entropy-decode ONE restart segment (fresh DC predictors,
     byte-aligned by construction) -> per-component (block indices,
     coefficient rows). Segments are independent: this is the unit a
-    parallel decode fans out over."""
+    parallel decode fans out over. Raises ValueError (only) on any
+    malformed stream."""
     nc, mcux = p["nc"], p["mcux"]
     nmcu = mcux * p["mcuy"]
     ri = p["ri"] or nmcu
@@ -743,6 +772,7 @@ def _assemble_planes(p: dict, vals: list) -> np.ndarray:
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
+@_valueerror_on_corruption
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JFIF bytes -> uint8 RGB (h, w, 3) (grayscale
     single-component scans decode with the luma plane replicated).

@@ -116,9 +116,10 @@ def image_neardup_band_stream(image_stream: DataFrame,
     row per distinct band bucket in the horizon; an image losing any
     bucket is within hamming <= 15 of an earlier image on that band
     slice (re-encodes land entire-hash-close, so they lose most or
-    all 16 bands). Compose with ``neardup_first_owners(n_bands=16)``
-    per micro-batch for doc-level verdicts; undecodable payloads are
-    dropped here (their status rows live in the batch operator)."""
+    all 16 bands). Compose with ``neardup_first_owners(n_bands=16,
+    id_col='image_id')`` per micro-batch for doc-level verdicts;
+    undecodable payloads are dropped here (their status rows live in
+    the batch operator)."""
     from .imagehash import image_phash
 
     ph = image_phash(image_stream, passthrough=(ts_col,))
@@ -139,18 +140,21 @@ def image_neardup_band_stream(image_stream: DataFrame,
 
 
 def neardup_first_owners(band_batch: DataFrame,
-                         n_bands: int | None = None) -> DataFrame:
+                         n_bands: int | None = None,
+                         id_col: str = "doc_id") -> DataFrame:
     """Per-batch rollup of neardup_band_stream output: documents that
     own ALL their band buckets (no near-dup inside the horizon).
-    Stateless — run inside foreachBatch."""
+    Stateless — run inside foreachBatch. For the image stream pass
+    id_col='image_id' (and n_bands=16) — the documented composition
+    with image_neardup_band_stream works without a rename."""
     from .textops import _N_BANDS
 
     n = n_bands if n_bands is not None else _N_BANDS
     return (
-        band_batch.groupBy("doc_id")
+        band_batch.groupBy(id_col)
         .agg(F.count("*").alias("_owned"))
         .where(F.col("_owned") == n)
-        .select("doc_id")
+        .select(id_col)
     )
 
 
