@@ -171,6 +171,28 @@ def test_knn_vs_bruteforce(spark, sf_dir, images_pd):
         assert got == want, f"qid={qid}"
 
 
+def test_knn_auto_start_radius_sparse(spark, sf_dir):
+    """Density-derived start radius: in the sparse regime (k much
+    larger than points-per-cell) the auto disk starts wider than 1,
+    saves at least one full expansion round, and returns EXACTLY the
+    rows of the explicit start_radius=1 run."""
+    img = synth.images(spark, sf_dir).where(
+        F.pmod(F.xxhash64("iid"), F.lit(10)) == 0)
+    queries = synth.knn_queries(spark, sf_dir, 10)
+
+    a = sorted(map(tuple, knn.knn_join(
+        spark, img, queries, k=20, world=WORLD, point_id="iid",
+        start_radius=1).select("qid", "iid", "dist_sq", "rank")
+        .collect()))
+    rounds_explicit = knn.knn_join.last_rounds
+    b = sorted(map(tuple, knn.knn_join(
+        spark, img, queries, k=20, world=WORLD, point_id="iid")
+        .select("qid", "iid", "dist_sq", "rank").collect()))
+    assert knn.knn_join.last_start_radius > 1
+    assert knn.knn_join.last_rounds < rounds_explicit
+    assert a == b and len(a) == 200
+
+
 def test_encode_decode_roundtrip_spark(spark, sf_dir):
     """End-to-end through the Spark pipeline: encoded tiles decode back
     to the same features with vtzero-exact bytes structure."""

@@ -178,13 +178,17 @@ def test_segment_decode_matches_whole(spark):
 
     base = synth_pixels(77, 128, 64)
     big = np.tile(base, (4, 4, 1))  # 512x256 "giant" image
-    for sub in ("444", "420"):
-        data = jpeg.encode_jpeg(big, quality=85, subsampling=sub,
+    # ragged dims: partial bottom band + width crop through the
+    # executor-side band assembly
+    ragged = big[:509, :251]
+    for px, sub, bmr in ((big, "444", 4), (big, "420", 4),
+                         (ragged, "444", 1), (ragged, "420", 3)):
+        data = jpeg.encode_jpeg(px, quality=85, subsampling=sub,
                                 restart_interval=8)
         assert jpeg.restart_segment_count(data) > 8
         want = jpeg.decode_jpeg(data)
-        got = decode_jpeg_distributed(spark, data)
-        assert np.array_equal(got, want)
+        got = decode_jpeg_distributed(spark, data, band_mcu_rows=bmr)
+        assert np.array_equal(got, want), (sub, bmr)
     # a stream without restarts takes the serial path unchanged
     plain = jpeg.encode_jpeg(base, quality=85)
     assert jpeg.restart_segment_count(plain) == 1

@@ -197,3 +197,55 @@ def test_decontaminate_flags_planted_overlap(spark):
     plan = textops.decontaminate(docs)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_decontaminate_fuzzy_catches_planted_paraphrases(spark, sf_dir):
+    """The paraphrase tier: 5 single-char substitutions spaced 12 chars
+    apart break EVERY 13-char window (the exact tier reports 0 hits on
+    all planted docs) while keeping 3-shingle Jaccard ~0.6, so the
+    MinHash tier flags them. Deterministic kernel + fixed plants ->
+    recall is a fixed number (0.94 measured); floor 0.9. The benchmark
+    probe must be a broadcast join (training side never shuffles for
+    the match) exactly like the exact tier."""
+    docs = synth.load(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 50 == 0).collect()
+    assert len(bench) >= 5
+
+    ALPH = "QXZJKVWYBF"
+    planted = []
+    k = 0
+    for r in bench:
+        for copy in range(5):
+            t = list(r["text"][:64].ljust(64, "x"))
+            for i, p in enumerate((6, 18, 30, 42, 54)):
+                c = ALPH[(copy * 5 + i) % len(ALPH)]
+                t[p] = c if t[p] != c else "#"
+            pid = 10_000_001 + k * 2
+            if pid % 50 == 0:
+                pid += 2
+            planted.append((pid, "".join(t)))
+            k += 1
+    pl_df = spark.createDataFrame(planted, "doc_id long, text string")
+    all_docs = docs.unionByName(pl_df)
+    planted_ids = [p for p, _ in planted]
+
+    # the gap this tier exists for: exact 13-gram probe sees NOTHING
+    ex = textops.decontaminate(all_docs).toPandas().set_index("doc_id")
+    assert ex.loc[planted_ids, "n_hits"].max() == 0
+
+    out = textops.decontaminate_fuzzy(all_docs).toPandas() \
+        .set_index("doc_id")
+    recall = out.loc[planted_ids, "fuzzy_contaminated"].mean()
+    assert recall >= 0.9, f"planted-paraphrase recall {recall}"
+    # flagged plants match their source benchmark doc at J >= 0.5
+    hit = out.loc[planted_ids]
+    assert (hit.loc[hit["fuzzy_contaminated"], "max_sim_x1000"]
+            >= 500).all()
+    # unplanted training docs: only the templated corpus's few genuine
+    # near-dups of bench docs may flag (measured 1%)
+    clean_ids = [i for i in out.index if i not in set(planted_ids)]
+    assert out.loc[clean_ids, "fuzzy_contaminated"].mean() <= 0.05
+
+    plan = textops.decontaminate_fuzzy(all_docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

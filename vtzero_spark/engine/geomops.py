@@ -306,18 +306,28 @@ def _stats_from_pdf(pdf: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
             merged = pd.concat(outs) if outs else pd.DataFrame(columns=cols)
             return merged[cols]
         pdf_rest = pdf.loc[rest_idx]
+        # positional access (no iterrows Series construction per row)
+        a_z = pdf_rest["z"].to_numpy(np.int64)
+        a_x = pdf_rest["x"].to_numpy(np.int64)
+        a_y = pdf_rest["y"].to_numpy(np.int64)
+        a_name = pdf_rest["layer_name"].to_numpy(object)
+        a_fid = pdf_rest["feature_id"].to_numpy(object)
+        a_gt = pdf_rest["geom_type"].to_numpy(np.int64)
+        a_geom = pdf_rest["geometry"].to_numpy(object)
+        a_nb = (pdf_rest["geometry_nbytes"].to_numpy(object)
+                if "geometry_nbytes" in pdf.columns else None)
         rows = []
-        for _, r in pdf_rest.iterrows():
+        for i in range(len(pdf_rest)):
             base = {
-                "z": int(r["z"]), "x": int(r["x"]), "y": int(r["y"]),
-                "layer_name": r["layer_name"],
-                "feature_id": None if pd.isna(r["feature_id"]) else int(r["feature_id"]),
-                "geom_type": int(r["geom_type"]),
+                "z": int(a_z[i]), "x": int(a_x[i]), "y": int(a_y[i]),
+                "layer_name": a_name[i],
+                "feature_id": None if pd.isna(a_fid[i]) else int(a_fid[i]),
+                "geom_type": int(a_gt[i]),
             }
             try:
-                cmds = np.asarray(r["geometry"], dtype=np.int64)
-                nbytes = int(r["geometry_nbytes"]) if "geometry_nbytes" in pdf.columns else None
-                parts, ring_types = G.decode_geometry(int(r["geom_type"]), cmds, nbytes)
+                cmds = np.asarray(a_geom[i], dtype=np.int64)
+                nbytes = int(a_nb[i]) if a_nb is not None else None
+                parts, ring_types = G.decode_geometry(int(a_gt[i]), cmds, nbytes)
                 pts = np.concatenate(parts, axis=0) if parts else np.empty((0, 2), np.int64)
                 area2 = 0
                 if ring_types is not None:

@@ -262,17 +262,23 @@ def _assemble_chunked(features: DataFrame, prop_spec, chunk_rows: int,
     def build_tile(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("layer_name", kind="stable")
         has_values = "values_section" in pdf.columns
+        # positional access (no iterrows Series construction per row)
+        a_secs = pdf["secs"].to_numpy(object)
+        a_name = pdf["layer_name"].to_numpy(object)
+        a_nf = pdf["num_features"].to_numpy(np.int64)
+        a_vals = (pdf["values_section"].to_numpy(object)
+                  if has_values else None)
         parts = []
         num_layers = 0
-        for _, r in pdf.iterrows():
-            feats_bytes = b"".join(bytes(s["section"]) for s in r["secs"])
-            name = r["layer_name"].encode("utf-8")
+        for i in range(len(pdf)):
+            feats_bytes = b"".join(bytes(s["section"]) for s in a_secs[i])
+            name = a_name[i].encode("utf-8")
             layer_bytes = b"".join([
                 head_pre, len_field(T.LAYER_NAME, name), head_post,
                 feats_bytes, key_section,
-                bytes(r["values_section"]) if has_values else b"",
+                bytes(a_vals[i]) if has_values else b"",
             ])
-            if r["num_features"] > 0:
+            if a_nf[i] > 0:
                 parts.append(len_field(T.TILE_LAYERS, layer_bytes))
                 num_layers += 1
         return pd.DataFrame([{

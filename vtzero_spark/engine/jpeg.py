@@ -739,37 +739,55 @@ def _decode_segment(p: dict, si: int) -> list:
              np.array(rows[ci], dtype=np.int64)) for ci in range(nc)]
 
 
-def _assemble_planes(p: dict, vals: list) -> np.ndarray:
+def _assemble_band(p: dict, vals: list, m0: int, m1: int) -> np.ndarray:
     """Dequantize + IDCT + plane assembly + chroma upsample + color
-    convert — fully vectorized over the whole block stack."""
+    convert for the MCU-row band [m0, m1) — pixel rows
+    [m0*8*vmax, min(m1*8*vmax, h)). Fully vectorized over the band's
+    block stack. ``vals[ci]`` holds ONLY the band's block rows
+    (shape ((m1-m0)*vi*bw, 64), zigzag order).
+
+    Every per-pixel step is band-local by construction: the IDCT is
+    per-block, chroma upsampling is sample REPLICATION (JFIF sample
+    expansion — no cross-row interpolation), and the color convert is
+    per-pixel — so assembling bands independently is byte-identical to
+    the whole-image pass (pinned in test_jpeg.py). This is the unit
+    the distributed giant-image decode assembles executor-side."""
     h, w, nc = p["h"], p["w"], p["nc"]
     hmax, vmax = p["hmax"], p["vmax"]
+    y0, y1 = m0 * 8 * vmax, min(m1 * 8 * vmax, h)
     chans = []
     for ci in range(nc):
         bh, bw = p["grids"][ci]
         hi, vi = p["sampf"][ci]
+        r0, r1 = m0 * vi, min(m1 * vi, bh)
+        nb = (r1 - r0) * bw
         deq = vals[ci].astype(np.float64) \
             * p["qt_by_comp"][ci].reshape(1, 64)
-        flat = np.zeros((bh * bw, 64), dtype=np.float64)
+        flat = np.zeros((nb, 64), dtype=np.float64)
         flat[:, ZIGZAG] = deq                         # de-zigzag
-        coef = flat.reshape(bh * bw, 8, 8)
+        coef = flat.reshape(nb, 8, 8)
         px = np.einsum("ji,njk,kl->nil", _DCT, coef, _DCT) + 128.0
-        plane = (px.reshape(bh, bw, 8, 8)
-                 .transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8))
-        # crop to the component's true resolution, then replicate up
-        # to full resolution (sample expansion per JFIF)
+        plane = (px.reshape(r1 - r0, bw, 8, 8)
+                 .transpose(0, 2, 1, 3).reshape((r1 - r0) * 8, bw * 8))
+        # crop to the component's true resolution (the band's slice of
+        # it), then replicate up to full resolution
         ch_h, ch_w = -(-h * vi // vmax), -(-w * hi // hmax)
-        plane = plane[:ch_h, :ch_w]
+        plane = plane[:max(0, min(r1 * 8, ch_h) - r0 * 8), :ch_w]
         if vi != vmax:
             plane = np.repeat(plane, vmax // vi, axis=0)
         if hi != hmax:
             plane = np.repeat(plane, hmax // hi, axis=1)
-        chans.append(plane[:h, :w])
+        chans.append(plane[:y1 - y0, :w])
     if nc == 1:
         rgb = np.stack([chans[0]] * 3, axis=-1)
     else:
         rgb = _ycbcr_to_rgb(chans[0], chans[1], chans[2])
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _assemble_planes(p: dict, vals: list) -> np.ndarray:
+    """Whole-image assembly == the single band [0, mcuy)."""
+    return _assemble_band(p, vals, 0, p["mcuy"])
 
 
 @_valueerror_on_corruption

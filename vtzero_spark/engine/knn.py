@@ -37,7 +37,7 @@ def knn_join(
     world: int | None = None,
     point_id: str = "image_id",
     max_rounds: int = 64,
-    start_radius: int = 1,
+    start_radius: int | None = None,
 ) -> DataFrame:
     """Exact k nearest points for each query.
 
@@ -52,7 +52,20 @@ def knn_join(
     round removes a guaranteed-wasted round (one fewer join +
     checkpoint + count job) without changing a single result row (the
     explored set is the same superset, the bound the same formula).
+
+    start_radius=None (default) derives the first disk from the
+    measured point DENSITY: a bounded 100k-row sample feeds one
+    map-side-combined aggregate (row count + approx distinct cells, a
+    1-row result), and the disk is sized so (2r+1)^2 cells are
+    expected to hold ~2k candidates — for k much larger than
+    points-per-cell the radius-1 disk is guaranteed insufficient and
+    every missing ring costs a full round (join + checkpoint + count),
+    so starting at the density-implied radius removes those rounds
+    without touching exactness (any start disk is explored the same
+    way). The number of expansion rounds actually run is exposed as
+    ``knn_join.last_rounds`` for diagnostics.
     """
+    import math
     pts = (
         points.select(
             point_id,
@@ -78,7 +91,22 @@ def knn_join(
     if world is not None:
         max_cells = world // cell
 
+    if start_radius is None:
+        samp = pts.limit(100_000).agg(
+            F.count("*").alias("n"),
+            F.approx_count_distinct(
+                F.struct("cell_x", "cell_y")).alias("c"),
+        ).first()
+        density = samp["n"] / max(samp["c"], 1) if samp["n"] else 1.0
+        start_radius = max(1, math.ceil(
+            (math.sqrt(2.0 * k / max(density, 1e-9)) - 1.0) / 2.0))
+        if max_cells is not None:
+            # a disk covering the whole world is the upper bound
+            start_radius = min(start_radius, max_cells)
+
+    rounds = 0
     for i in range(max_rounds):
+        rounds = i + 1
         # round 0: the full disk 0..start_radius; then ring r per round
         r = start_radius + i
         lo = 0 if i == 0 else r
@@ -137,6 +165,8 @@ def knn_join(
         if max_cells is not None and r >= 2 * max_cells:
             break
 
+    knn_join.last_rounds = rounds
+    knn_join.last_start_radius = start_radius
     w = Window.partitionBy("qid").orderBy("dist_sq", point_id)
     out = (
         acc.dropDuplicates(["qid", point_id])
