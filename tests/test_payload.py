@@ -164,3 +164,27 @@ def test_curate_images_checkpointed_resume(spark, tmp_path):
                                           n_buckets=4).collect())
     assert got2 == want
     assert cp.completed_buckets(spark, out_dir) == {0, 1, 2, 3}
+
+
+def test_batched_kernels_match_scalar():
+    """thumbnail_batch is byte-identical to thumbnail (integer means
+    are order-exact in float64); color_features_batch and
+    quality_metrics_batch agree with the scalar kernels to ULP."""
+    from vtzero_spark.engine.payload import (
+        color_features, color_features_batch, quality_metrics,
+        quality_metrics_batch, thumbnail, thumbnail_batch)
+
+    imgs = [synth_pixels(seed, 48, 32) for seed in range(9)]
+    stack = np.stack(imgs)
+    tb = thumbnail_batch(stack)
+    fb = color_features_batch(stack)
+    qb = quality_metrics_batch(stack)
+    for j, px in enumerate(imgs):
+        assert np.array_equal(tb[j], thumbnail(px))
+        assert np.allclose(fb[j], color_features(px), rtol=1e-12)
+        m = quality_metrics(px)
+        for k, v in m.items():
+            assert np.isclose(qb[k][j], v, rtol=1e-9), k
+    # tiny images: the sharpness guard branch
+    tiny = np.stack([synth_pixels(s, 2, 2) for s in range(3)])
+    assert (quality_metrics_batch(tiny)["sharpness"] == 0.0).all()

@@ -7,13 +7,17 @@ Public-knowledge implementation (T.81 spec + JFIF 1.02); the reference
 repo has no image surface — this serves the BASELINE.json input_hint
 PSNR gate with a REAL lossy format instead of the round-1..3 stub.
 
-Decoder scope (documented, ValueError on anything else): baseline SOF0,
+Decoder scope (documented, ValueError on anything else): baseline SOF0
+AND progressive SOF2 (decode_jpeg dispatches; Annex G spectral
+selection + successive approximation live in jpeg_progressive.py),
 8-bit precision, 1 or 3 components, sampling factors 1..2 per axis —
 which covers 4:4:4, 4:2:2 and the real-world-dominant 4:2:0 — restart
 intervals (DRI + RSTn segment splitting, DC predictor resets), no
-progressive/arithmetic modes. The encoder emits 4:4:4 (default) or
-4:2:0, optionally with restart markers, so every supported layout
-verifies end to end without external fixtures.
+arithmetic coding or hierarchical mode. The encoder emits 4:4:4
+(default) or 4:2:0, optionally with restart markers — and
+jpeg_progressive.encode_progressive emits the 10-scan progressive
+script — so every supported layout verifies end to end without
+external fixtures.
 
 Performance shape: everything per-image is vectorized across blocks
 (level shift, DCT/IDCT as two 8x8 matrix products over the whole block
@@ -792,10 +796,17 @@ def _assemble_planes(p: dict, vals: list) -> np.ndarray:
 
 @_valueerror_on_corruption
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> uint8 RGB (h, w, 3) (grayscale
-    single-component scans decode with the luma plane replicated).
-    Serial composition of parse -> per-segment entropy decode ->
-    vectorized assembly; see _decode_segment for the parallel unit."""
+    """JFIF bytes -> uint8 RGB (h, w, 3) (grayscale single-component
+    scans decode with the luma plane replicated). Baseline SOF0
+    streams run the serial parse -> per-segment entropy decode ->
+    vectorized assembly below (see _decode_segment for the parallel
+    unit); progressive SOF2 streams dispatch to the Annex G decoder
+    (jpeg_progressive), which accumulates coefficients across scans
+    and reuses the same assembly."""
+    from . import jpeg_progressive as JP
+
+    if JP.is_progressive(data):
+        return JP.decode_progressive(data)
     p = _parse_jpeg(data)
     vals = [np.zeros((bh * bw, 64), dtype=np.int64)
             for bh, bw in p["grids"]]
