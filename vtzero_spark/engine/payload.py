@@ -234,7 +234,12 @@ def decode_jpeg_distributed(spark, data: bytes,
     DataFrame (band, y0, nrows, strip) to parquet and skips the
     collect entirely."""
     from . import jpeg as J
+    from . import jpeg_progressive as JP
 
+    if JP.is_progressive(data):
+        # progressive scans refine each other sequentially — no
+        # independent entropy segments to fan out; decode serially
+        return JP.decode_progressive(data)
     p = J._parse_jpeg(data)
     nseg = len(p["segments"])
     if nseg == 1:
