@@ -188,3 +188,49 @@ def test_batched_kernels_match_scalar():
     # tiny images: the sharpness guard branch
     tiny = np.stack([synth_pixels(s, 2, 2) for s in range(3)])
     assert (quality_metrics_batch(tiny)["sharpness"] == 0.0).all()
+
+
+def test_progressive_payloads_through_operators(spark):
+    """Real-world JPEG corpora are ~half progressive: SOF2 payloads
+    ride the payload operators unchanged (decode_jpeg dispatches by
+    SOF marker) — the PSNR>=40dB gate passes at q90, and the
+    perceptual hash pairs a progressive re-encode with its baseline
+    original (cross-CODING dup, the dedup class progressive adds)."""
+    import pandas as pd
+
+    from vtzero_spark.engine import imagehash, jpeg
+    from vtzero_spark.engine.jpeg_progressive import encode_progressive
+    from vtzero_spark.engine.payload import synth_pixels, verify_payloads
+
+    rows = []
+    for i in range(8):
+        ph = i * 7919 + 13
+        w, h = [(16, 16), (32, 16), (64, 32)][i % 3]
+        px = synth_pixels(ph, w, h)
+        # 4:4:4 — the 40dB gate prices quantization, not chroma
+        # subsampling (baseline 4:2:0 sits below it too, ~35dB)
+        rows.append((f"img{i:012d}",
+                     encode_progressive(px, quality=90),
+                     ph, w, h, "jpeg", f"cap {i}"))
+    df = spark.createDataFrame(pd.DataFrame(
+        rows, columns=["image_id", "bytes", "phash", "w", "h", "fmt",
+                       "caption"]))
+    v = verify_payloads(df).toPandas()
+    assert v["pixels_ok"].all() and v["caption_ok"].all()
+    assert (v["psnr_db"] >= 40.0).all()
+
+    # cross-coding dedup: baseline q75 original + progressive twin
+    pair_rows = []
+    for i in range(8):
+        ph = i * 7919 + 13
+        w, h = [(16, 16), (32, 16), (64, 32)][i % 3]
+        px = synth_pixels(ph, w, h)
+        pair_rows.append((f"img{i:012d}",
+                          jpeg.encode_jpeg(px, quality=75), "jpeg"))
+        pair_rows.append((f"img{i:012d}~p",
+                          encode_progressive(px, quality=75), "jpeg"))
+    imgs = spark.createDataFrame(pd.DataFrame(
+        pair_rows, columns=["image_id", "bytes", "fmt"]))
+    kept = set(imagehash.dedup_phash(imgs)
+               .select("image_id").toPandas()["image_id"])
+    assert kept == {f"img{i:012d}" for i in range(8)}
