@@ -234,3 +234,46 @@ def test_progressive_payloads_through_operators(spark):
     kept = set(imagehash.dedup_phash(imgs)
                .select("image_id").toPandas()["image_id"])
     assert kept == {f"img{i:012d}" for i in range(8)}
+
+
+def test_curate_images_fused_matches_composed(spark):
+    """The fused one-pass curation (the 100 TB shape curate_images'
+    own docstring prescribes) keeps exactly the rows and verdicts of
+    the three-pass composed pipeline on the full mixed corpus —
+    corrupt payload, flat image, cross-format near-dup and all."""
+    import pandas as pd
+
+    from vtzero_spark.engine import jpeg
+    from vtzero_spark.engine.payload import (
+        curate_images, curate_images_fused, encode_payload,
+        synth_pixels)
+
+    rows = []
+    for i in range(40):
+        w, h = [(16, 16), (32, 16), (64, 32)][i % 3]
+        fmt = "jpeg" if i % 2 else "png"
+        ph = i * 7919 + 13
+        rows.append((f"img{i:012d}", encode_payload(ph, w, h, fmt),
+                     w, h, fmt, f"cap {i}", ph))
+    px4 = synth_pixels(4 * 7919 + 13, 32, 16)
+    rows.append((f"img{10**9:012d}", jpeg.encode_jpeg(px4, quality=90),
+                 32, 16, "jpeg", f"cap {10**9}", 4 * 7919 + 13))
+    rows.append((f"img{10**9 + 1:012d}", b"\xFF\xD8garbage",
+                 32, 16, "jpeg", f"cap {10**9 + 1}", 99))
+    flat = np.full((16, 16, 3), 119, dtype=np.uint8)
+    rows.append((f"img{10**9 + 9:012d}", jpeg.encode_jpeg(flat, 90),
+                 16, 16, "jpeg", f"cap {10**9 + 9}", 77))
+    pdf = pd.DataFrame(rows, columns=[
+        "image_id", "bytes", "w", "h", "fmt", "caption", "phash"])
+    # the near-dup's caption check: verify compares pixels against
+    # synth(phash), so give it the matching reference phash but its
+    # own id-derived caption
+    df = spark.createDataFrame(pdf)
+
+    want = curate_images(df).toPandas()
+    got = curate_images_fused(df).toPandas()
+    assert set(want["image_id"]) == set(got["image_id"])
+    for col in ("verified", "quality_ok"):
+        w_ = want.set_index("image_id")[col].to_dict()
+        g_ = got.set_index("image_id")[col].to_dict()
+        assert w_ == g_, col

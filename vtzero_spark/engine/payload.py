@@ -629,6 +629,95 @@ def curate_images(df: DataFrame, max_d: int = 10) -> DataFrame:
     return dedup_phash(good, max_d=max_d)
 
 
+_CURATION_FACTS_SCHEMA = ("image_id string, verified boolean, "
+                          "quality_ok boolean, b0 long, b1 long, "
+                          "b2 long, b3 long, ctag long")
+
+
+def _curation_facts_gen(batches: "Iterator[pd.DataFrame]"):
+    """ONE decode per image emitting all three verdict sets: the
+    verification gate (PSNR + caption), the quality gate, and the
+    perceptual hash. Shared by curation_facts / curate_images_fused /
+    curate_images_checkpointed phase 1."""
+    from .imagehash import _HASH_COLS, blockhash
+
+    cols = ["image_id", "verified", "quality_ok"] + _HASH_COLS
+    for pdf in batches:
+        ids, ver_l, q_l = [], [], []
+        hvals: dict[str, list] = {c: [] for c in _HASH_COLS}
+        for r in pdf.itertuples():
+            ids.append(r.image_id)
+            try:
+                px = decode_payload(r.bytes, r.fmt)
+                ref = synth_pixels(int(r.phash), int(r.w), int(r.h))
+                p = psnr(ref, px)
+                ver = p >= (40.0 if r.fmt == "jpeg" else 99.0)
+                try:
+                    ver = ver and (
+                        r.caption == f"cap {int(r.image_id[3:])}")
+                except (ValueError, TypeError):
+                    ver = False
+                m = quality_metrics(px)
+                q_ok = (16.0 <= m["lum_mean"] <= 240.0
+                        and m["lum_std"] >= 4.0
+                        and m["sharpness"] >= 0.5
+                        and m["entropy"] >= 1.0)
+                for c, v in zip(_HASH_COLS, blockhash(px)):
+                    hvals[c].append(v)
+                ver_l.append(bool(ver))
+                q_l.append(bool(q_ok))
+            except (ValueError, NotImplementedError):
+                for c in _HASH_COLS:
+                    hvals[c].append(None)
+                ver_l.append(False)
+                q_l.append(False)
+        out = {"image_id": ids, "verified": ver_l, "quality_ok": q_l}
+        # nullable Int64: a float64 coercion (any None in the batch)
+        # would round 63-bit hashes (see image_phash)
+        for c in _HASH_COLS:
+            out[c] = pd.array(hvals[c], dtype="Int64")
+        yield pd.DataFrame(out, columns=cols)
+
+
+def curation_facts(df: DataFrame) -> DataFrame:
+    """The fused per-image fact table: (image_id, verified,
+    quality_ok, b0..b3, ctag) from ONE decode pass."""
+    from .textops import _spread
+
+    return _spread(df.select(
+        "image_id", "bytes", "fmt", "phash", "w", "h", "caption"
+    )).mapInPandas(_curation_facts_gen, schema=_CURATION_FACTS_SCHEMA)
+
+
+def curate_images_fused(df: DataFrame, max_d: int = 10) -> DataFrame:
+    """curate_images with the decode fused: the composed form decodes
+    every payload once per stage (verify, quality, hash — three
+    passes, the docstring's 100 TB note); this one runs the shared
+    one-pass kernel and composes the gates + dedup over the SMALL fact
+    table (8 columns/row). Returns exactly the rows and verdict
+    columns of curate_images (equality pinned in test_payload)."""
+    from pyspark.sql import functions as F
+
+    from .imagehash import phash_neardup_pairs
+    from .textops import neardup_components
+
+    # eager localCheckpoint: the decode pass runs exactly ONCE and the
+    # materialized fact table (8 cols/row, orders of magnitude smaller
+    # than the payloads) feeds both the pair join and the final gate —
+    # a plain persist would be dropped before the lazy result runs
+    good = curation_facts(df) \
+        .where(F.col("verified") & F.col("quality_ok")) \
+        .localCheckpoint(eager=True)
+    pairs = phash_neardup_pairs(good, max_d=max_d)
+    comp = neardup_components(pairs, a_col="image_id",
+                              b_col="other_id")
+    losers = comp.where(F.col("component") != F.col("doc_id")) \
+        .select(F.col("doc_id").alias("image_id"))
+    keep = good.select("image_id", "verified", "quality_ok") \
+        .join(losers, "image_id", "left_anti")
+    return df.join(keep, "image_id")
+
+
 def curate_images_checkpointed(spark, images: DataFrame, out_dir: str,
                                n_buckets: int = 8,
                                max_d: int = 10) -> DataFrame:
@@ -655,58 +744,15 @@ def curate_images_checkpointed(spark, images: DataFrame, out_dir: str,
     from pyspark.sql import functions as F
 
     from . import checkpoint as cp
-    from .imagehash import (
-        _HASH_COLS, blockhash, phash_neardup_pairs)
+    from .imagehash import phash_neardup_pairs
     from .textops import neardup_components
 
     def phase1(part: DataFrame) -> DataFrame:
-        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            cols = (["image_id", "verified", "quality_ok"]
-                    + _HASH_COLS)
-            for pdf in batches:
-                ids, ver_l, q_l = [], [], []
-                hvals: dict[str, list] = {c: [] for c in _HASH_COLS}
-                for r in pdf.itertuples():
-                    ids.append(r.image_id)
-                    try:
-                        px = decode_payload(r.bytes, r.fmt)
-                        ref = synth_pixels(int(r.phash), int(r.w),
-                                           int(r.h))
-                        p = psnr(ref, px)
-                        ver = p >= (40.0 if r.fmt == "jpeg" else 99.0)
-                        try:
-                            ver = ver and (
-                                r.caption == f"cap {int(r.image_id[3:])}")
-                        except (ValueError, TypeError):
-                            ver = False
-                        m = quality_metrics(px)
-                        q_ok = (16.0 <= m["lum_mean"] <= 240.0
-                                and m["lum_std"] >= 4.0
-                                and m["sharpness"] >= 0.5
-                                and m["entropy"] >= 1.0)
-                        for c, v in zip(_HASH_COLS, blockhash(px)):
-                            hvals[c].append(v)
-                        ver_l.append(bool(ver))
-                        q_l.append(bool(q_ok))
-                    except (ValueError, NotImplementedError):
-                        for c in _HASH_COLS:
-                            hvals[c].append(None)
-                        ver_l.append(False)
-                        q_l.append(False)
-                out = {"image_id": ids, "verified": ver_l,
-                       "quality_ok": q_l}
-                # nullable Int64: a float64 coercion (any None in the
-                # batch) would round 63-bit hashes (see image_phash)
-                for c in _HASH_COLS:
-                    out[c] = pd.array(hvals[c], dtype="Int64")
-                yield pd.DataFrame(out, columns=cols)
-
+        # the shared fused kernel (_curation_facts_gen): one decode
+        # per image -> verification + quality + perceptual hash
         return part.select(
             "image_id", "bytes", "fmt", "phash", "w", "h", "caption"
-        ).mapInPandas(
-            gen, schema=("image_id string, verified boolean, "
-                         "quality_ok boolean, b0 long, b1 long, "
-                         "b2 long, b3 long, ctag long"))
+        ).mapInPandas(_curation_facts_gen, schema=_CURATION_FACTS_SCHEMA)
 
     cp.run_with_checkpoint(
         spark, images, phase1, out_dir, bucket_col="image_id",
