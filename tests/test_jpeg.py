@@ -337,3 +337,38 @@ def test_progressive_fuzz_valueerror_only():
             jpeg.decode_jpeg(data[:cut])
         except ValueError:
             pass
+
+
+def test_progressive_422_and_alt_scan_scripts():
+    """4:2:2 progressive (mixed-factor interleaved DC + non-interleaved
+    AC grids) and ALTERNATIVE scan scripts — finer spectral bands, no
+    successive approximation, reversed chroma order — all decode to
+    the same pixels as baseline: scan-script choice reorders the
+    entropy stream only."""
+    from vtzero_spark.engine import jpeg_progressive as jp
+
+    for (h, w) in ((48, 64), (31, 45)):
+        px = synth_pixels(h * 7 + w, w, h)
+        want = jpeg.decode_jpeg(
+            jpeg.encode_jpeg(px, quality=85, subsampling="422"))
+        got = jpeg.decode_jpeg(jp.encode_progressive(
+            px, quality=85, subsampling="422"))
+        assert np.array_equal(got, want), (h, w, "422")
+
+    px = synth_pixels(9, 56, 40)
+    want = jpeg.decode_jpeg(jpeg.encode_jpeg(px, quality=85))
+    for scans in (
+        # spectral selection only, fine bands, no refinement
+        [((0, 1, 2), 0, 0, 0, 0),
+         ((0,), 1, 2, 0, 0), ((0,), 3, 9, 0, 0), ((0,), 10, 63, 0, 0),
+         ((1,), 1, 63, 0, 0), ((2,), 1, 63, 0, 0)],
+        # deep successive approximation on luma, chroma plain
+        [((0, 1, 2), 0, 0, 0, 2),
+         ((0, 1, 2), 0, 0, 2, 1), ((0, 1, 2), 0, 0, 1, 0),
+         ((0,), 1, 63, 0, 3), ((0,), 1, 63, 3, 2),
+         ((0,), 1, 63, 2, 1), ((0,), 1, 63, 1, 0),
+         ((2,), 1, 63, 0, 0), ((1,), 1, 63, 0, 0)],
+    ):
+        got = jpeg.decode_jpeg(jp.encode_progressive(
+            px, quality=85, scans=scans))
+        assert np.array_equal(got, want), scans[:2]

@@ -43,6 +43,10 @@ def main() -> None:
     ap.add_argument("--max-files-per-trigger", type=int, default=4)
     ap.add_argument("--once", action="store_true",
                     help="drain available input, then exit")
+    ap.add_argument("--cores", type=int, default=0,
+                    help="run on local[N] (0 = leave master to the "
+                         "environment/spark-submit) — the N-vs-4N "
+                         "scaling probe hook")
     args = ap.parse_args()
 
     # Imports resolved via --py-files at executor AND driver side;
@@ -59,7 +63,12 @@ def main() -> None:
         from vtzero_spark.engine import streaming
         from vtzero_spark.engine.synth import EXTENT, ZOOM
 
-    spark = SparkSession.builder.appName("vtzero-stream-pipeline").getOrCreate()
+    builder = SparkSession.builder.appName("vtzero-stream-pipeline")
+    if args.cores:
+        builder = builder.master(f"local[{args.cores}]").config(
+            "spark.sql.shuffle.partitions", str(max(args.cores * 2, 8))
+        ).config("spark.local.dir", "/dev/shm/spark-local")
+    spark = builder.getOrCreate()
     spark.conf.set("spark.sql.adaptive.enabled", "true")
 
     schema = spark.read.parquet(args.in_dir).schema

@@ -19,8 +19,9 @@ tests pin that equality.
 The encoder exists to exercise every decoder path without external
 fixtures (this container has no image libraries): it emits the
 standard 10-scan script (DC first Al=1, spectral-split AC first scans,
-AC refinement chain, DC refinement) over 4:4:4 or 4:2:0, optionally
-with restart intervals. Scan entropy uses simple COMPLETE canonical
+AC refinement chain, DC refinement) — or any caller-supplied scan
+script — over 4:4:4, 4:2:2, 4:2:0 or grayscale, optionally with
+restart intervals. Scan entropy uses simple COMPLETE canonical
 Huffman tables carried in DHT (the Annex K tables lack the EOBn
 symbols progressive needs); tables travel in the stream, so the
 decoder exercises its real DHT path.
@@ -565,7 +566,7 @@ def encode_progressive(arr: np.ndarray, quality: int = 90,
     else:
         h, w, c = arr.shape
         assert c == 3 and arr.dtype == np.uint8
-        if subsampling not in ("444", "420"):
+        if subsampling not in ("444", "422", "420"):
             raise ValueError(f"unsupported subsampling {subsampling!r}")
         ql, qc = quality_tables(quality)
         ycc = _rgb_to_ycbcr(arr)
@@ -576,6 +577,15 @@ def encode_progressive(arr: np.ndarray, quality: int = 90,
             zz = [_quantized_zigzag(ycc[..., ci], (ql, qc, qc)[ci])
                   for ci in range(3)]
             samp = (0x11, 0x11, 0x11)
+        elif subsampling == "422":
+            hp, wp = -(-h // 8) * 8, -(-w // 16) * 16
+            ycc = np.pad(ycc, ((0, hp - h), (0, wp - w), (0, 0)),
+                         mode="edge")
+            cb = ycc[..., 1].reshape(hp, wp // 2, 2).mean(axis=2)
+            cr = ycc[..., 2].reshape(hp, wp // 2, 2).mean(axis=2)
+            zz = [_quantized_zigzag(ycc[..., 0], ql),
+                  _quantized_zigzag(cb, qc), _quantized_zigzag(cr, qc)]
+            samp = (0x21, 0x11, 0x11)
         else:
             hp, wp = -(-h // 16) * 16, -(-w // 16) * 16
             ycc = np.pad(ycc, ((0, hp - h), (0, wp - w), (0, 0)),
