@@ -260,22 +260,43 @@ def stream_tile_pipeline(
         else:
             tiles = batch_df.select("z", "x", "y", "tile_bytes")
             tiles_dir = f"{out_dir}/tiles"
+        from concurrent.futures import ThreadPoolExecutor
+
         tiles = tiles.select("z", "x", "y", "tile_bytes").persist()
         try:
             findings = lint.tile_lint(tiles).persist()
             try:
+                # action 1 (serial): materializes tiles + findings —
+                # the batch's entire encode + lint cost
                 findings.write.mode("overwrite").parquet(
                     f"{out_dir}/findings/batch_id={batch_id}")
                 bad = (findings
                        .where(F.col("severity") >= fail_severity)
                        .select("z", "x", "y").distinct())
                 good = tiles.join(bad, ["z", "x", "y"], "left_anti")
-                manifest = mvt_files.write_mvt_files(good, tiles_dir)
-                manifest.write.mode("overwrite").parquet(
-                    f"{out_dir}/manifest/batch_id={batch_id}")
-                (tiles.join(bad, ["z", "x", "y"], "left_semi")
-                 .write.mode("overwrite")
-                 .parquet(f"{out_dir}/quarantine/batch_id={batch_id}"))
+
+                # actions 2+3 run CONCURRENTLY (independent reads of
+                # the persisted tiles/findings; Spark job submission
+                # is thread-safe) — overlapping the sink write with
+                # the quarantine write trims the per-trigger serial
+                # chain the BENCH.md Amdahl fit identified
+                def write_sink() -> None:
+                    manifest = mvt_files.write_mvt_files(
+                        good, tiles_dir)
+                    manifest.write.mode("overwrite").parquet(
+                        f"{out_dir}/manifest/batch_id={batch_id}")
+
+                def write_quarantine() -> None:
+                    (tiles.join(bad, ["z", "x", "y"], "left_semi")
+                     .write.mode("overwrite")
+                     .parquet(f"{out_dir}/quarantine/"
+                              f"batch_id={batch_id}"))
+
+                with ThreadPoolExecutor(max_workers=2) as pool:
+                    futs = [pool.submit(write_sink),
+                            pool.submit(write_quarantine)]
+                    for f in futs:
+                        f.result()   # re-raise either failure
             finally:
                 findings.unpersist()
         finally:
