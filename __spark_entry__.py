@@ -648,6 +648,25 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.simhash_neardup_pairs(synth.load(spark, sf_dir, "documents"))
 
 
+def q_neardup_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash near-dup pairs on the cross-engine md5 basis
+    (textops.neardup_md5_pairs) — the ORACLE-VERIFIABLE twin of the
+    production xxhash64 LSH tier: same shingle->minhash->band-join->
+    lane-count semantics, hash-checked against DuckDB."""
+    docs = synth.load(spark, sf_dir, "documents").select("doc_id", "text")
+    return textops.neardup_md5_pairs(docs)
+
+
+def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (paraphrase-tier) benchmark decontamination on the md5
+    MinHash basis (textops.decontaminate_fuzzy_md5) — oracle-verified;
+    the xxhash64/16-band production form (decontaminate_fuzzy) keeps
+    its broadcast-plan assert + planted-paraphrase recall floor in
+    tests/test_scale_sketches.py."""
+    docs = synth.load(spark, sf_dir, "documents").select("doc_id", "text")
+    return textops.decontaminate_fuzzy_md5(docs)
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag training docs sharing any
     13-gram with the benchmark slice (broadcast gram probe —
@@ -830,7 +849,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ivfpq_topk, which trains and scans the same PQ path). Round 4
     swapped neardup_clusters (also pytest-exact vs union-find) for
     image_phash_neardup, which drives those same components through
-    the full perceptual image-dedup pipeline."""
+    the full perceptual image-dedup pipeline.  Round 5 upgraded the
+    sketch surface from rows-only to ORACLE-BEARING by re-expressing
+    MinHash on the cross-engine md5 basis (Spark md5 == DuckDB md5;
+    lexicographic min over fixed-width hex == numeric min):
+    neardup_md5 and decontaminate_fuzzy replace the rows-only
+    minhash_lsh / simhash_neardup slots — the xxhash64 production
+    tiers those slots ran remain golden-pinned + recall-floored in
+    tests/test_scale_sketches.py (minhash_lsh_pairs byte-identical
+    golden, simhash band semantics, planted-paraphrase recall)."""
     return {
         "tile_assign": q_tile_assign,
         "tile_counts": q_tile_counts,
@@ -862,6 +889,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_hashed": q_dedup_hashed,
         "ngram_jaccard": q_ngram_jaccard,
         "decontaminate": q_decontaminate,
+        "neardup_md5": q_neardup_md5,
+        "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "lang_id": q_lang_id,
         "token_stats": q_token_stats,
         "quality": q_quality,
@@ -874,9 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layer_filter": q_layer_filter,
         "mvt_ingest": q_mvt_ingest,
         "polygon_tiles_hot": q_polygon_tiles_hot,
-        "minhash_lsh": q_minhash_lsh,
         "image_phash_neardup": q_image_phash_neardup,
-        "simhash_neardup": q_simhash_neardup,
         "ivfpq_topk": q_ivfpq_topk,
         "ivf_topk": q_ivf_topk,
         "image_features": q_image_features,
@@ -1118,6 +1145,8 @@ FROM r GROUP BY 1, 2
         "dedup_hashed": textops.DEDUP_EXACT_SQL,
         "ngram_jaccard": textops.ngram_jaccard_adjacent_sql(),
         "decontaminate": textops.decontaminate_sql(),
+        "neardup_md5": textops.neardup_md5_pairs_sql(),
+        "decontaminate_fuzzy": textops.decontaminate_fuzzy_md5_sql(),
         "lang_id": textops.lang_id_sql(),
         "token_stats": textops.TOKEN_STATS_SQL,
         "quality": textops.QUALITY_SCORE_SQL,

@@ -51,7 +51,19 @@ EXTENDED = [
     "minhash_lsh",
     "simhash_neardup",
     "embed_neardup",
+    # round-5 oracle-bearing md5 sketch tier (cross-engine verifiable)
+    "neardup_md5",
+    "decontaminate_fuzzy",
 ]
+
+# minhash_lsh / simhash_neardup left the 50-entry queries() window in
+# round 5 (their slots carry the oracle-bearing md5 tier) but their
+# production xxhash64 operators and timing history continue here,
+# resolved straight from the entry module.
+BENCH_ONLY = {
+    "minhash_lsh": entrymod.q_minhash_lsh,
+    "simhash_neardup": entrymod.q_simhash_neardup,
+}
 
 
 N_TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
@@ -67,7 +79,7 @@ def run_suite(sf_dir: str, cores: int) -> dict:
     persist across trials (the IVF codebook keyed by input fingerprint)
     are the serving pattern and intentionally benefit trials 2+."""
     spark = get_spark("bench", cores=cores, shuffle_partitions=max(2 * cores, 16))
-    qs = entrymod.queries()
+    qs = {**entrymod.queries(), **BENCH_ONLY}
     trials: dict[str, list[float]] = {n: [] for n in HEADLINE + EXTENDED}
     rows: dict[str, int] = {}
     # warm the JVM + parquet footers once (excluded from timings)

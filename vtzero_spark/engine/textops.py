@@ -826,3 +826,168 @@ SELECT d.doc_id AS doc_id, COALESCE(h.n_hits, 0) AS n_hits,
 FROM (SELECT doc_id FROM documents WHERE doc_id % {bench_mod} <> 0) d
 LEFT JOIN h USING (doc_id)
 """
+
+
+# ------------------------------------ cross-engine (md5) sketch tier
+#
+# The production MinHash tier above hashes with xxhash64 (the right
+# 100 TB basis: 8-byte lanes, JVM codegen, no string materialization)
+# but xxhash64 exists in no ANSI engine, so the driver can only check
+# those queries rows-only.  This tier re-expresses the SAME sketch
+# semantics on a basis every engine shares: md5() emits identical
+# lowercase hex in Spark and DuckDB, and lexicographic MIN over
+# fixed-width hex strings IS numeric MIN — so the full
+# shingle -> minhash -> band-join -> lane-count pipeline becomes
+# hash-checked oracle evidence, not just pytest evidence.  Use the
+# xxhash tier in production; use this tier to VERIFY the semantics
+# against an independent engine (SURVEY.md §5 discipline).
+
+_MD5_LANES = 8
+
+
+def minhash_md5_signatures(docs: DataFrame, prefix: int = 64,
+                           n: int = 3, lanes: int = _MD5_LANES) -> DataFrame:
+    """Long-form MinHash signatures (doc_id, lane, mh) on the md5
+    basis: lane ``l``'s value is min over the doc's distinct char
+    ``n``-shingles of ``md5('<l>|' || shingle)``.
+
+    Plan shape: ONE pass — shingles explode, the 8 lane minima are 8
+    aggregate expressions over the same grams (map-side combined), and
+    the long form is a zero-shuffle ``stack`` of the aggregate row.
+    No per-lane row blowup before the shuffle."""
+    g = docs.select(
+        "doc_id", F.explode(_shingles("text", prefix, n)).alias("g"))
+    aggs = [
+        F.min(F.md5(F.concat_ws("|", F.lit(str(l)), F.col("g"))))
+        .alias(f"mh{l}")
+        for l in range(lanes)
+    ]
+    wide = g.groupBy("doc_id").agg(*aggs)
+    stack = ", ".join(f"{l}, mh{l}" for l in range(lanes))
+    return wide.select(
+        "doc_id", F.expr(f"stack({lanes}, {stack}) AS (lane, mh)"))
+
+
+def neardup_md5_pairs(docs: DataFrame, min_lanes: int = 4,
+                      prefix: int = 64, n: int = 3) -> DataFrame:
+    """Near-duplicate candidate pairs on the md5 MinHash basis:
+    (id_a, id_b, n_match_lanes) for every doc pair agreeing on >=
+    ``min_lanes`` of 8 lanes (>= min_lanes/8 estimated Jaccard).
+
+    This is LSH with 1-row bands followed by the lane-count refine,
+    fused into one equi-join on (lane, mh) + one aggregate — the
+    band join IS the refine count here because a 1-row band matches
+    exactly when the lane matches.  Scale notes: run AFTER the exact
+    dedup tier (c identical texts agree on all lanes and contribute
+    c^2/2 pairs — the same rule the xxhash tier documents), and the
+    join is a plain shuffle join on (lane, mh) buckets, nothing
+    all-pairs; hot buckets are md5 collisions of real near-dups, the
+    thing being sought."""
+    sig = minhash_md5_signatures(docs, prefix, n)
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.lane") == F.col("b.lane"))
+        & (F.col("a.mh") == F.col("b.mh"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    return (
+        cand.groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("n_match_lanes"))
+        .where(F.col("n_match_lanes") >= min_lanes)
+    )
+
+
+def decontaminate_fuzzy_md5(docs: DataFrame, bench_mod: int = 50,
+                            min_lanes: int = 4, prefix: int = 64,
+                            n: int = 3) -> DataFrame:
+    """Fuzzy benchmark decontamination on the md5 basis — the
+    oracle-verifiable twin of ``decontaminate_fuzzy`` (which keeps the
+    xxhash64/16-band production shape).  A training doc is flagged if
+    its signature agrees with ANY benchmark doc's on >= ``min_lanes``
+    of 8 lanes.  Returns (doc_id, n_bench_matches, max_match_lanes,
+    fuzzy_contaminated) for every training doc.
+
+    Plan shape mirrors ``decontaminate``: the benchmark signature
+    table is small by definition and BROADCAST; the training side
+    probes it map-side and never shuffles for the match — only the
+    (candidate-sized) per-(doc, bench) lane counts shuffle."""
+    sig = minhash_md5_signatures(docs, prefix, n)
+    bs = sig.where(F.col("doc_id") % bench_mod == 0).select(
+        F.col("doc_id").alias("bench_id"), "lane", "mh")
+    ts = sig.where(F.col("doc_id") % bench_mod != 0)
+    lanes_per_pair = (
+        ts.join(F.broadcast(bs), ["lane", "mh"])
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_lanes"))
+    )
+    flagged = (
+        lanes_per_pair.where(F.col("n_lanes") >= min_lanes)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bench_matches"),
+             F.max("n_lanes").alias("max_match_lanes"))
+    )
+    spine = docs.where(F.col("doc_id") % bench_mod != 0).select("doc_id")
+    return spine.join(flagged, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bench_matches", F.lit(0)).alias("n_bench_matches"),
+        F.coalesce("max_match_lanes", F.lit(0)).alias("max_match_lanes"),
+        (F.coalesce("n_bench_matches", F.lit(0)) > 0)
+        .alias("fuzzy_contaminated"))
+
+
+def _md5_sig_sql(prefix: int = 64, n: int = 3,
+                 lanes: int = _MD5_LANES) -> str:
+    """Shared DuckDB CTE text for the md5 signature table.  The
+    shingle comprehension is byte-identical to ``decontaminate_sql``'s
+    with n=3; lane hashing matches the Spark side exactly:
+    md5('<lane>|' || shingle) over lowercase-hex md5."""
+    p = f"substr(text, 1, {prefix})"
+    sh = (f"list_distinct([substr({p}, CAST(i AS INT), {n}) FOR i IN "
+          f"range(1, greatest(1, length({p}) - {n - 1}) + 1)])")
+    return f"""
+sh AS (SELECT doc_id, unnest({sh}) AS g FROM documents),
+sig AS (
+  SELECT doc_id, l.lane AS lane,
+         min(md5(CAST(l.lane AS VARCHAR) || '|' || g)) AS mh
+  FROM sh, (SELECT unnest(range(0, {lanes})) AS lane) l
+  GROUP BY doc_id, l.lane
+)"""
+
+
+def neardup_md5_pairs_sql(min_lanes: int = 4, prefix: int = 64,
+                          n: int = 3) -> str:
+    return f"""
+WITH {_md5_sig_sql(prefix, n)},
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_match_lanes
+  FROM sig a JOIN sig b
+    ON a.lane = b.lane AND a.mh = b.mh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, n_match_lanes FROM p WHERE n_match_lanes >= {min_lanes}
+"""
+
+
+def decontaminate_fuzzy_md5_sql(bench_mod: int = 50, min_lanes: int = 4,
+                                prefix: int = 64, n: int = 3) -> str:
+    return f"""
+WITH {_md5_sig_sql(prefix, n)},
+lp AS (
+  SELECT t.doc_id AS doc_id, b.doc_id AS bench_id, count(*) AS n_lanes
+  FROM (SELECT * FROM sig WHERE doc_id % {bench_mod} <> 0) t
+  JOIN (SELECT * FROM sig WHERE doc_id % {bench_mod} = 0) b
+    ON t.lane = b.lane AND t.mh = b.mh
+  GROUP BY 1, 2),
+f AS (
+  SELECT doc_id, count(*) AS n_bench_matches,
+         max(n_lanes) AS max_match_lanes
+  FROM lp WHERE n_lanes >= {min_lanes} GROUP BY doc_id)
+SELECT d.doc_id AS doc_id,
+       COALESCE(f.n_bench_matches, 0) AS n_bench_matches,
+       COALESCE(f.max_match_lanes, 0) AS max_match_lanes,
+       COALESCE(f.n_bench_matches, 0) > 0 AS fuzzy_contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % {bench_mod} <> 0) d
+LEFT JOIN f USING (doc_id)
+"""
