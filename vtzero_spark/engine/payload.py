@@ -32,6 +32,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 
+from . import png as pngcodec
+
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
@@ -43,44 +45,19 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
 
 
 def encode_png(arr: np.ndarray) -> bytes:
-    """Minimal 8-bit RGB truecolor PNG (filter 0, one IDAT)."""
+    """8-bit RGB truecolor PNG via the full adaptive-filter codec
+    (engine/png.py; round 5 — was filter-0-only).  Same signature and
+    sig bytes; old filter-0 payloads remain decodable (subset)."""
     h, w, c = arr.shape
     assert c == 3 and arr.dtype == np.uint8
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    raw = np.concatenate(
-        [np.zeros((h, 1), dtype=np.uint8), arr.reshape(h, w * 3)], axis=1
-    ).tobytes()
-    return (
-        _PNG_SIG
-        + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(raw, 6))
-        + _chunk(b"IEND", b"")
-    )
+    return pngcodec.encode(arr)
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    if data[:8] != _PNG_SIG:
-        raise ValueError("not a PNG")
-    pos = 8
-    w = h = None
-    idat = b""
-    while pos < len(data):
-        (ln,) = struct.unpack(">I", data[pos:pos + 4])
-        tag = data[pos + 4:pos + 8]
-        payload = data[pos + 8:pos + 8 + ln]
-        pos += 12 + ln
-        if tag == b"IHDR":
-            w, h, bit, ctype = struct.unpack(">IIBB", payload[:10])
-            if bit != 8 or ctype != 2:
-                raise ValueError("unsupported PNG variant")
-        elif tag == b"IDAT":
-            idat += payload
-        elif tag == b"IEND":
-            break
-    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(h, w * 3 + 1)
-    if np.any(raw[:, 0] != 0):
-        raise ValueError("unsupported PNG filter")
-    return raw[:, 1:].reshape(h, w, 3)
+    """Decode any supported PNG to (h, w, 3) uint8 RGB — all five
+    filters, gray/palette/alpha/16-bit normalized by
+    engine/png.decode_rgb8; ValueError on malformed streams."""
+    return pngcodec.decode_rgb8(data)
 
 
 _JPEG_STUB_MAGIC = b"JPGSTUB1"
