@@ -34,15 +34,6 @@ from pyspark.sql import DataFrame
 
 from . import png as pngcodec
 
-_PNG_SIG = b"\x89PNG\r\n\x1a\n"
-
-
-def _chunk(tag: bytes, payload: bytes) -> bytes:
-    return (
-        struct.pack(">I", len(payload)) + tag + payload
-        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
-    )
-
 
 def encode_png(arr: np.ndarray) -> bytes:
     """8-bit RGB truecolor PNG via the full adaptive-filter codec

@@ -85,21 +85,33 @@ def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
             rec = np.add.accumulate(lanes, axis=0, dtype=np.uint8).reshape(-1)
         elif ft == 2:  # Up
             rec = row + prior
-        elif ft == 3:  # Average
-            rec = row
-            left = np.zeros(bpp, dtype=np.uint16)
-            for x in range(0, stride, bpp):
-                cur = (rec[x:x + bpp].astype(np.uint16)
-                       + ((left + prior[x:x + bpp]) >> 1)) & 0xFF
-                rec[x:x + bpp] = cur.astype(np.uint8)
-                left = cur
-        elif ft == 4:  # Paeth
-            rec = row
+        elif ft == 3:  # Average (sequential in x: plain-int loop — an
+            # order of magnitude faster than per-pixel numpy slicing)
+            cur = row.tolist()
+            pri = prior.tolist()
             for x in range(stride):
-                a = int(rec[x - bpp]) if x >= bpp else 0
-                b = int(prior[x])
-                c = int(prior[x - bpp]) if x >= bpp else 0
-                rec[x] = (int(rec[x]) + _paeth(a, b, c)) & 0xFF
+                a = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((a + pri[x]) >> 1)) & 0xFF
+            rec = np.frombuffer(bytes(cur), dtype=np.uint8)
+        elif ft == 4:  # Paeth (sequential in x, same int-loop shape)
+            cur = row.tolist()
+            pri = prior.tolist()
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = pri[x]
+                c = pri[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa = p - a if p >= a else a - p
+                pb = p - b if p >= b else b - p
+                pc = p - c if p >= c else c - p
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                cur[x] = (cur[x] + pred) & 0xFF
+            rec = np.frombuffer(bytes(cur), dtype=np.uint8)
         else:
             raise ValueError(f"corrupt PNG stream: filter type {ft}")
         out[y] = rec
@@ -285,10 +297,23 @@ def _filter_candidates(img: np.ndarray, bpp: int) -> np.ndarray:
     return cand
 
 
-def encode(arr: np.ndarray, level: int = 6) -> bytes:
+def encode(arr: np.ndarray, level: int = 6,
+           filters: tuple = (0, 1, 2)) -> bytes:
     """Encode (h, w) gray, (h, w, 1|3|4) uint8, or uint16 arrays with
     per-row adaptive filtering (min sum of |residual| as signed bytes,
-    the libpng heuristic)."""
+    the libpng heuristic) over the given candidate ``filters``.
+
+    The DEFAULT candidate set is None/Sub/Up only — deliberately not
+    Average/Paeth: those two unfilter sequentially per byte (a
+    nonlinear recurrence no numpy expression removes), which measured
+    ~100x slower to decode than the vectorized Sub/Up paths.  This
+    engine controls its own write path, and at 10^12-image scale the
+    decode side of every operator (verify/phash/curation) dwarfs the
+    ~10-15% extra compression Paeth buys — so the hot pipeline writes
+    only vectorized-decodable rows.  Pass ``filters=(0, 1, 2, 3, 4)``
+    for maximum compression when decode speed does not matter; the
+    DECODER always supports all five (spec-complete for foreign
+    files)."""
     if arr.ndim == 2:
         arr = arr[..., None]
     if arr.ndim != 3 or arr.shape[2] not in (1, 3, 4):
@@ -307,11 +332,14 @@ def encode(arr: np.ndarray, level: int = 6) -> bytes:
     else:
         raise ValueError(f"unsupported dtype {arr.dtype}")
     bpp = c * (depth // 8)
-    cand = _filter_candidates(flat, bpp)
+    fset = sorted(set(filters))
+    if not fset or any(f not in (0, 1, 2, 3, 4) for f in fset):
+        raise ValueError(f"bad filter set {filters}")
+    cand = _filter_candidates(flat, bpp)[fset]
     cost = np.abs(cand.astype(np.int8).astype(np.int16)).sum(axis=2)
     pick = cost.argmin(axis=0)
     lines = np.concatenate(
-        [pick[:, None].astype(np.uint8),
+        [np.asarray(fset, dtype=np.uint8)[pick][:, None],
          cand[pick, np.arange(h)]], axis=1)
     ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
     return (SIGNATURE + _chunk(b"IHDR", ihdr)
