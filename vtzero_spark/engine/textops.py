@@ -869,7 +869,7 @@ def minhash_md5_signatures(docs: DataFrame, prefix: int = 64,
 
 
 def neardup_md5_pairs(docs: DataFrame, min_lanes: int = 4,
-                      prefix: int = 64, n: int = 3) -> DataFrame:
+                      prefix: int = 64, n: int = 7) -> DataFrame:
     """Near-duplicate candidate pairs on the md5 MinHash basis:
     (id_a, id_b, n_match_lanes) for every doc pair agreeing on >=
     ``min_lanes`` of 8 lanes (>= min_lanes/8 estimated Jaccard).
@@ -882,7 +882,17 @@ def neardup_md5_pairs(docs: DataFrame, min_lanes: int = 4,
     c^2/2 pairs — the same rule the xxhash tier documents), and the
     join is a plain shuffle join on (lane, mh) buckets, nothing
     all-pairs; hot buckets are md5 collisions of real near-dups, the
-    thing being sought."""
+    thing being sought.
+
+    Shingle size n=7 (the 5-9-char range the dedup literature uses,
+    vs the fuzzy-decontamination tier's deliberately forgiving n=3):
+    3-char shingles barely discriminate English-ish text — measured
+    on the sf0.1 corpus they put 17.3M rows through the candidate
+    join and call 635k of 12.5M possible pairs near-dups (5%!),
+    where n=7 yields 3.6M candidates and 6,657 pairs. The remaining
+    candidate heat is identical-prefix template families agreeing on
+    all 8 lanes — real near-dups, the quadratic the representative
+    dedup tier (dedup_neardup) exists to collapse."""
     sig = minhash_md5_signatures(docs, prefix, n)
     a, b = sig.alias("a"), sig.alias("b")
     cand = a.join(
@@ -941,9 +951,11 @@ def decontaminate_fuzzy_md5(docs: DataFrame, bench_mod: int = 50,
 def _md5_sig_sql(prefix: int = 64, n: int = 3,
                  lanes: int = _MD5_LANES) -> str:
     """Shared DuckDB CTE text for the md5 signature table.  The
-    shingle comprehension is byte-identical to ``decontaminate_sql``'s
-    with n=3; lane hashing matches the Spark side exactly:
-    md5('<lane>|' || shingle) over lowercase-hex md5."""
+    shingle comprehension matches ``_shingles`` exactly (same prefix,
+    same short-text floor, same ``n`` — n=7 for the near-dup pair
+    tier, n=3 for the deliberately forgiving fuzzy-decon tier); lane
+    hashing matches the Spark side exactly: md5('<lane>|' || shingle)
+    over lowercase-hex md5."""
     p = f"substr(text, 1, {prefix})"
     sh = (f"list_distinct([substr({p}, CAST(i AS INT), {n}) FOR i IN "
           f"range(1, greatest(1, length({p}) - {n - 1}) + 1)])")
@@ -958,7 +970,7 @@ sig AS (
 
 
 def neardup_md5_pairs_sql(min_lanes: int = 4, prefix: int = 64,
-                          n: int = 3) -> str:
+                          n: int = 7) -> str:
     return f"""
 WITH {_md5_sig_sql(prefix, n)},
 p AS (
