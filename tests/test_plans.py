@@ -93,7 +93,10 @@ def test_headline_queries_have_no_cartesian_product(spark, sf_dir):
 
     qs = entry.queries()
     for name in bench.HEADLINE + bench.EXTENDED:
-        p = plan(qs[name](spark, sf_dir))
+        # minhash_lsh/simhash_neardup left the 50-entry queries()
+        # window in round 5 but stay benched via bench.BENCH_ONLY
+        q = qs.get(name) or bench.BENCH_ONLY[name]
+        p = plan(q(spark, sf_dir))
         assert "CartesianProduct" not in p, name
         if name not in ("ann_topk", "ivf_topk"):
             assert "BroadcastNestedLoopJoin" not in p, name
