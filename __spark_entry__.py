@@ -797,9 +797,11 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal video path: deterministic stub container -> uniform
-    frame sampling -> per-frame thumbnail + color features (binary in,
-    frame-exploded typed rows out; numpy-oracle tested)."""
+    """Multimodal video path: mixed REAL Motion-JPEG AVI (our own
+    T.81 JPEG frames, idx1 random access; engine/avi.py) + stub
+    containers -> uniform frame sampling -> per-frame thumbnail +
+    color features (binary in, frame-exploded typed rows out;
+    numpy-oracle tested)."""
     from vtzero_spark.engine import media
 
     vids = media.synth_videos(spark, sf_dir, n_videos=64)
@@ -811,7 +813,8 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal audio path: stub PCM container -> vectorized
+    """Multimodal audio path: mixed REAL RIFF/WAVE PCM (engine/
+    wav.py) + stub containers, same waveform either way -> vectorized
     per-window RMS / zero-crossing features."""
     from vtzero_spark.engine import media
 

@@ -1,13 +1,17 @@
 """Video / audio payload operators — the remaining multimodal columns
 of the training-data pipeline (images live in engine/payload.py).
 
-Payloads are opaque BINARY columns with typed metadata; the container
-has no media libraries, so the codecs are clearly-marked deterministic
-stand-ins (zlib frame blocks / synthesized PCM) behind the same
-signatures a real decoder would use — an unknown codec tag raises
+Payloads are opaque BINARY columns with typed metadata.  Round 5 made
+both container paths REAL: video dispatches RIFF/AVI bytes to the
+Motion-JPEG demuxer (engine/avi.py, frames decoded by our own ITU-T
+T.81 codec) and audio dispatches RIFF/WAVE bytes to the PCM WAV codec
+(engine/wav.py).  The original deterministic stand-ins (VIDSTUB zlib
+frame blocks / AUDSTUB synthesized PCM) remain as a second container
+per modality, so every operator is exercised against BOTH a real and
+a foreign container — an unknown codec tag still raises
 NotImplementedError, which the operators surface as a status row.
 The Spark-side plumbing — binary in, frame-exploded rows out, Arrow
-batch shapes, vectorized per-window math — is the 100 TB-real part.
+batch shapes, vectorized per-window math — is identical either way.
 """
 
 from __future__ import annotations
@@ -22,7 +26,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import avi as avimod
 from . import synth
+from . import wav as wavmod
 from .payload import synth_pixels, thumbnail, color_features
 
 _VID_MAGIC = b"VIDSTUB1"
@@ -46,7 +52,11 @@ def encode_video_stub(seed: int, w: int, h: int, n_frames: int,
 
 
 def video_meta(data: bytes) -> tuple[int, int, int, int]:
-    """(w, h, n_frames, fps) from the header without decoding frames."""
+    """(w, h, n_frames, fps) from the header without decoding frames.
+    Dispatch: RIFF/AVI -> the real MJPEG demuxer; VIDSTUB -> stub;
+    anything else -> NotImplementedError (status row upstream)."""
+    if avimod.is_avi(data):
+        return avimod.avi_meta(data)
     if bytes(data[:8]) != _VID_MAGIC:
         raise NotImplementedError(
             "video demuxer for this container not available here")
@@ -65,9 +75,12 @@ def _video_frame_offsets(data: bytes) -> list[tuple[int, int]]:
 
 
 def decode_video_frame(data: bytes, idx: int) -> np.ndarray:
-    """Random-access single-frame decode (the real-codec analog of
-    seeking to a keyframe): only the requested frame's block is
-    decompressed."""
+    """Random-access single-frame decode (seek-to-keyframe shape):
+    only the requested frame's block leaves the container.  RIFF/AVI
+    payloads seek via idx1 and decode ONE real JPEG; the stub seeks
+    its offset table and inflates one zlib block."""
+    if avimod.is_avi(data):
+        return avimod.decode_avi_frame(data, idx)
     w, h, n, _ = video_meta(data)
     if not 0 <= idx < n:
         raise ValueError(f"frame {idx} out of range 0..{n - 1}")
@@ -79,7 +92,11 @@ def decode_video_frame(data: bytes, idx: int) -> np.ndarray:
 def synth_videos(spark: SparkSession, sf_dir: str,
                  n_videos: int = 64) -> DataFrame:
     """Deterministic video table derived from the images table (seed =
-    phash; no external data): video_id, n_frames, w, h, fps, bytes."""
+    phash; no external data): video_id, n_frames, w, h, fps, fmt,
+    bytes.  Even phashes are REAL Motion-JPEG AVIs (frames encoded by
+    engine/jpeg.py, muxed by engine/avi.py); odd phashes keep the stub
+    container — phash parity because the synth iids are sparse, so a
+    uniform per-row key is what guarantees a container mix."""
     img = synth.images(spark, sf_dir).where(F.col("iid") < n_videos) \
         .select("iid", "phash")
 
@@ -89,17 +106,25 @@ def synth_videos(spark: SparkSession, sf_dir: str,
             for r in pdf.itertuples():
                 seed = int(r.phash)
                 nf = 8 + (seed % 9)  # 8..16 frames
+                if seed % 2 == 0:
+                    fmt = "mjpeg-avi"
+                    buf = avimod.encode_frames(
+                        [synth_pixels(seed + f, 48, 32)
+                         for f in range(nf)], fps=24)
+                else:
+                    fmt = "vidstub"
+                    buf = encode_video_stub(seed, 48, 32, nf)
                 rows.append({
                     "video_id": f"vid{int(r.iid):08d}",
                     "n_frames": nf, "w": 48, "h": 32, "fps": 24,
-                    "bytes": encode_video_stub(seed, 48, 32, nf),
+                    "fmt": fmt, "bytes": buf,
                 })
             yield pd.DataFrame(rows, columns=[
-                "video_id", "n_frames", "w", "h", "fps", "bytes"])
+                "video_id", "n_frames", "w", "h", "fps", "fmt", "bytes"])
 
     return img.mapInPandas(gen, schema=(
         "video_id string, n_frames int, w int, h int, fps int, "
-        "bytes binary"))
+        "fmt string, bytes binary"))
 
 
 def frame_sample(videos: DataFrame, n_samples: int = 4,
@@ -148,9 +173,10 @@ def frame_sample(videos: DataFrame, n_samples: int = 4,
 
 # ------------------------------------------------------------- audio stub
 
-def encode_audio_stub(seed: int, n_samples: int, rate: int = 16_000) -> bytes:
-    """STUB audio payload: header + zlib'd int16 PCM of a deterministic
-    two-tone + noise waveform. NOT a real codec."""
+def synth_pcm(seed: int, n_samples: int, rate: int = 16_000) -> np.ndarray:
+    """Deterministic two-tone + noise int16 waveform — the shared
+    signal both audio containers (real WAV / stub) carry, so decoded
+    samples are container-independent."""
     t = np.arange(n_samples, dtype=np.float64)
     f1 = 110.0 + (seed % 700)
     f2 = 220.0 + ((seed >> 8) % 1400)
@@ -158,13 +184,26 @@ def encode_audio_stub(seed: int, n_samples: int, rate: int = 16_000) -> bytes:
     wave = (0.5 * np.sin(2 * np.pi * f1 * t / rate + rng_phase)
             + 0.3 * np.sin(2 * np.pi * f2 * t / rate))
     noise = (((seed + 1) * (t + 7.0)) % 1.0 - 0.5) * 0.05
-    pcm = np.clip((wave + noise) * 32767.0, -32768, 32767).astype("<i2")
+    return np.clip((wave + noise) * 32767.0, -32768, 32767).astype("<i2")
+
+
+def encode_audio_stub(seed: int, n_samples: int, rate: int = 16_000) -> bytes:
+    """STUB audio payload: header + zlib'd int16 PCM of the shared
+    deterministic waveform. NOT a real codec (the real path is
+    engine/wav.py)."""
+    pcm = synth_pcm(seed, n_samples, rate)
     return (_AUD_MAGIC + struct.pack(">IQ", rate, n_samples)
             + zlib.compress(pcm.tobytes(), 1))
 
 
 def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
-    """(int16 samples, rate); unknown container -> NotImplementedError."""
+    """(int16 samples 1-D, rate).  Dispatch: RIFF/WAVE -> the real PCM
+    codec (multi-channel returns channel 0 — the window features are
+    single-channel by contract); AUDSTUB -> stub; anything else ->
+    NotImplementedError (status row upstream)."""
+    if wavmod.is_wav(data):
+        pcm, rate = wavmod.decode_wav(data)
+        return (pcm[:, 0] if pcm.ndim == 2 else pcm), rate
     if bytes(data[:8]) != _AUD_MAGIC:
         raise NotImplementedError(
             "audio decoder for this container not available here")
@@ -175,7 +214,11 @@ def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
 
 def synth_audio(spark: SparkSession, sf_dir: str,
                 n_clips: int = 64) -> DataFrame:
-    """Deterministic audio table derived from the images table."""
+    """Deterministic audio table derived from the images table.  Even
+    phashes are REAL 16-bit PCM WAVs (engine/wav.py); odd phashes
+    keep the stub container (uniform per-row key — synth iids are
+    sparse).  Both carry the SAME waveform (synth_pcm), so the
+    container split changes bytes, never decoded samples."""
     img = synth.images(spark, sf_dir).where(F.col("iid") < n_clips) \
         .select("iid", "phash")
 
@@ -185,16 +228,23 @@ def synth_audio(spark: SparkSession, sf_dir: str,
             for r in pdf.itertuples():
                 seed = int(r.phash)
                 n = 8000 + (seed % 8000)
+                if seed % 2 == 0:
+                    fmt = "wav"
+                    buf = wavmod.encode_wav(synth_pcm(seed, n), 16_000)
+                else:
+                    fmt = "audstub"
+                    buf = encode_audio_stub(seed, n)
                 rows.append({
                     "clip_id": f"aud{int(r.iid):08d}",
                     "rate": 16_000, "n_samples": n,
-                    "bytes": encode_audio_stub(seed, n),
+                    "fmt": fmt, "bytes": buf,
                 })
             yield pd.DataFrame(rows, columns=[
-                "clip_id", "rate", "n_samples", "bytes"])
+                "clip_id", "rate", "n_samples", "fmt", "bytes"])
 
     return img.mapInPandas(gen, schema=(
-        "clip_id string, rate int, n_samples long, bytes binary"))
+        "clip_id string, rate int, n_samples long, fmt string, "
+        "bytes binary"))
 
 
 def audio_features(clips: DataFrame, window: int = 1024) -> DataFrame:
