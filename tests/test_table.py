@@ -1,0 +1,131 @@
+"""Versioned snapshot tables (engine/table.py): atomic commits,
+snapshot isolation, time travel, incremental reads, maintenance —
+the storage layer under the image+caption pipeline."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from vtzero_spark.engine import synth
+from vtzero_spark.engine.table import SnapshotTable, _version_file
+
+
+def _mk(spark, tmp_path, name="t"):
+    return SnapshotTable.create(str(tmp_path / name))
+
+
+def test_append_read_and_history(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    v1 = t.append(spark.range(0, 10).select(F.col("id")))
+    v2 = t.append(spark.range(10, 25).select(F.col("id")))
+    assert (v1, v2) == (1, 2)
+    assert t.read(spark).count() == 25
+    assert t.read(spark, version=1).count() == 10  # time travel
+    hist = t.history()
+    assert [h["version"] for h in hist] == [0, 1, 2]
+    assert [h["n_rows"] for h in hist] == [0, 10, 25]
+    assert hist[-1]["operation"] == "append"
+
+
+def test_snapshot_isolation_under_concurrent_append(spark, tmp_path):
+    """A reader resolved before a commit must keep seeing its file
+    list — counts may be re-run at any time and never tear."""
+    t = _mk(spark, tmp_path)
+    t.append(spark.range(0, 100))
+    old = t.read(spark)
+    assert old.count() == 100
+    t.append(spark.range(100, 160))
+    assert old.count() == 100          # pinned to the resolved snapshot
+    assert t.read(spark).count() == 160
+
+
+def test_commit_retry_after_losing_version_race(spark, tmp_path):
+    """Optimistic concurrency: if another writer takes head+1 between
+    our head read and our O_EXCL create, the loop must re-merge on the
+    NEW head (keeping the other writer's files), not clobber or fail."""
+    t = _mk(spark, tmp_path)
+    t.append(spark.range(0, 5))
+    # a "concurrent writer" wins version 2 with its own file list
+    steal = t.snapshot(1)
+    steal.update({"version": 2, "parent": 1, "operation": "append"})
+    with open(_version_file(t.path, 2), "x") as f:
+        json.dump(steal, f)
+    v = t.append(spark.range(5, 12))
+    assert v == 3
+    assert t.snapshot(3)["parent"] == 2
+    assert t.read(spark).count() == 12  # both writers' rows survive
+
+
+def test_overwrite_time_travel_and_incremental_guard(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.append(spark.range(0, 10))
+    t.overwrite(spark.range(100, 104))
+    assert t.read(spark).count() == 4
+    assert t.read(spark, version=1).count() == 10   # pre-overwrite
+    with pytest.raises(ValueError, match="overwrite"):
+        t.read_incremental(spark, 1)
+
+
+def test_incremental_read_is_the_append_delta(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.append(spark.range(0, 10))
+    t.append(spark.range(10, 30))
+    t.append(spark.range(30, 35))
+    inc = t.read_incremental(spark, 1)          # after v1, to head
+    got = sorted(r["id"] for r in inc.collect())
+    assert got == list(range(10, 35))
+    mid = t.read_incremental(spark, 1, to_version=2)
+    assert sorted(r["id"] for r in mid.collect()) == list(range(10, 30))
+    assert t.read_incremental(spark, 3) is None  # empty delta
+
+
+def test_expire_and_remove_orphans(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.append(spark.range(0, 10))
+    t.overwrite(spark.range(50, 55))
+    dropped = t.expire_snapshots(keep_last=1)
+    assert dropped == [0, 1]
+    removed = t.remove_orphans(grace_seconds=0.0)
+    assert removed, "v1's data files should be orphaned"
+    assert t.read(spark).count() == 5            # head intact
+    with pytest.raises(ValueError):
+        t.read(spark, version=1)                 # expired
+    # grace window: freshly staged files survive a zero-reference sweep
+    t2 = _mk(spark, tmp_path, "t2")
+    t2.append(spark.range(0, 3))
+    assert t2.remove_orphans(grace_seconds=3600.0) == []
+
+
+def test_compact_files_bounds_metadata(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    for k in range(4):
+        t.append(spark.range(k * 10, k * 10 + 10).repartition(4))
+    assert len(t.snapshot()["files"]) >= 16
+    t.compact_files(spark, target_files=2)
+    assert len(t.snapshot()["files"]) <= 2
+    assert sorted(r["id"] for r in t.read(spark).collect()) \
+        == list(range(40))
+
+
+def test_image_caption_table_end_to_end(spark, sf_dir, tmp_path):
+    """The north-rule shape: an image+caption table ingested in
+    batches; a consumer processes only each commit's delta and the
+    running union equals a full scan."""
+    t = _mk(spark, tmp_path, "imgs")
+    img = synth.images(spark, sf_dir).select(
+        "image_id", "w", "h", "caption", "phash")
+    a = img.where("iid % 2 = 0")
+    b = img.where("iid % 2 = 1")
+    v1 = t.append(a)
+    processed = t.read_incremental(spark, 0, to_version=v1).count()
+    v2 = t.append(b)
+    processed += t.read_incremental(spark, v1, to_version=v2).count()
+    assert processed == t.read(spark).count() == img.count()
+    # schema survives the round trip
+    assert set(t.read(spark).columns) == {
+        "image_id", "w", "h", "caption", "phash"}

@@ -1,0 +1,290 @@
+"""Versioned snapshot tables — the storage layer the north rule's
+"Iceberg tables of image + caption pairs" sit on.
+
+The container has no Iceberg runtime, so this implements the PUBLIC
+Apache Iceberg table-spec ideas from scratch over plain parquet +
+JSON metadata (no binary-format compatibility claimed):
+
+- **Snapshot isolation**: every commit writes an immutable version
+  file ``metadata/v%08d.json`` listing the table's data files; a
+  reader resolves ONE version and sees that file list forever —
+  concurrent appends never tear a scan.
+- **Atomic commits with optimistic concurrency**: data files land
+  first (parquet, executor-parallel), then the version file is
+  created with O_EXCL — exactly one writer wins a version number;
+  the loser re-reads the new head, re-merges its file list and
+  retries, exactly the Iceberg commit loop.
+- **Time travel**: ``read(spark, version=K)`` scans any retained
+  snapshot.
+- **Incremental reads**: ``read_incremental(A, B)`` returns only the
+  files appended in (A, B] — the changelog scan a streaming backfill
+  or a resumable pipeline consumes instead of re-reading the table.
+- **Maintenance**: ``expire_snapshots`` retains the last N version
+  files; ``remove_orphans`` deletes data files no retained snapshot
+  references (with a grace window against in-flight commits, same
+  discipline as engine/checkpoint.py's vacuum).
+
+Relation to engine/checkpoint.py: that module is per-JOB resume (a
+manifest of completed work buckets); this is the table abstraction
+multiple jobs share. The pipeline shape is checkpoint-managed jobs
+writing snapshot-table commits.
+
+Scale note (honest bound): a version file holds the FULL data-file
+list, so metadata is O(files) per snapshot — the reason real Iceberg
+splits manifests. At 100 TB with ~256 MB files that is ~400k entries
+(~40 MB JSON): driver-sized but not free; compact with
+``compact_files`` (rewrite small files, one commit) before the list
+grows pathological. Data-file paths are relative, so a table
+directory is relocatable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflict(RuntimeError):
+    """Another writer won the version number (retried internally; this
+    surfaces only when retries are exhausted)."""
+
+
+def _meta_dir(path: str) -> str:
+    return os.path.join(path, "metadata")
+
+
+def _version_file(path: str, v: int) -> str:
+    return os.path.join(_meta_dir(path), f"v{v:08d}.json")
+
+
+def _data_dir(path: str) -> str:
+    return os.path.join(path, "data")
+
+
+class SnapshotTable:
+    """Handle to a snapshot table directory. Cheap to construct; all
+    state lives on disk so any number of processes can hold handles."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    # ------------------------------------------------------- lifecycle
+
+    @classmethod
+    def create(cls, path: str) -> "SnapshotTable":
+        """Initialize an empty table (version 0, no files). Fails if a
+        table already exists at ``path``."""
+        os.makedirs(_meta_dir(path), exist_ok=True)
+        os.makedirs(_data_dir(path), exist_ok=True)
+        t = cls(path)
+        snap = {"version": 0, "parent": None, "operation": "create",
+                "ts": time.time(), "files": []}
+        try:
+            with open(_version_file(path, 0), "x") as f:
+                json.dump(snap, f)
+        except FileExistsError:
+            raise ValueError(f"table already exists at {path}")
+        return t
+
+    def exists(self) -> bool:
+        return os.path.exists(_version_file(self.path, 0))
+
+    # ------------------------------------------------------- snapshots
+
+    def current_version(self) -> int:
+        """Head version by listing metadata/ — the directory listing is
+        the source of truth (a version-hint file would just be a stale
+        cache; Iceberg's catalogs exist to avoid this listing, a
+        single-directory table doesn't need one)."""
+        best = -1
+        for name in os.listdir(_meta_dir(self.path)):
+            if name.startswith("v") and name.endswith(".json"):
+                try:
+                    best = max(best, int(name[1:-5]))
+                except ValueError:
+                    continue
+        if best < 0:
+            raise ValueError(f"no table at {self.path}")
+        return best
+
+    def snapshot(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        p = _version_file(self.path, v)
+        if not os.path.exists(p):
+            raise ValueError(
+                f"version {v} not found (expired or never committed)")
+        with open(p) as f:
+            return json.load(f)
+
+    def history(self) -> list[dict]:
+        """Retained snapshots, oldest first (version/operation/ts/
+        n_files) — the lineage record per table."""
+        out = []
+        for name in sorted(os.listdir(_meta_dir(self.path))):
+            if name.startswith("v") and name.endswith(".json"):
+                with open(os.path.join(_meta_dir(self.path), name)) as f:
+                    s = json.load(f)
+                out.append({"version": s["version"],
+                            "operation": s["operation"], "ts": s["ts"],
+                            "n_files": len(s["files"]),
+                            "n_rows": sum(fe["rows"] for fe in s["files"])})
+        return out
+
+    # --------------------------------------------------------- commits
+
+    def _stage(self, df: DataFrame) -> list[dict]:
+        """Write df's partitions as parquet under data/<token>/ and
+        return the file entries. Executor-parallel; nothing is visible
+        to readers until the version file commits."""
+        token = uuid.uuid4().hex[:12]
+        stage_dir = os.path.join(_data_dir(self.path), token)
+        df.write.mode("errorifexists").parquet(stage_dir)
+        entries = []
+        for name in sorted(os.listdir(stage_dir)):
+            if not name.endswith(".parquet"):
+                continue
+            full = os.path.join(stage_dir, name)
+            entries.append({
+                "path": os.path.join("data", token, name),
+                "bytes": os.path.getsize(full),
+                "rows": -1,  # filled below
+            })
+        # exact per-file row counts, read back from parquet footers on
+        # the cluster (metadata-only scan), keyed by file name
+        spark = df.sparkSession
+        import pyspark.sql.functions as F
+        counts = (spark.read.parquet(stage_dir)
+                  .groupBy(F.input_file_name().alias("f"))
+                  .count().collect())
+        by_name = {os.path.basename(r["f"].split("?")[0]): r["count"]
+                   for r in counts}
+        for e in entries:
+            e["rows"] = int(by_name.get(os.path.basename(e["path"]), 0))
+        return entries
+
+    def _commit(self, new_files: list[dict], operation: str,
+                replace: bool, max_retries: int = 20) -> int:
+        """The optimistic-concurrency loop: merge against the current
+        head, try to create head+1 with O_EXCL, re-merge on loss."""
+        for _ in range(max_retries):
+            head = self.current_version()
+            parent = self.snapshot(head)
+            files = (list(new_files) if replace
+                     else parent["files"] + list(new_files))
+            snap = {"version": head + 1, "parent": head,
+                    "operation": operation, "ts": time.time(),
+                    "files": files}
+            try:
+                with open(_version_file(self.path, head + 1), "x") as f:
+                    json.dump(snap, f)
+                return head + 1
+            except FileExistsError:
+                continue  # lost the race; re-read head and retry
+        raise CommitConflict(
+            f"lost {max_retries} commit races at {self.path}")
+
+    def append(self, df: DataFrame) -> int:
+        """Stage df as new data files and commit them on top of the
+        current head. Returns the committed version."""
+        return self._commit(self._stage(df), "append", replace=False)
+
+    def overwrite(self, df: DataFrame) -> int:
+        """Replace the table's contents with df in one atomic commit
+        (previous snapshots remain readable until expired)."""
+        return self._commit(self._stage(df), "overwrite", replace=True)
+
+    # ----------------------------------------------------------- reads
+
+    def _resolve(self, files: list[dict]) -> list[str]:
+        return [os.path.join(self.path, e["path"]) for e in files]
+
+    def read(self, spark: SparkSession,
+             version: int | None = None) -> DataFrame:
+        """Scan one snapshot (head by default). The file list is fixed
+        at call time — snapshot isolation against concurrent commits."""
+        snap = self.snapshot(version)
+        paths = self._resolve(snap["files"])
+        if not paths:
+            raise ValueError(
+                f"version {snap['version']} is empty; nothing to read")
+        return spark.read.parquet(*paths)
+
+    def read_incremental(self, spark: SparkSession, from_version: int,
+                         to_version: int | None = None) -> DataFrame:
+        """Rows appended AFTER from_version up to to_version (head by
+        default) — the changelog read. Raises if any snapshot in the
+        range is an overwrite (its delta is not append-only; a consumer
+        must restart from a full scan, and silently pretending
+        otherwise would drop retractions)."""
+        to_v = self.current_version() if to_version is None else to_version
+        if to_v < from_version:
+            raise ValueError(f"to_version {to_v} < from_version "
+                             f"{from_version}")
+        base = {e["path"] for e in self.snapshot(from_version)["files"]}
+        for v in range(from_version + 1, to_v + 1):
+            if self.snapshot(v)["operation"] == "overwrite":
+                raise ValueError(
+                    f"version {v} is an overwrite; incremental read "
+                    "across it is not append-only — restart from a "
+                    "full scan")
+        new = [e for e in self.snapshot(to_v)["files"]
+               if e["path"] not in base]
+        if not new:
+            return None  # no delta; callers treat like an empty batch
+        return spark.read.parquet(*self._resolve(new))
+
+    # ----------------------------------------------------- maintenance
+
+    def compact_files(self, spark: SparkSession,
+                      target_files: int) -> int:
+        """Rewrite the head snapshot into ``target_files`` files and
+        commit as an overwrite — the small-file compaction that keeps
+        the O(files) metadata bound honest."""
+        df = self.read(spark).coalesce(target_files)
+        return self.overwrite(df)
+
+    def expire_snapshots(self, keep_last: int = 3) -> list[int]:
+        """Drop version files beyond the newest ``keep_last`` (data
+        files stay until remove_orphans). Version 0 may expire; the
+        head never does."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        versions = sorted(s["version"] for s in
+                          (self.snapshot(h["version"])
+                           for h in self.history()))
+        drop = versions[:-keep_last]
+        for v in drop:
+            os.remove(_version_file(self.path, v))
+        return drop
+
+    def remove_orphans(self, grace_seconds: float = 3600.0) -> list[str]:
+        """Delete data files no retained snapshot references and older
+        than ``grace_seconds`` — the grace window protects files staged
+        by a commit that has not yet won its version race."""
+        live: set[str] = set()
+        for h in self.history():
+            for e in self.snapshot(h["version"])["files"]:
+                live.add(e["path"])
+        cutoff = time.time() - grace_seconds
+        removed = []
+        dd = _data_dir(self.path)
+        for token in os.listdir(dd):
+            tdir = os.path.join(dd, token)
+            if not os.path.isdir(tdir):
+                continue
+            for name in os.listdir(tdir):
+                rel = os.path.join("data", token, name)
+                full = os.path.join(tdir, name)
+                if rel in live or not name.endswith(".parquet"):
+                    continue
+                if os.path.getmtime(full) > cutoff:
+                    continue
+                os.remove(full)
+                removed.append(rel)
+            if not os.listdir(tdir):
+                os.rmdir(tdir)
+        return removed
