@@ -1,0 +1,84 @@
+"""Snapshot-table-fed incremental tiling (tools/incremental_job.py):
+each process run consumes exactly the new snapshots, and the union of
+all deltas equals one batch run over the whole table."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo/tools")
+
+import incremental_job as job
+
+from pyspark.sql import functions as F
+
+from vtzero_spark.engine import assemble, synth, tiling
+from vtzero_spark.engine.synth import EXTENT, ZOOM
+
+
+def _batch_tiles(spark, sf_dir):
+    img = synth.images(spark, sf_dir)
+    prop_spec = [("phash", 5, "phash"), ("fmt", 1, "fmt"),
+                 ("caption", 1, "caption")]
+    feats = tiling.assign_tiles(img, zoom=ZOOM, extent=EXTENT, buffer=64)
+    feats = feats.select(
+        "z", "x", "y", "layer_name",
+        F.col("iid").alias("feature_ordinal"),
+        F.col("iid").alias("feature_id"),
+        "loc_x", "loc_y", "phash", "fmt", "caption")
+    return assemble.encode_point_tiles(feats, prop_spec=prop_spec)
+
+
+def test_incremental_equals_batch(spark, sf_dir, tmp_path):
+    table = str(tmp_path / "imgs")
+    out = str(tmp_path / "tiles")
+
+    # two producers, two consumer runs
+    r1 = job.ingest(spark, table, sf_dir, "0/2")
+    p1 = job.process(spark, table, out)
+    assert (r1["version"], p1["from_version"], p1["to_version"]) == (1, 0, 1)
+    assert p1["rows"] > 0 and p1["tiles"] > 0
+
+    r2 = job.ingest(spark, table, sf_dir, "1/2")
+    p2 = job.process(spark, table, out)
+    assert (p2["from_version"], p2["to_version"]) == (1, 2)
+    # run 2 processed only the second slice
+    n_slice2 = synth.images(spark, sf_dir) \
+        .where(F.col("iid") % 2 == 1).count()
+    assert p2["rows"] == n_slice2
+
+    # no new data -> no-op, cursor stays at head
+    p3 = job.process(spark, table, out)
+    assert p3["rows"] == 0 and p3.get("skipped")
+
+    # union of deltas == batch over the whole table, tile for tile.
+    # deltas shard by iid, so one (z,x,y,layer) can straddle deltas —
+    # compare at feature granularity (count per tile-layer).
+    inc = job.read_all_tiles(spark, out) \
+        .groupBy("z", "x", "y").agg(
+            F.sum("num_layers").alias("nl"),
+            F.count("*").alias("n"))
+    bat = _batch_tiles(spark, sf_dir) \
+        .groupBy("z", "x", "y").agg(
+            F.sum("num_layers").alias("nl"),
+            F.count("*").alias("n"))
+    j = inc.alias("a").join(bat.alias("b"), ["z", "x", "y"], "full")
+    mism = j.where(
+        F.col("a.n").isNull() | F.col("b.n").isNull()).count()
+    assert mism == 0, "incremental covers different tiles than batch"
+
+
+def test_crash_between_output_and_cursor_is_idempotent(spark, sf_dir,
+                                                       tmp_path):
+    """If the cursor write is lost after outputs land, the re-run
+    must reprocess the SAME closed range into the SAME directory."""
+    table = str(tmp_path / "imgs")
+    out = str(tmp_path / "tiles")
+    job.ingest(spark, table, sf_dir, "0/2")
+    p1 = job.process(spark, table, out)
+    # simulate the crash: roll the cursor back
+    job._commit_cursor(out, 0, {})
+    p1b = job.process(spark, table, out)
+    assert p1b["output"] == p1["output"]
+    assert p1b["tiles"] == p1["tiles"]
+    assert job.load_cursor(out) == 1

@@ -1,0 +1,157 @@
+"""spark-submit entry point for snapshot-table-fed INCREMENTAL tiling.
+
+The batch job (tools/pipeline_job.py) re-reads its whole input every
+run; this job is the production shape for a continuously-ingested
+image+caption table (engine/table.py): each `process` run consumes
+only the snapshots committed since the consumer's last run, tiles
+them, and advances its cursor — so steady-state cost tracks the
+ingest rate, not the table size.
+
+    # producer: commit one batch (slice k of m) into the table
+    spark-submit --py-files vtzero_spark.zip tools/incremental_job.py \
+        ingest --table /tmp/imgs --sf-dir /root/testdata/sf0.01 --slice 0/2
+
+    # consumer: tile everything committed since the last run
+    spark-submit --py-files vtzero_spark.zip tools/incremental_job.py \
+        process --table /tmp/imgs --out /tmp/tiles_inc
+
+Exactly-once discipline: outputs land under out/delta_vA_vB/ (one
+directory per consumed version range, overwritten if re-run), and the
+consumer cursor (out/consumer_state.json) is committed only AFTER the
+delta's outputs are fully written — a crash between the two re-runs
+the same closed range into the same directory, which is idempotent.
+Per-delta metrics (row count, tile count, version range, wall) are
+persisted next to the outputs as lineage.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+from pyspark.sql import SparkSession, functions as F
+
+
+def _state_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "consumer_state.json")
+
+
+def load_cursor(out_dir: str) -> int:
+    try:
+        with open(_state_path(out_dir)) as f:
+            return int(json.load(f)["processed_version"])
+    except (OSError, ValueError, KeyError):
+        return 0
+
+
+def _commit_cursor(out_dir: str, version: int, meta: dict) -> None:
+    tmp = _state_path(out_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"processed_version": version, **meta}, f)
+    os.replace(tmp, _state_path(out_dir))  # atomic on POSIX
+
+
+def ingest(spark: SparkSession, table_path: str, sf_dir: str,
+           slice_spec: str = "0/1", repeat: int = 1) -> dict:
+    """Producer: append one deterministic slice of the synth
+    image+caption table as a snapshot commit."""
+    from vtzero_spark.engine import synth
+    from vtzero_spark.engine.table import SnapshotTable
+
+    k, m = (int(s) for s in slice_spec.split("/"))
+    t = (SnapshotTable(table_path) if SnapshotTable(table_path).exists()
+         else SnapshotTable.create(table_path))
+    img = synth.images(spark, sf_dir, repeat=repeat)
+    if m > 1:
+        img = img.where(F.col("iid") % m == k)
+    version = t.append(img)
+    return {"op": "ingest", "table": table_path, "version": version,
+            "slice": slice_spec}
+
+
+def process(spark: SparkSession, table_path: str, out_dir: str) -> dict:
+    """Consumer: tile the delta since the last processed version and
+    advance the cursor.  No new snapshots -> no work, cursor moves to
+    head (an empty range is a valid, cheap run)."""
+    from vtzero_spark.engine import assemble, tiling
+    from vtzero_spark.engine.synth import EXTENT, ZOOM
+    from vtzero_spark.engine.table import SnapshotTable
+
+    os.makedirs(out_dir, exist_ok=True)
+    t = SnapshotTable(table_path)
+    from_v = load_cursor(out_dir)
+    head = t.current_version()
+    t0 = time.time()
+    if head <= from_v:
+        return {"op": "process", "from_version": from_v,
+                "to_version": head, "rows": 0, "tiles": 0,
+                "skipped": "no new snapshots"}
+    delta = t.read_incremental(spark, from_v, to_version=head)
+    if delta is None:
+        _commit_cursor(out_dir, head, {"empty_range": True})
+        return {"op": "process", "from_version": from_v,
+                "to_version": head, "rows": 0, "tiles": 0}
+
+    prop_spec = [("phash", 5, "phash"), ("fmt", 1, "fmt"),
+                 ("caption", 1, "caption")]
+    feats = tiling.assign_tiles(delta, zoom=ZOOM, extent=EXTENT,
+                                buffer=64)
+    feats = feats.select(
+        "z", "x", "y", "layer_name",
+        F.col("iid").alias("feature_ordinal"),
+        F.col("iid").alias("feature_id"),
+        "loc_x", "loc_y", "phash", "fmt", "caption")
+    tiles = assemble.encode_point_tiles(feats, prop_spec=prop_spec)
+    dest = os.path.join(out_dir, f"delta_v{from_v}_v{head}")
+    tiles.write.mode("overwrite").parquet(dest)
+
+    done = spark.read.parquet(dest)
+    n_tiles = done.count()
+    n_rows = delta.count()
+    meta = {
+        "op": "process", "from_version": from_v, "to_version": head,
+        "rows": n_rows, "tiles": n_tiles, "output": dest,
+        "wall_sec": round(time.time() - t0, 3),
+    }
+    with open(os.path.join(dest, "_lineage.json"), "w") as f:
+        json.dump(meta, f)
+    _commit_cursor(out_dir, head, {"last_delta": dest})
+    return meta
+
+
+def read_all_tiles(spark: SparkSession, out_dir: str):
+    """Union of every processed delta — what a consumer of the tiled
+    output reads.  Tile keys never straddle deltas only if producers
+    shard by iid; otherwise downstream re-aggregates by (z,x,y)."""
+    dirs = [os.path.join(out_dir, d) for d in sorted(os.listdir(out_dir))
+            if d.startswith("delta_v")]
+    if not dirs:
+        raise ValueError(f"no processed deltas under {out_dir}")
+    return spark.read.parquet(*dirs)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("cmd", choices=["ingest", "process"])
+    ap.add_argument("--table", required=True)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--out", default="/tmp/vtzero_incremental_out")
+    ap.add_argument("--slice", default="0/1")
+    ap.add_argument("--repeat", type=int, default=1)
+    args = ap.parse_args()
+
+    spark = SparkSession.builder.appName("vtzero-incremental").getOrCreate()
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    if args.cmd == "ingest":
+        out = ingest(spark, args.table, args.sf_dir, args.slice,
+                     args.repeat)
+    else:
+        out = process(spark, args.table, args.out)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
