@@ -68,6 +68,58 @@ def test_incremental_equals_batch(spark, sf_dir, tmp_path):
     assert mism == 0, "incremental covers different tiles than batch"
 
 
+def test_zorder_clustered_serve_prunes_files(spark, sf_dir, tmp_path):
+    """Z-order-clustered ingest + stats => serving one tile reads a
+    strict subset of the table's files, and the rows equal the plain
+    tile-membership filter over a full scan."""
+    from vtzero_spark.engine import cells
+    from vtzero_spark.engine.synth import WORLD, ZOOM
+
+    table = str(tmp_path / "imgs")
+    L = ZOOM  # cluster at the tiling zoom
+    job.ingest(spark, table, sf_dir, "0/2", cluster_level=L,
+               cluster_files=8)
+    job.ingest(spark, table, sf_dir, "1/2", cluster_level=L,
+               cluster_files=8)
+
+    full = cells.point_cells(synth.images(spark, sf_dir), L, WORLD)
+    size = WORLD >> ZOOM
+    for (z, x, y) in [(ZOOM, 0, 0), (ZOOM, 7, 11), (ZOOM - 2, 3, 2)]:
+        df, stats = job.serve_tile(spark, table, z, x, y, L)
+        assert 0 < stats["files_scanned"] < stats["files_total"], \
+            (z, x, y, stats)
+        # oracle: unbuffered tile membership from world coords
+        k = ZOOM - z
+        exp = full.where(
+            (F.expr(f"(wx div {size}) div {1 << k}") == x)
+            & (F.expr(f"(wy div {size}) div {1 << k}") == y))
+        got = sorted(r["iid"] for r in df.collect())
+        want = sorted(r["iid"] for r in exp.collect())
+        assert got == want and len(got) > 0, (z, x, y, len(got), len(want))
+
+
+def test_subtree_range_matches_column_cells(spark):
+    """Driver-side subtree_range agrees with the column-math cell ids:
+    a cell is in [lo, hi) iff its point is in the tile."""
+    from vtzero_spark.engine import cells
+
+    L, W = 6, 1 << 12
+    pts = spark.range(0, 400).select(
+        ((F.col("id") * 2654435761) % W).alias("wx"),
+        ((F.col("id") * 40503 + 7) % W).alias("wy"))
+    df = cells.point_cells(pts, L, W)
+    size = W >> L
+    for (z, x, y) in [(3, 5, 2), (6, 11, 40), (0, 0, 0)]:
+        lo, hi = cells.subtree_range(z, x, y, L)
+        k = L - z
+        in_tile = (F.expr(f"(wx div {size}) div {1 << k}") == x) & \
+                  (F.expr(f"(wy div {size}) div {1 << k}") == y)
+        bad = df.where(
+            ((F.col("cell") >= lo) & (F.col("cell") < hi)) != in_tile
+        ).count()
+        assert bad == 0, (z, x, y)
+
+
 def test_crash_between_output_and_cursor_is_idempotent(spark, sf_dir,
                                                        tmp_path):
     """If the cursor write is lost after outputs land, the re-run

@@ -112,6 +112,59 @@ def test_compact_files_bounds_metadata(spark, tmp_path):
         == list(range(40))
 
 
+def test_stats_cols_recorded_per_file(spark, tmp_path):
+    """append(stats_cols=...) lands per-FILE min/max in the snapshot
+    metadata — the manifest column stats read(where=...) prunes on."""
+    t = _mk(spark, tmp_path)
+    t.append(spark.range(0, 100).repartitionByRange(4, "id"),
+             stats_cols=["id"])
+    files = t.snapshot()["files"]
+    assert len(files) == 4
+    spans = sorted(tuple(e["stats"]["id"]) for e in files)
+    # range partitioning => disjoint, covering [0, 99]
+    assert spans[0][0] == 0 and spans[-1][1] == 99
+    for (a, b), (c, d) in zip(spans, spans[1:]):
+        assert b < c
+    assert all(e["rows"] > 0 for e in files)
+
+
+def test_read_where_prunes_files_and_stays_exact(spark, tmp_path):
+    """Metadata pruning must shrink the planned scan (inputFiles) while
+    returning exactly the rows a full-scan filter would."""
+    t = _mk(spark, tmp_path)
+    t.append(spark.range(0, 50).repartitionByRange(2, "id"),
+             stats_cols=["id"])
+    t.append(spark.range(50, 100).repartitionByRange(2, "id"),
+             stats_cols=["id"])
+    all_files = {e["path"] for e in t.snapshot()["files"]}
+    assert len(all_files) == 4
+
+    pruned = t.read(spark, where=[("id", ">=", 80)])
+    assert len(pruned.inputFiles()) < len(all_files)
+    assert sorted(r["id"] for r in pruned.collect()) == list(range(80, 100))
+
+    # point lookup touches exactly the one file whose span holds it
+    point = t.read(spark, where=[("id", "==", 10)])
+    assert len(point.inputFiles()) == 1
+    assert [r["id"] for r in point.collect()] == [10]
+
+    # conjunction composes; residual filter keeps it exact inside a file
+    band = t.read(spark, where=[("id", ">", 20), ("id", "<=", 30)])
+    assert sorted(r["id"] for r in band.collect()) == list(range(21, 31))
+
+    # predicate no file can satisfy: zero rows, schema intact
+    none = t.read(spark, where=[("id", ">", 1000)])
+    assert none.count() == 0 and none.columns == ["id"]
+
+    # files committed WITHOUT stats always survive pruning (conservative)
+    t.append(spark.range(100, 110))            # no stats_cols
+    got = t.read(spark, where=[("id", ">=", 105)])
+    assert sorted(r["id"] for r in got.collect()) == list(range(105, 110))
+
+    with pytest.raises(ValueError, match="unsupported"):
+        t.read(spark, where=[("id", "!=", 3)]).count()
+
+
 def test_image_caption_table_end_to_end(spark, sf_dir, tmp_path):
     """The north-rule shape: an image+caption table ingested in
     batches; a consumer processes only each commit's delta and the

@@ -54,10 +54,23 @@ def _commit_cursor(out_dir: str, version: int, meta: dict) -> None:
 
 
 def ingest(spark: SparkSession, table_path: str, sf_dir: str,
-           slice_spec: str = "0/1", repeat: int = 1) -> dict:
+           slice_spec: str = "0/1", repeat: int = 1,
+           cluster_level: int | None = None,
+           cluster_files: int = 8) -> dict:
     """Producer: append one deterministic slice of the synth
-    image+caption table as a snapshot commit."""
-    from vtzero_spark.engine import synth
+    image+caption table as a snapshot commit.
+
+    ``cluster_level`` turns on Z-ORDER CLUSTERING: each commit's rows
+    are range-partitioned by their level-``cluster_level`` quadkey
+    cell id before writing, and the per-file cell min/max lands in
+    the snapshot metadata (``stats_cols``). Because a Z-order sort
+    makes spatially-near rows file-near, any tile/viewport query
+    becomes one contiguous cell range that skips every non-overlapping
+    file at the METADATA level (see serve_tile). This is the Iceberg
+    `ALTER TABLE ... WRITE ORDERED BY zorder(...)` discipline, load
+    side of the 100 TB read path."""
+    from vtzero_spark.engine import cells, synth
+    from vtzero_spark.engine.synth import WORLD
     from vtzero_spark.engine.table import SnapshotTable
 
     k, m = (int(s) for s in slice_spec.split("/"))
@@ -66,9 +79,33 @@ def ingest(spark: SparkSession, table_path: str, sf_dir: str,
     img = synth.images(spark, sf_dir, repeat=repeat)
     if m > 1:
         img = img.where(F.col("iid") % m == k)
-    version = t.append(img)
+    if cluster_level is None:
+        version = t.append(img)
+    else:
+        clustered = (cells.point_cells(img, cluster_level, WORLD)
+                     .repartitionByRange(cluster_files, "cell"))
+        version = t.append(clustered, stats_cols=["cell"])
     return {"op": "ingest", "table": table_path, "version": version,
-            "slice": slice_spec}
+            "slice": slice_spec, "cluster_level": cluster_level}
+
+
+def serve_tile(spark: SparkSession, table_path: str, z: int, x: int,
+               y: int, cluster_level: int):
+    """Read ONE tile's features from a cell-clustered table without
+    scanning it: tile (z, x, y)'s subtree at the clustering level is a
+    single contiguous cell range (cells.subtree_range), so the
+    snapshot's per-file min/max stats drop every file whose span
+    misses the range before Spark plans the scan. Returns
+    (DataFrame, {files_scanned, files_total}) — the serving path a
+    tile server or viewport query takes against the 100 TB table."""
+    from vtzero_spark.engine import cells
+    from vtzero_spark.engine.table import SnapshotTable
+
+    t = SnapshotTable(table_path)
+    lo, hi = cells.subtree_range(z, x, y, cluster_level)
+    df = t.read(spark, where=[("cell", ">=", lo), ("cell", "<", hi)])
+    return df, {"files_scanned": len(df.inputFiles()),
+                "files_total": len(t.snapshot()["files"])}
 
 
 def process(spark: SparkSession, table_path: str, out_dir: str) -> dict:
@@ -134,19 +171,35 @@ def read_all_tiles(spark: SparkSession, out_dir: str):
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("cmd", choices=["ingest", "process"])
+    ap.add_argument("cmd", choices=["ingest", "process", "serve"])
     ap.add_argument("--table", required=True)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--out", default="/tmp/vtzero_incremental_out")
     ap.add_argument("--slice", default="0/1")
     ap.add_argument("--repeat", type=int, default=1)
+    ap.add_argument("--cluster-level", type=int, default=None,
+                    help="Z-order-cluster commits by this cell level "
+                         "and record per-file cell stats")
+    ap.add_argument("--cluster-files", type=int, default=8)
+    ap.add_argument("--tile", default="4/0/0",
+                    help="serve: z/x/y tile to read via file skipping")
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("vtzero-incremental").getOrCreate()
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     if args.cmd == "ingest":
         out = ingest(spark, args.table, args.sf_dir, args.slice,
-                     args.repeat)
+                     args.repeat, cluster_level=args.cluster_level,
+                     cluster_files=args.cluster_files)
+    elif args.cmd == "serve":
+        if args.cluster_level is None:
+            ap.error("serve requires --cluster-level (the level the "
+                     "table was ingested with)")
+        z, x, y = (int(s) for s in args.tile.split("/"))
+        df, stats = serve_tile(spark, args.table, z, x, y,
+                               args.cluster_level)
+        out = {"op": "serve", "tile": args.tile, "rows": df.count(),
+               **stats}
     else:
         out = process(spark, args.table, args.out)
     print(json.dumps(out))

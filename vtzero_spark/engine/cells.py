@@ -114,6 +114,27 @@ def pip_join_cells(points: DataFrame, polys: DataFrame, level: int,
     )
 
 
+def subtree_range(z: int, x: int, y: int, level: int) -> tuple[int, int]:
+    """Driver-side: the half-open ``[lo, hi)`` range of level-``level``
+    cell ids whose cells lie under tile ``(z, x, y)``.
+
+    Because ids interleave bits most-significant-first under the level
+    marker, a tile's whole subtree at any deeper level is ONE
+    contiguous id range — the property that turns a spatial viewport
+    query into a min/max-prunable range predicate over a table
+    Z-order-clustered on ``cell`` (see SnapshotTable.read(where=...)).
+    Same trick as S2 cell ranges / Iceberg z-order file skipping."""
+    if level < z:
+        raise ValueError(f"level {level} above tile zoom {z}")
+    m = 0
+    for i in range(z):
+        m |= ((x >> i) & 1) << (2 * i)
+        m |= ((y >> i) & 1) << (2 * i + 1)
+    c = (1 << (2 * z)) | m
+    shift = 2 * (level - z)
+    return c << shift, (c + 1) << shift
+
+
 # ----------------------------------------------------------- SQL mirror
 
 def morton_sql(x: str, y: str, level: int) -> str:

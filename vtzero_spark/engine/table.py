@@ -19,6 +19,13 @@ JSON metadata (no binary-format compatibility claimed):
 - **Incremental reads**: ``read_incremental(A, B)`` returns only the
   files appended in (A, B] — the changelog scan a streaming backfill
   or a resumable pipeline consumes instead of re-reading the table.
+- **File-skipping column stats**: ``append(stats_cols=[...])`` records
+  per-file min/max in the snapshot (Iceberg's manifest column stats);
+  ``read(where=[(col, op, val), ...])`` drops files the stats prove
+  empty before Spark plans the scan — metadata pruning one tier above
+  parquet footer/row-group pruning. At 100 TB this is the difference
+  between listing 400k files and scanning the ~dozens a tile-range or
+  time-range predicate actually touches.
 - **Maintenance**: ``expire_snapshots`` retains the last N version
   files; ``remove_orphans`` deletes data files no retained snapshot
   references (with a grace window against in-flight commits, same
@@ -136,10 +143,16 @@ class SnapshotTable:
 
     # --------------------------------------------------------- commits
 
-    def _stage(self, df: DataFrame) -> list[dict]:
+    def _stage(self, df: DataFrame,
+               stats_cols: list[str] | None = None) -> list[dict]:
         """Write df's partitions as parquet under data/<token>/ and
         return the file entries. Executor-parallel; nothing is visible
-        to readers until the version file commits."""
+        to readers until the version file commits.
+
+        ``stats_cols`` names numeric/string columns whose per-FILE
+        min/max land in the metadata (Iceberg's manifest column stats)
+        — the hook ``read(where=...)`` uses to skip whole files
+        without opening a footer."""
         token = uuid.uuid4().hex[:12]
         stage_dir = os.path.join(_data_dir(self.path), token)
         df.write.mode("errorifexists").parquet(stage_dir)
@@ -153,17 +166,25 @@ class SnapshotTable:
                 "bytes": os.path.getsize(full),
                 "rows": -1,  # filled below
             })
-        # exact per-file row counts, read back from parquet footers on
-        # the cluster (metadata-only scan), keyed by file name
+        # per-file row counts + column min/max in ONE distributed
+        # aggregate over the staged files, keyed by file name
         spark = df.sparkSession
         import pyspark.sql.functions as F
-        counts = (spark.read.parquet(stage_dir)
-                  .groupBy(F.input_file_name().alias("f"))
-                  .count().collect())
-        by_name = {os.path.basename(r["f"].split("?")[0]): r["count"]
-                   for r in counts}
+        aggs = [F.count(F.lit(1)).alias("count")]
+        for c in stats_cols or []:
+            aggs += [F.min(c).alias(f"min__{c}"),
+                     F.max(c).alias(f"max__{c}")]
+        stats = (spark.read.parquet(stage_dir)
+                 .groupBy(F.input_file_name().alias("f"))
+                 .agg(*aggs).collect())
+        by_name = {os.path.basename(r["f"].split("?")[0]): r
+                   for r in stats}
         for e in entries:
-            e["rows"] = int(by_name.get(os.path.basename(e["path"]), 0))
+            r = by_name.get(os.path.basename(e["path"]))
+            e["rows"] = int(r["count"]) if r is not None else 0
+            if r is not None and stats_cols:
+                e["stats"] = {c: [r[f"min__{c}"], r[f"max__{c}"]]
+                              for c in stats_cols}
         return entries
 
     def _commit(self, new_files: list[dict], operation: str,
@@ -187,31 +208,89 @@ class SnapshotTable:
         raise CommitConflict(
             f"lost {max_retries} commit races at {self.path}")
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame,
+               stats_cols: list[str] | None = None) -> int:
         """Stage df as new data files and commit them on top of the
-        current head. Returns the committed version."""
-        return self._commit(self._stage(df), "append", replace=False)
+        current head. Returns the committed version. ``stats_cols``
+        records per-file min/max for those columns in the snapshot
+        metadata (see ``_stage``), enabling ``read(where=...)`` to
+        prune files without opening them."""
+        return self._commit(self._stage(df, stats_cols), "append",
+                            replace=False)
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(self, df: DataFrame,
+                  stats_cols: list[str] | None = None) -> int:
         """Replace the table's contents with df in one atomic commit
         (previous snapshots remain readable until expired)."""
-        return self._commit(self._stage(df), "overwrite", replace=True)
+        return self._commit(self._stage(df, stats_cols), "overwrite",
+                            replace=True)
 
     # ----------------------------------------------------------- reads
 
     def _resolve(self, files: list[dict]) -> list[str]:
         return [os.path.join(self.path, e["path"]) for e in files]
 
+    @staticmethod
+    def _file_may_match(entry: dict, col: str, op: str, value) -> bool:
+        """Conservative metadata prune: True unless the file's recorded
+        [min, max] for ``col`` PROVES no row can satisfy the predicate.
+        Files without stats for the column always survive."""
+        stats = entry.get("stats") or {}
+        if col not in stats:
+            return True
+        mn, mx = stats[col]
+        if mn is None or mx is None:  # all-null file: keep; the
+            return True               # residual row filter handles it
+        if op == "==":
+            return mn <= value <= mx
+        if op == ">=":
+            return mx >= value
+        if op == ">":
+            return mx > value
+        if op == "<=":
+            return mn <= value
+        if op == "<":
+            return mn < value
+        raise ValueError(f"unsupported where op {op!r} "
+                         "(use ==, <, <=, >, >=)")
+
     def read(self, spark: SparkSession,
-             version: int | None = None) -> DataFrame:
+             version: int | None = None,
+             where: list[tuple] | None = None) -> DataFrame:
         """Scan one snapshot (head by default). The file list is fixed
-        at call time — snapshot isolation against concurrent commits."""
+        at call time — snapshot isolation against concurrent commits.
+
+        ``where`` is a conjunction of ``(col, op, value)`` predicates
+        (ops ``== < <= > >=``). Files whose committed min/max stats
+        (written by ``append(stats_cols=...)``) prove zero matching
+        rows are dropped from the scan BEFORE Spark sees them —
+        Iceberg's manifest-stats pruning, one tier above parquet
+        footer/row-group pruning (which still applies to the files
+        that survive). The same predicates are re-applied row-level,
+        so the result is exact regardless of which files had stats."""
         snap = self.snapshot(version)
-        paths = self._resolve(snap["files"])
-        if not paths:
+        files = snap["files"]
+        if not files:
             raise ValueError(
                 f"version {snap['version']} is empty; nothing to read")
-        return spark.read.parquet(*paths)
+        if where:
+            kept = [e for e in files
+                    if all(self._file_may_match(e, c, op, v)
+                           for (c, op, v) in where)]
+        else:
+            kept = files
+        if not kept:
+            # every file proved empty for the predicate: zero-row frame
+            # with the table schema (one footer read, no data pages)
+            df = spark.read.parquet(*self._resolve(files[:1])).limit(0)
+        else:
+            df = spark.read.parquet(*self._resolve(kept))
+        import pyspark.sql.functions as F
+        _OPS = {"==": "__eq__", ">=": "__ge__", ">": "__gt__",
+                "<=": "__le__", "<": "__lt__"}
+        for (c, op, v) in where or []:
+            df = df.where(getattr(F.col(c), _OPS[op])(F.lit(v)))
+        return df
 
     def read_incremental(self, spark: SparkSession, from_version: int,
                          to_version: int | None = None) -> DataFrame:
@@ -239,13 +318,15 @@ class SnapshotTable:
 
     # ----------------------------------------------------- maintenance
 
-    def compact_files(self, spark: SparkSession,
-                      target_files: int) -> int:
+    def compact_files(self, spark: SparkSession, target_files: int,
+                      stats_cols: list[str] | None = None) -> int:
         """Rewrite the head snapshot into ``target_files`` files and
         commit as an overwrite — the small-file compaction that keeps
-        the O(files) metadata bound honest."""
+        the O(files) metadata bound honest. Pass ``stats_cols`` to
+        re-derive file-skipping stats on the compacted files (stats do
+        not carry over: the rewrite changes file boundaries)."""
         df = self.read(spark).coalesce(target_files)
-        return self.overwrite(df)
+        return self.overwrite(df, stats_cols=stats_cols)
 
     def expire_snapshots(self, keep_last: int = 3) -> list[int]:
         """Drop version files beyond the newest ``keep_last`` (data
