@@ -165,6 +165,94 @@ def test_read_where_prunes_files_and_stays_exact(spark, tmp_path):
         t.read(spark, where=[("id", "!=", 3)]).count()
 
 
+def test_delete_where_rewrites_only_hit_files(spark, tmp_path):
+    """Copy-on-write DELETE: rows gone, untouched files ride into the
+    new snapshot by the SAME path (no rewrite), and only files that
+    truly contain matches are replaced."""
+    t = _mk(spark, tmp_path)
+    t.append(spark.range(0, 100).repartitionByRange(4, "id"),
+             stats_cols=["id"])
+    before = {e["path"] for e in t.snapshot()["files"]}
+    v = t.delete_where(spark, [("id", ">=", 90)])
+    assert v == 2
+    assert sorted(r["id"] for r in t.read(spark).collect()) \
+        == list(range(90))
+    after = t.snapshot()["files"]
+    # only the top-range file was rewritten: 3 of 4 originals survive
+    assert len(before & {e["path"] for e in after}) == 3
+    assert t.snapshot()["operation"] == "delete"
+    # rewritten files re-derive their stats (file skipping stays alive)
+    assert all("stats" in e for e in after)
+    # old snapshot still reads the full table (time travel)
+    assert t.read(spark, version=1).count() == 100
+
+    # no-match delete is a no-op: no new version
+    assert t.delete_where(spark, [("id", ">", 5000)]) == 2
+    assert t.current_version() == 2
+
+    # delete everything in a file: file disappears, no empty rewrite
+    t.delete_where(spark, [("id", "<", 25)])
+    assert t.read(spark).count() == 65  # 25..89
+
+
+def test_delete_where_null_predicate_keeps_row(spark, tmp_path):
+    """Three-valued logic: a NULL predicate must KEEP the row (DELETE
+    removes only rows where the predicate is TRUE)."""
+    t = _mk(spark, tmp_path)
+    df = spark.range(0, 10).select(
+        F.col("id"),
+        F.when(F.col("id") < 5, F.col("id")).alias("v"))
+    t.append(df)
+    t.delete_where(spark, [("v", ">=", 2)])
+    got = sorted(r["id"] for r in t.read(spark).collect())
+    assert got == [0, 1, 5, 6, 7, 8, 9]  # NULL-v rows survive
+
+
+def test_merge_upserts_by_key(spark, tmp_path):
+    """MERGE: matched keys are replaced with the source rows, new keys
+    append, non-matching files are untouched, one atomic commit."""
+    t = _mk(spark, tmp_path)
+    base = spark.range(0, 40).select(
+        F.col("id"), (F.col("id") * 10).alias("val"))
+    t.append(base.repartitionByRange(4, "id"), stats_cols=["id"])
+    before = {e["path"] for e in t.snapshot()["files"]}
+
+    src = spark.createDataFrame(
+        [(3, -1), (7, -2), (100, -3)], ["id", "val"])
+    v = t.merge(spark, src, "id", stats_cols=["id"])
+    assert v == 2 and t.snapshot()["operation"] == "merge"
+    rows = {r["id"]: r["val"] for r in t.read(spark).collect()}
+    assert len(rows) == 41
+    assert (rows[3], rows[7], rows[100]) == (-1, -2, -3)
+    assert rows[5] == 50  # unmatched rows intact
+    # keys 3 and 7 live in the same range file: 3 of 4 originals survive
+    assert len(before & {e["path"] for e in t.snapshot()["files"]}) == 3
+    # insert-only merge (no matched keys) rewrites nothing
+    before2 = {e["path"] for e in t.snapshot()["files"]}
+    t.merge(spark, spark.createDataFrame([(200, -4)], ["id", "val"]),
+            "id")
+    assert before2 <= {e["path"] for e in t.snapshot()["files"]}
+    assert t.read(spark).count() == 42
+
+
+def test_rewrite_fences_incremental_and_conflicts(spark, tmp_path):
+    """A delete/merge fences incremental readers, and a concurrent
+    rewrite of the same files fails the commit instead of resurrecting
+    deleted rows."""
+    from vtzero_spark.engine.table import CommitConflict
+
+    t = _mk(spark, tmp_path)
+    t.append(spark.range(0, 20), stats_cols=["id"])
+    t.delete_where(spark, [("id", "==", 5)])
+    with pytest.raises(ValueError, match="delete"):
+        t.read_incremental(spark, 1)
+    # stale rewrite: commit referencing files v2 already replaced
+    doomed = t.snapshot(1)["files"]
+    with pytest.raises(CommitConflict, match="concurrent rewrite"):
+        t._commit([], "delete",  replace=False,
+                  removed_paths={e["path"] for e in doomed})
+
+
 def test_image_caption_table_end_to_end(spark, sf_dir, tmp_path):
     """The north-rule shape: an image+caption table ingested in
     batches; a consumer processes only each commit's delta and the

@@ -26,6 +26,12 @@ JSON metadata (no binary-format compatibility claimed):
   parquet footer/row-group pruning. At 100 TB this is the difference
   between listing 400k files and scanning the ~dozens a tile-range or
   time-range predicate actually touches.
+- **Row-level deletes and upserts (copy-on-write)**: ``delete_where``
+  and ``merge(df, key_col)`` rewrite ONLY the files that actually
+  contain affected rows (stats prune → exact per-file probe), carry
+  every other file into the new snapshot by reference, and commit
+  atomically; conflicting concurrent rewrites of the same files fail
+  with CommitConflict instead of resurrecting deleted rows.
 - **Maintenance**: ``expire_snapshots`` retains the last N version
   files; ``remove_orphans`` deletes data files no retained snapshot
   references (with a grace window against in-flight commits, same
@@ -188,17 +194,40 @@ class SnapshotTable:
         return entries
 
     def _commit(self, new_files: list[dict], operation: str,
-                replace: bool, max_retries: int = 20) -> int:
+                replace: bool, removed_paths: set[str] | None = None,
+                max_retries: int = 20) -> int:
         """The optimistic-concurrency loop: merge against the current
-        head, try to create head+1 with O_EXCL, re-merge on loss."""
+        head, try to create head+1 with O_EXCL, re-merge on loss.
+
+        ``removed_paths`` (copy-on-write rewrites: delete/merge) names
+        data files the new files REPLACE. On a lost race the re-merge
+        checks every removed path still exists in the new head — if a
+        concurrent writer rewrote or dropped one of them, our staged
+        files were derived from stale data and the commit must fail
+        (Iceberg's serializable-conflict check), not silently resurrect
+        deleted rows."""
         for _ in range(max_retries):
             head = self.current_version()
             parent = self.snapshot(head)
-            files = (list(new_files) if replace
-                     else parent["files"] + list(new_files))
+            if removed_paths:
+                have = {e["path"] for e in parent["files"]}
+                gone = removed_paths - have
+                if gone:
+                    raise CommitConflict(
+                        f"concurrent rewrite of {sorted(gone)[:3]}... "
+                        f"at {self.path}; retry the whole operation "
+                        "against the new head")
+                files = [e for e in parent["files"]
+                         if e["path"] not in removed_paths] + list(new_files)
+            elif replace:
+                files = list(new_files)
+            else:
+                files = parent["files"] + list(new_files)
             snap = {"version": head + 1, "parent": head,
                     "operation": operation, "ts": time.time(),
                     "files": files}
+            if removed_paths:
+                snap["removed"] = sorted(removed_paths)
             try:
                 with open(_version_file(self.path, head + 1), "x") as f:
                     json.dump(snap, f)
@@ -224,6 +253,120 @@ class SnapshotTable:
         (previous snapshots remain readable until expired)."""
         return self._commit(self._stage(df, stats_cols), "overwrite",
                             replace=True)
+
+    # ------------------------------------------- copy-on-write rewrites
+
+    @staticmethod
+    def _where_column(where: list[tuple]):
+        """Conjunction of (col, op, value) predicates as a Column."""
+        import pyspark.sql.functions as F
+        _OPS = {"==": "__eq__", ">=": "__ge__", ">": "__gt__",
+                "<=": "__le__", "<": "__lt__"}
+        pred = F.lit(True)
+        for (c, op, v) in where:
+            if op not in _OPS:
+                raise ValueError(f"unsupported where op {op!r} "
+                                 "(use ==, <, <=, >, >=)")
+            pred = pred & getattr(F.col(c), _OPS[op])(F.lit(v))
+        return pred
+
+    def _hit_files(self, spark: SparkSession, candidates: list[dict],
+                   match_col) -> list[dict]:
+        """Exact tier of the copy-on-write planner: of the
+        stats-surviving candidate files, which actually CONTAIN a row
+        where ``match_col`` is true? One aggregate keyed by
+        input_file_name — so a conservatively-kept file with zero
+        matches is carried over untouched instead of rewritten."""
+        import pyspark.sql.functions as F
+        rows = (spark.read.parquet(*self._resolve(candidates))
+                .where(match_col)
+                .groupBy(F.input_file_name().alias("f")).count()
+                .collect())
+        hit = {os.path.basename(r["f"].split("?")[0]) for r in rows}
+        return [e for e in candidates
+                if os.path.basename(e["path"]) in hit]
+
+    @staticmethod
+    def _carryover_stats_cols(files: list[dict]) -> list[str]:
+        """stats_cols to re-derive on rewritten files: every column any
+        affected file carried stats for (keeps file skipping alive
+        across deletes/merges without the caller restating it)."""
+        cols: set[str] = set()
+        for e in files:
+            cols |= set((e.get("stats") or {}).keys())
+        return sorted(cols)
+
+    def delete_where(self, spark: SparkSession,
+                     where: list[tuple]) -> int:
+        """Row-level DELETE as a copy-on-write rewrite (Iceberg's
+        copy-on-write `DELETE FROM ... WHERE`): metadata stats prune
+        the table to candidate files, an exact per-file probe narrows
+        those to files that truly contain matching rows, and ONLY
+        those are rewritten without the rows — every other data file
+        rides into the new snapshot by reference. Returns the
+        committed version (the current head unchanged if nothing
+        matched). Commits fail with CommitConflict if a concurrent
+        writer rewrote one of the same files."""
+        import pyspark.sql.functions as F
+        files = self.snapshot()["files"]
+        cand = [e for e in files
+                if all(self._file_may_match(e, c, op, v)
+                       for (c, op, v) in where)]
+        if not cand:
+            return self.current_version()
+        pred = self._where_column(where)
+        affected = self._hit_files(spark, cand, pred)
+        if not affected:
+            return self.current_version()
+        survivors = (spark.read.parquet(*self._resolve(affected))
+                     # keep rows where pred is not TRUE (null-safe:
+                     # a NULL predicate must not delete the row)
+                     .where(~F.coalesce(pred, F.lit(False))))
+        new = (self._stage(survivors, self._carryover_stats_cols(affected))
+               if survivors.limit(1).count() else [])
+        return self._commit(new, "delete", replace=False,
+                            removed_paths={e["path"] for e in affected})
+
+    def merge(self, spark: SparkSession, df: DataFrame, key_col: str,
+              stats_cols: list[str] | None = None) -> int:
+        """Upsert by key (copy-on-write `MERGE INTO ... WHEN MATCHED
+        UPDATE WHEN NOT MATCHED INSERT`): rows of ``df`` replace
+        same-key rows already in the table; new keys append. One
+        atomic commit: files holding matched keys are rewritten
+        without them, ``df`` lands as new files, everything else rides
+        by reference. File planning is two-tier like delete_where —
+        df's [min, max] key range prunes by stats, then an exact
+        semi-probe keeps only files that truly hold a matched key.
+        ``stats_cols`` applies to df's new files; rewritten files
+        re-derive whatever stats they already carried."""
+        import pyspark.sql.functions as F
+        files = self.snapshot()["files"]
+        lo, hi = df.agg(F.min(key_col), F.max(key_col)).first()
+        if lo is None:
+            raise ValueError("merge source has no non-null keys")
+        cand = [e for e in files
+                if self._file_may_match(e, key_col, ">=", lo)
+                and self._file_may_match(e, key_col, "<=", hi)]
+        keys = df.select(key_col).distinct()
+        affected = []
+        if cand:
+            probe = (spark.read.parquet(*self._resolve(cand))
+                     .join(F.broadcast(keys), key_col, "left_semi")
+                     .groupBy(F.input_file_name().alias("f")).count()
+                     .collect())
+            hit = {os.path.basename(r["f"].split("?")[0]) for r in probe}
+            affected = [e for e in cand
+                        if os.path.basename(e["path"]) in hit]
+        new = self._stage(df, stats_cols)
+        if affected:
+            survivors = (spark.read.parquet(*self._resolve(affected))
+                         .join(F.broadcast(keys), key_col, "left_anti"))
+            if survivors.limit(1).count():
+                new = new + self._stage(
+                    survivors, self._carryover_stats_cols(affected))
+        return self._commit(new, "merge", replace=False,
+                            removed_paths={e["path"] for e in affected}
+                            if affected else None)
 
     # ----------------------------------------------------------- reads
 
@@ -285,11 +428,8 @@ class SnapshotTable:
             df = spark.read.parquet(*self._resolve(files[:1])).limit(0)
         else:
             df = spark.read.parquet(*self._resolve(kept))
-        import pyspark.sql.functions as F
-        _OPS = {"==": "__eq__", ">=": "__ge__", ">": "__gt__",
-                "<=": "__le__", "<": "__lt__"}
-        for (c, op, v) in where or []:
-            df = df.where(getattr(F.col(c), _OPS[op])(F.lit(v)))
+        if where:
+            df = df.where(self._where_column(where))
         return df
 
     def read_incremental(self, spark: SparkSession, from_version: int,
@@ -305,11 +445,12 @@ class SnapshotTable:
                              f"{from_version}")
         base = {e["path"] for e in self.snapshot(from_version)["files"]}
         for v in range(from_version + 1, to_v + 1):
-            if self.snapshot(v)["operation"] == "overwrite":
+            op = self.snapshot(v)["operation"]
+            if op in ("overwrite", "delete", "merge"):
                 raise ValueError(
-                    f"version {v} is an overwrite; incremental read "
-                    "across it is not append-only — restart from a "
-                    "full scan")
+                    f"version {v} is a {op}; incremental read across "
+                    "it is not append-only (rewritten survivor files "
+                    "would double-count) — restart from a full scan")
         new = [e for e in self.snapshot(to_v)["files"]
                if e["path"] not in base]
         if not new:
