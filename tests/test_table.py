@@ -165,6 +165,46 @@ def test_read_where_prunes_files_and_stays_exact(spark, tmp_path):
         t.read(spark, where=[("id", "!=", 3)]).count()
 
 
+def test_clustered_compaction_restores_file_skipping(spark, tmp_path):
+    """After interleaved commits widen per-file spans, a cluster_col
+    compaction re-sorts so stats prune again; plain coalesce keeps the
+    overlapping spans."""
+    t = _mk(spark, tmp_path)
+    # two interleaved commits: every file spans ~the whole key range
+    t.append(spark.range(0, 100).where("id % 2 = 0").repartition(4),
+             stats_cols=["id"])
+    t.append(spark.range(0, 100).where("id % 2 = 1").repartition(4),
+             stats_cols=["id"])
+    wide = t.read(spark, where=[("id", ">=", 90)])
+    # overlapping spans: (almost) every file survives pruning — a
+    # round-robin partition can be missing the top few keys by chance
+    assert len(wide.inputFiles()) >= 6
+
+    t.compact_files(spark, target_files=4, cluster_col="id")
+    spans = sorted(tuple(e["stats"]["id"])
+                   for e in t.snapshot()["files"])
+    for (a, b), (c, d) in zip(spans, spans[1:]):
+        assert b < c                            # disjoint again
+    narrow = t.read(spark, where=[("id", ">=", 90)])
+    assert len(narrow.inputFiles()) == 1
+    assert sorted(r["id"] for r in narrow.collect()) == list(range(90, 100))
+
+
+def test_schema_evolution_merge_schema_read(spark, tmp_path):
+    """Additive schema evolution: a later append may carry a new
+    nullable column; merge_schema reads union the schemas and old rows
+    surface NULL."""
+    t = _mk(spark, tmp_path)
+    t.append(spark.range(0, 5).select("id"))
+    t.append(spark.range(5, 8).select(
+        "id", (F.col("id") * 2).alias("extra")))
+    df = t.read(spark, merge_schema=True)
+    assert set(df.columns) == {"id", "extra"}
+    rows = {r["id"]: r["extra"] for r in df.collect()}
+    assert rows[2] is None and rows[6] == 12
+    assert len(rows) == 8
+
+
 def test_delete_where_rewrites_only_hit_files(spark, tmp_path):
     """Copy-on-write DELETE: rows gone, untouched files ride into the
     new snapshot by the SAME path (no rewrite), and only files that

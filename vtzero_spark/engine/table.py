@@ -399,7 +399,8 @@ class SnapshotTable:
 
     def read(self, spark: SparkSession,
              version: int | None = None,
-             where: list[tuple] | None = None) -> DataFrame:
+             where: list[tuple] | None = None,
+             merge_schema: bool = False) -> DataFrame:
         """Scan one snapshot (head by default). The file list is fixed
         at call time — snapshot isolation against concurrent commits.
 
@@ -410,7 +411,12 @@ class SnapshotTable:
         Iceberg's manifest-stats pruning, one tier above parquet
         footer/row-group pruning (which still applies to the files
         that survive). The same predicates are re-applied row-level,
-        so the result is exact regardless of which files had stats."""
+        so the result is exact regardless of which files had stats.
+
+        ``merge_schema=True`` unions the schemas across data files
+        (additive schema evolution: appends may carry NEW nullable
+        columns; older files read them as NULL). Off by default —
+        schema merging reads every surviving file's footer up front."""
         snap = self.snapshot(version)
         files = snap["files"]
         if not files:
@@ -422,12 +428,17 @@ class SnapshotTable:
                            for (c, op, v) in where)]
         else:
             kept = files
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
         if not kept:
             # every file proved empty for the predicate: zero-row frame
-            # with the table schema (one footer read, no data pages)
-            df = spark.read.parquet(*self._resolve(files[:1])).limit(0)
+            # with the table schema (footer reads only, no data pages;
+            # all files under merge_schema so the union schema is right)
+            empty_src = files if merge_schema else files[:1]
+            df = reader.parquet(*self._resolve(empty_src)).limit(0)
         else:
-            df = spark.read.parquet(*self._resolve(kept))
+            df = reader.parquet(*self._resolve(kept))
         if where:
             df = df.where(self._where_column(where))
         return df
@@ -460,13 +471,28 @@ class SnapshotTable:
     # ----------------------------------------------------- maintenance
 
     def compact_files(self, spark: SparkSession, target_files: int,
-                      stats_cols: list[str] | None = None) -> int:
+                      stats_cols: list[str] | None = None,
+                      cluster_col: str | None = None) -> int:
         """Rewrite the head snapshot into ``target_files`` files and
         commit as an overwrite — the small-file compaction that keeps
         the O(files) metadata bound honest. Pass ``stats_cols`` to
         re-derive file-skipping stats on the compacted files (stats do
-        not carry over: the rewrite changes file boundaries)."""
-        df = self.read(spark).coalesce(target_files)
+        not carry over: the rewrite changes file boundaries).
+
+        ``cluster_col`` RE-SORTS during compaction (repartitionByRange)
+        instead of coalescing: plain coalesce merges whatever files sit
+        next to each other, so after many interleaved commits each
+        output file's [min, max] span widens until stats prune nothing
+        — re-clustering restores disjoint spans and keeps the
+        file-skipping path sharp. That is Iceberg's sorted
+        rewrite_data_files, the maintenance half of Z-order serving."""
+        df = self.read(spark)
+        if cluster_col is not None:
+            df = df.repartitionByRange(target_files, cluster_col)
+            if stats_cols is None:
+                stats_cols = [cluster_col]
+        else:
+            df = df.coalesce(target_files)
         return self.overwrite(df, stats_cols=stats_cols)
 
     def expire_snapshots(self, keep_last: int = 3) -> list[int]:
