@@ -357,3 +357,57 @@ def lint_stream(tile_stream: DataFrame) -> DataFrame:
     from . import lint
 
     return lint.tile_lint(tile_stream.select("z", "x", "y", "tile_bytes"))
+
+
+def table_batch_sink(table_path: str, query_name: str,
+                     stats_cols: list[str] | None = None):
+    """The foreachBatch function for streaming ingest INTO a snapshot
+    table (engine/table.py) with exactly-once commits: each
+    micro-batch appends atomically, stamped with
+    ``{stream_query, stream_batch_id}`` in the snapshot props, and a
+    REPLAYED batch (restart after a sink-side crash — foreachBatch is
+    at-least-once) is recognized by ``last_stream_batch`` and skipped
+    instead of double-appending. This is the Iceberg streaming-writer
+    discipline: the sink's idempotence marker lives in the table's own
+    commit metadata, so any number of restarts converge.
+
+    Retention caveat (honest bound): the marker rides retained
+    snapshots, so ``expire_snapshots(keep_last=N)`` must keep at least
+    one commit of this query between checkpoint and restart — expiring
+    ALL of a query's commits forgets the marker and a replay would
+    re-append. Batches that arrive empty are skipped without a commit
+    (nothing to make idempotent).
+    """
+    from .table import SnapshotTable
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        t = SnapshotTable(table_path)
+        if not t.exists():
+            t = SnapshotTable.create(table_path)
+        last = t.last_stream_batch(query_name)
+        if last is not None and batch_id <= last:
+            return  # replayed batch: already committed
+        if not batch_df.take(1):
+            return
+        t.append(batch_df, stats_cols=stats_cols,
+                 props={"stream_query": query_name,
+                        "stream_batch_id": int(batch_id)})
+
+    return _sink
+
+
+def append_table_stream(stream_df: DataFrame, table_path: str,
+                        checkpoint_dir: str, query_name: str,
+                        stats_cols: list[str] | None = None):
+    """Continuous ingest into a snapshot table: wire a streaming
+    DataFrame into ``table_batch_sink`` with a checkpoint. Returns the
+    started StreamingQuery (availableNow trigger — drain what exists,
+    then stop; re-invoke to consume new arrivals, the incremental-job
+    producer as a stream). Downstream, `SnapshotTable.read_incremental`
+    is the changelog consumer of what this sink commits."""
+    return (stream_df.writeStream
+            .foreachBatch(table_batch_sink(table_path, query_name,
+                                           stats_cols))
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

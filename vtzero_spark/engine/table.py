@@ -172,6 +172,8 @@ class SnapshotTable:
                 "bytes": os.path.getsize(full),
                 "rows": -1,  # filled below
             })
+        if not entries:
+            return []  # empty micro-batch: nothing staged, no footer
         # per-file row counts + column min/max in ONE distributed
         # aggregate over the staged files, keyed by file name
         spark = df.sparkSession
@@ -195,6 +197,7 @@ class SnapshotTable:
 
     def _commit(self, new_files: list[dict], operation: str,
                 replace: bool, removed_paths: set[str] | None = None,
+                props: dict | None = None,
                 max_retries: int = 20) -> int:
         """The optimistic-concurrency loop: merge against the current
         head, try to create head+1 with O_EXCL, re-merge on loss.
@@ -228,6 +231,8 @@ class SnapshotTable:
                     "files": files}
             if removed_paths:
                 snap["removed"] = sorted(removed_paths)
+            if props:
+                snap["props"] = props
             try:
                 with open(_version_file(self.path, head + 1), "x") as f:
                     json.dump(snap, f)
@@ -238,14 +243,31 @@ class SnapshotTable:
             f"lost {max_retries} commit races at {self.path}")
 
     def append(self, df: DataFrame,
-               stats_cols: list[str] | None = None) -> int:
+               stats_cols: list[str] | None = None,
+               props: dict | None = None) -> int:
         """Stage df as new data files and commit them on top of the
         current head. Returns the committed version. ``stats_cols``
         records per-file min/max for those columns in the snapshot
         metadata (see ``_stage``), enabling ``read(where=...)`` to
-        prune files without opening them."""
+        prune files without opening them. ``props`` lands verbatim in
+        the snapshot (e.g. a streaming sink's batch-id marker)."""
         return self._commit(self._stage(df, stats_cols), "append",
-                            replace=False)
+                            replace=False, props=props)
+
+    def last_stream_batch(self, query_name: str) -> int | None:
+        """Newest committed stream_batch_id for ``query_name`` across
+        retained snapshots — the replay-dedupe marker a foreachBatch
+        sink checks before re-committing a micro-batch (Iceberg's
+        spark.streaming query-id/batch-id snapshot properties).
+        Returns None if no retained commit carries the marker; expired
+        snapshots lose theirs, so keep_last must cover the restart
+        horizon (documented in streaming.table_batch_sink)."""
+        for h in reversed(self.history()):
+            s = self.snapshot(h["version"])
+            p = s.get("props") or {}
+            if p.get("stream_query") == query_name:
+                return int(p["stream_batch_id"])
+        return None
 
     def overwrite(self, df: DataFrame,
                   stats_cols: list[str] | None = None) -> int:
