@@ -262,9 +262,11 @@ class SnapshotTable:
         Returns None if no retained commit carries the marker; expired
         snapshots lose theirs, so keep_last must cover the restart
         horizon (documented in streaming.table_batch_sink)."""
-        for h in reversed(self.history()):
-            s = self.snapshot(h["version"])
-            p = s.get("props") or {}
+        names = sorted(n for n in os.listdir(_meta_dir(self.path))
+                       if n.startswith("v") and n.endswith(".json"))
+        for name in reversed(names):  # newest first, one read each
+            with open(os.path.join(_meta_dir(self.path), name)) as f:
+                p = json.load(f).get("props") or {}
             if p.get("stream_query") == query_name:
                 return int(p["stream_batch_id"])
         return None
