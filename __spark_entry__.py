@@ -531,6 +531,33 @@ def q_polygon_tiles_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.octet_length("tile_bytes").alias("tile_size"))
 
 
+def q_clip_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench surface for the round-5 geometry-reduction pair: buffered
+    assignment duplicates edge rects into neighbor tiles, clip.py cuts
+    each copy to its own buffered rect (Sutherland–Hodgman, Arrow
+    batch kernel), simplify.py runs the batched worklist
+    Douglas–Peucker at a 2-unit tolerance, and the result aggregates
+    per tile. Kernel-vs-scalar-oracle equivalence is pinned in
+    tests/test_clip_simplify.py; this entry times the composition.
+    """
+    from vtzero_spark.engine import clip as clipmod
+    from vtzero_spark.engine import simplify as simplifymod
+
+    img = synth.images(spark, sf_dir)
+    assigned = tiling.assign_tiles(
+        img, zoom=ZOOM, extent=EXTENT, buffer=256) \
+        .withColumn("layer_name", F.lit("footprints"))
+    feats = geomops.rect_footprint_features(assigned)
+    feats = clipmod.clip_features(feats, extent=EXTENT, buffer=256)
+    feats = simplifymod.simplify_features(feats, 2.0)
+    pts = F.aggregate(
+        F.transform("parts", lambda r: F.size(r)),
+        F.lit(0), lambda a, b: a + b)
+    return feats.groupBy("z", "x", "y").agg(
+        F.count("*").alias("n_features"),
+        F.sum(pts).alias("n_points"))
+
+
 def q_raster_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     img = synth.images(spark, sf_dir)
     r = tiling.raster_tiles(img, ZOOM_R, WORLD)

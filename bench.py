@@ -54,6 +54,8 @@ EXTENDED = [
     # round-5 oracle-bearing md5 sketch tier (cross-engine verifiable)
     "neardup_md5",
     "decontaminate_fuzzy",
+    # round-5 geometry reduction (clip + simplify, Arrow kernels)
+    "clip_simplify",
 ]
 
 # minhash_lsh / simhash_neardup left the 50-entry queries() window in
@@ -63,6 +65,9 @@ EXTENDED = [
 BENCH_ONLY = {
     "minhash_lsh": entrymod.q_minhash_lsh,
     "simhash_neardup": entrymod.q_simhash_neardup,
+    # round-5 geometry reduction: buffered assign -> SH clip -> DP
+    # simplify (Arrow batch kernels; oracle-pinned in pytest)
+    "clip_simplify": entrymod.q_clip_simplify,
 }
 
 
