@@ -363,3 +363,164 @@ def test_image_caption_table_end_to_end(spark, sf_dir, tmp_path):
     # schema survives the round trip
     assert set(t.read(spark).columns) == {
         "image_id", "w", "h", "caption", "phash"}
+
+
+# ------------------------------------------------- merge-on-read deletes
+
+
+def test_mor_delete_is_metadata_only_and_exact(spark, tmp_path):
+    """delete_where(mode='mor') removes rows from reads without
+    touching any data file: the file list is unchanged, a positional
+    delete file appears, and time travel still sees everything."""
+    t = _mk(spark, tmp_path)
+    df = spark.range(100).withColumn("k", F.col("id") % 10)
+    v1 = t.append(df.repartition(4), stats_cols=["id"])
+    files_before = [e["path"] for e in t.snapshot()["files"]]
+    v2 = t.delete_where(spark, [("k", "==", 3)], mode="mor")
+    snap = t.snapshot()
+    assert [e["path"] for e in snap["files"]] == files_before
+    assert len(snap["delete_files"]) == 1
+    assert snap["delete_files"][0]["rows"] == 10
+    got = sorted(r["id"] for r in t.read(spark).collect())
+    assert got == [i for i in range(100) if i % 10 != 3]
+    assert t.read(spark, version=v1).count() == 100
+    assert t.history()[-1]["n_delete_files"] == 1
+    assert v2 == v1 + 1
+
+
+def test_mor_delete_stacks_and_never_duplicates_tuples(spark, tmp_path):
+    """A second MOR delete records only NEWLY matching positions
+    (delete-aware probe), and re-deleting the same predicate is a
+    no-op commit-wise."""
+    t = _mk(spark, tmp_path)
+    t.append(spark.range(100).withColumn("k", F.col("id") % 10)
+             .repartition(4), stats_cols=["id"])
+    t.delete_where(spark, [("k", "==", 3)], mode="mor")
+    v3 = t.delete_where(spark, [("id", "<", 20)], mode="mor")
+    # 10 (k==3) + 20 (id<20) - 2 overlap (3, 13) = 28 rows gone
+    assert t.read(spark).count() == 72
+    tuples = sum(d["rows"] for d in t.snapshot()["delete_files"])
+    assert tuples == 28  # overlap recorded once, not twice
+    assert t.delete_where(spark, [("k", "==", 3)], mode="mor") == v3
+
+
+def test_mor_delete_respects_where_pruning(spark, tmp_path):
+    """read(where=...) stays exact on a delete-bearing table, and the
+    delete anti-join only loads delete files that APPLY to surviving
+    data files."""
+    t = _mk(spark, tmp_path)
+    t.append(spark.range(0, 50).repartition(2), stats_cols=["id"])
+    t.append(spark.range(50, 100).repartition(2), stats_cols=["id"])
+    t.delete_where(spark, [("id", ">=", 90)], mode="mor")
+    got = sorted(r["id"] for r in
+                 t.read(spark, where=[("id", ">=", 40)]).collect())
+    assert got == list(range(40, 90))
+    # predicate confined to the first commit: no delete applies there
+    assert t.read(spark, where=[("id", "<", 50)]).count() == 50
+
+
+def test_mor_then_append_leaves_new_rows_alone(spark, tmp_path):
+    """Positional deletes name exact files; rows appended afterwards
+    with the same values are NOT deleted (v2 sequence semantics)."""
+    t = _mk(spark, tmp_path)
+    t.append(spark.range(0, 10))
+    t.delete_where(spark, [("id", "==", 5)], mode="mor")
+    t.append(spark.range(5, 6))  # re-insert id=5 in a new file
+    got = sorted(r["id"] for r in t.read(spark).collect())
+    assert got == [0, 1, 2, 3, 4, 5, 6, 7, 8, 9]
+
+
+def test_rewrite_deletes_materializes(spark, tmp_path):
+    """rewrite_deletes rewrites exactly the delete-bearing files,
+    drops the delete entries, and preserves the read set; untouched
+    files ride by reference."""
+    t = _mk(spark, tmp_path)
+    t.append(spark.range(0, 50).repartition(2), stats_cols=["id"])
+    t.append(spark.range(50, 100).repartition(2), stats_cols=["id"])
+    t.delete_where(spark, [("id", ">=", 95)], mode="mor")
+    before = sorted(r["id"] for r in t.read(spark).collect())
+    untouched = {e["path"] for e in t.snapshot(1)["files"]}
+    v = t.rewrite_deletes(spark)
+    snap = t.snapshot()
+    assert not snap.get("delete_files")
+    after = sorted(r["id"] for r in t.read(spark).collect())
+    assert after == before == list(range(95))
+    # the first commit's files were never referenced: still there
+    assert untouched <= {e["path"] for e in snap["files"]}
+    # idempotent when clean
+    assert t.rewrite_deletes(spark) == v
+
+
+def test_cow_after_mor_consumes_delete_entries(spark, tmp_path):
+    """A COW delete over files that carry positional deletes applies
+    them first (no resurrection) and consumes the delete entries for
+    the rewritten files."""
+    t = _mk(spark, tmp_path)
+    t.append(spark.range(0, 20).repartition(1), stats_cols=["id"])
+    t.delete_where(spark, [("id", "==", 7)], mode="mor")
+    t.delete_where(spark, [("id", ">=", 15)])  # COW rewrite, same file
+    snap = t.snapshot()
+    assert not snap.get("delete_files")  # consumed by the rewrite
+    got = sorted(r["id"] for r in t.read(spark).collect())
+    assert got == [i for i in range(15) if i != 7]
+
+
+def test_merge_applies_outstanding_mor_deletes(spark, tmp_path):
+    """merge() over a delete-bearing file must not resurrect the
+    MOR-deleted rows in its rewritten survivors."""
+    t = _mk(spark, tmp_path)
+    t.append(spark.range(0, 10).withColumn("v", F.lit("old"))
+             .repartition(1), stats_cols=["id"])
+    t.delete_where(spark, [("id", "==", 3)], mode="mor")
+    src = spark.range(5, 7).withColumn("v", F.lit("new"))
+    t.merge(spark, src, "id", stats_cols=["id"])
+    rows = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    assert 3 not in rows
+    assert rows[5] == rows[6] == "new"
+    assert rows[0] == rows[9] == "old"
+    assert not t.snapshot().get("delete_files")
+
+
+def test_mor_conflict_when_referenced_file_rewritten(spark, tmp_path):
+    """Both directions of the delete/rewrite race fail loudly:
+    a MOR delete planned against files a concurrent COW rewrite
+    removed, and a COW rewrite that would drop an unseen delete."""
+    from vtzero_spark.engine.table import CommitConflict
+
+    t = _mk(spark, tmp_path)
+    t.append(spark.range(0, 20).repartition(1), stats_cols=["id"])
+    old_files = {e["path"] for e in t.snapshot()["files"]}
+    t.delete_where(spark, [("id", ">=", 10)])  # COW: rewrites the file
+    # 1) MOR delete whose tuples reference the replaced file
+    with pytest.raises(CommitConflict, match="rewritten concurrently"):
+        t._commit([], "delete", replace=False,
+                  new_delete_files=[{"path": "data/x/fake.parquet",
+                                     "bytes": 0, "rows": 1,
+                                     "applies_to": sorted(old_files)}],
+                  required_paths=old_files)
+    # 2) COW rewrite that did not see a delete file landing meanwhile
+    t.delete_where(spark, [("id", "==", 2)], mode="mor")
+    live = {e["path"] for e in t.snapshot()["files"]}
+    with pytest.raises(CommitConflict, match="delete files"):
+        t._commit([], "delete", replace=False,
+                  removed_paths=live, known_delete_paths=set())
+
+
+def test_mor_delete_fences_incremental_and_survives_orphans(
+        spark, tmp_path):
+    """MOR delete commits fence incremental readers like COW deletes,
+    and remove_orphans never collects a live delete file."""
+    t = _mk(spark, tmp_path)
+    t.append(spark.range(0, 10))
+    t.delete_where(spark, [("id", "==", 1)], mode="mor")
+    with pytest.raises(ValueError, match="delete"):
+        t.read_incremental(spark, 1)
+    removed = t.remove_orphans(grace_seconds=0.0)
+    assert removed == []
+    assert t.read(spark).count() == 9
+    # after materialization + expiry the delete file becomes an orphan
+    t.rewrite_deletes(spark)
+    t.expire_snapshots(keep_last=1)
+    orphaned = t.remove_orphans(grace_seconds=0.0)
+    assert any("parquet" in p for p in orphaned)
+    assert t.read(spark).count() == 9

@@ -32,6 +32,24 @@ JSON metadata (no binary-format compatibility claimed):
   every other file into the new snapshot by reference, and commit
   atomically; conflicting concurrent rewrites of the same files fail
   with CommitConflict instead of resurrecting deleted rows.
+- **Merge-on-read deletes (Iceberg v2 positional delete files)**:
+  ``delete_where(mode="mor")`` writes a small parquet of
+  (file_path, pos) rows — positions are Spark's
+  ``_metadata.row_index``, exactly the v2 spec's pos-delete tuple —
+  and commits METADATA ONLY: no data file is rewritten, so deleting
+  100 rows from a 256 MB file costs KBs, not a rewrite (the
+  write-amplification trade COW cannot make). Readers anti-join the
+  delete rows against the scan (broadcast while the recorded delete
+  volume is small, shuffle join past that); delete files only ever
+  apply to the exact data files they name, so later appends are
+  untouched. ``rewrite_deletes`` materializes them back into clean
+  data files (Iceberg's rewrite_position_delete_files +
+  rewrite_data_files), restoring delete-free scans. Concurrency: a
+  MOR delete commit requires every referenced data file to still be
+  live at commit time, and a COW rewrite fails if an unseen delete
+  file references the files it is removing — both directions of the
+  delete/rewrite race surface as CommitConflict instead of silent
+  row resurrection.
 - **Maintenance**: ``expire_snapshots`` retains the last N version
   files; ``remove_orphans`` deletes data files no retained snapshot
   references (with a grace window against in-flight commits, same
@@ -144,7 +162,9 @@ class SnapshotTable:
                 out.append({"version": s["version"],
                             "operation": s["operation"], "ts": s["ts"],
                             "n_files": len(s["files"]),
-                            "n_rows": sum(fe["rows"] for fe in s["files"])})
+                            "n_rows": sum(fe["rows"] for fe in s["files"]),
+                            "n_delete_files":
+                                len(s.get("delete_files", []))})
         return out
 
     # --------------------------------------------------------- commits
@@ -198,6 +218,9 @@ class SnapshotTable:
     def _commit(self, new_files: list[dict], operation: str,
                 replace: bool, removed_paths: set[str] | None = None,
                 props: dict | None = None,
+                new_delete_files: list[dict] | None = None,
+                required_paths: set[str] | None = None,
+                known_delete_paths: set[str] | None = None,
                 max_retries: int = 20) -> int:
         """The optimistic-concurrency loop: merge against the current
         head, try to create head+1 with O_EXCL, re-merge on loss.
@@ -208,10 +231,29 @@ class SnapshotTable:
         concurrent writer rewrote or dropped one of them, our staged
         files were derived from stale data and the commit must fail
         (Iceberg's serializable-conflict check), not silently resurrect
-        deleted rows."""
+        deleted rows. A COW rewrite additionally fails if the new head
+        carries a positional-delete file it did NOT see at planning
+        time (``known_delete_paths``) that references a removed file:
+        the rewrite would drop that concurrent delete on the floor.
+
+        ``new_delete_files`` appends merge-on-read positional-delete
+        entries; ``required_paths`` (MOR delete) names data files that
+        must still be live at commit time — a concurrent rewrite of a
+        referenced file means our (file, pos) tuples aim at a file the
+        head no longer reads, so the delete must be re-planned."""
         for _ in range(max_retries):
             head = self.current_version()
             parent = self.snapshot(head)
+            par_dels = parent.get("delete_files", [])
+            if required_paths:
+                have = {e["path"] for e in parent["files"]}
+                gone = required_paths - have
+                if gone:
+                    raise CommitConflict(
+                        f"data files {sorted(gone)[:3]}... were "
+                        f"rewritten concurrently at {self.path}; "
+                        "re-plan the positional delete against the "
+                        "new head")
             if removed_paths:
                 have = {e["path"] for e in parent["files"]}
                 gone = removed_paths - have
@@ -220,15 +262,38 @@ class SnapshotTable:
                         f"concurrent rewrite of {sorted(gone)[:3]}... "
                         f"at {self.path}; retry the whole operation "
                         "against the new head")
+                unseen = [
+                    d for d in par_dels
+                    if set(d.get("applies_to", [])) & removed_paths
+                    and d["path"] not in (known_delete_paths or set())]
+                if unseen:
+                    raise CommitConflict(
+                        f"delete files {[d['path'] for d in unseen][:3]} "
+                        f"landed concurrently against files this rewrite "
+                        f"removes at {self.path}; re-plan against the "
+                        "new head")
                 files = [e for e in parent["files"]
                          if e["path"] not in removed_paths] + list(new_files)
+                # consume delete entries for the removed files: the
+                # rewrite already applied them
+                dels = []
+                for d in par_dels:
+                    rest = [p for p in d.get("applies_to", [])
+                            if p not in removed_paths]
+                    if rest:
+                        dels.append({**d, "applies_to": rest})
             elif replace:
                 files = list(new_files)
+                dels = []  # an overwrite starts delete-free
             else:
                 files = parent["files"] + list(new_files)
+                dels = list(par_dels)
+            dels = dels + list(new_delete_files or [])
             snap = {"version": head + 1, "parent": head,
                     "operation": operation, "ts": time.time(),
                     "files": files}
+            if dels:
+                snap["delete_files"] = dels
             if removed_paths:
                 snap["removed"] = sorted(removed_paths)
             if props:
@@ -321,35 +386,80 @@ class SnapshotTable:
         return sorted(cols)
 
     def delete_where(self, spark: SparkSession,
-                     where: list[tuple]) -> int:
-        """Row-level DELETE as a copy-on-write rewrite (Iceberg's
-        copy-on-write `DELETE FROM ... WHERE`): metadata stats prune
-        the table to candidate files, an exact per-file probe narrows
-        those to files that truly contain matching rows, and ONLY
-        those are rewritten without the rows — every other data file
-        rides into the new snapshot by reference. Returns the
-        committed version (the current head unchanged if nothing
-        matched). Commits fail with CommitConflict if a concurrent
-        writer rewrote one of the same files."""
+                     where: list[tuple], mode: str = "cow") -> int:
+        """Row-level DELETE. ``mode="cow"`` (Iceberg's copy-on-write
+        `DELETE FROM ... WHERE`): metadata stats prune the table to
+        candidate files, an exact per-file probe narrows those to
+        files that truly contain matching rows, and ONLY those are
+        rewritten without the rows — every other data file rides into
+        the new snapshot by reference. ``mode="mor"`` (Iceberg v2
+        merge-on-read): instead of rewriting anything, the matching
+        rows' (file_path, row_index) tuples land as a positional
+        DELETE FILE and the commit is metadata-only — readers apply
+        the anti-join until ``rewrite_deletes`` materializes it. MOR
+        is the right trade when deletes are small relative to file
+        size (the 100 TB GDPR-delete shape); COW when a large slice
+        dies at once. Returns the committed version (the current head
+        unchanged if nothing matched); CommitConflict on racing
+        rewrites either way."""
         import pyspark.sql.functions as F
-        files = self.snapshot()["files"]
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
+        snap = self.snapshot()
+        files = snap["files"]
+        snap_dels = snap.get("delete_files", [])
         cand = [e for e in files
                 if all(self._file_may_match(e, c, op, v)
                        for (c, op, v) in where)]
         if not cand:
             return self.current_version()
         pred = self._where_column(where)
+        if mode == "mor":
+            # delete-aware scan of the candidates: already-deleted rows
+            # must not be re-recorded (delete files stay minimal).
+            # Positions are tagged on the raw scan, THEN the existing
+            # deletes anti-join, THEN the predicate.
+            tagged = self._tag_positions(
+                spark.read.parquet(*self._resolve(cand)))
+            applicable = self._applicable_deletes(cand, snap_dels)
+            if applicable:
+                tagged = self._anti_join_deletes(spark, tagged, applicable)
+            hits = (tagged.where(pred)
+                    .select(F.col("__vt_rel").alias("file_path"),
+                            F.col("__vt_pos").alias("pos")))
+            # one small delete file per commit (the scan stays
+            # parallel; only the matched tuples cross the shuffle) —
+            # a delete big enough to need many files wants COW anyway
+            entries = self._stage(hits.repartition(1))
+            if not entries:
+                return self.current_version()
+            applies = sorted({r["file_path"] for r in
+                              spark.read.parquet(
+                                  *self._resolve(entries))
+                              .select("file_path").distinct().collect()})
+            if not applies:  # zero matching rows staged
+                return self.current_version()
+            for e in entries:
+                e["applies_to"] = applies
+            return self._commit(
+                [], "delete", replace=False,
+                new_delete_files=entries,
+                required_paths=set(applies))
         affected = self._hit_files(spark, cand, pred)
         if not affected:
             return self.current_version()
-        survivors = (spark.read.parquet(*self._resolve(affected))
-                     # keep rows where pred is not TRUE (null-safe:
-                     # a NULL predicate must not delete the row)
-                     .where(~F.coalesce(pred, F.lit(False))))
+        survivors = spark.read.parquet(*self._resolve(affected))
+        survivors = self._apply_deletes(spark, survivors, affected,
+                                        snap_dels)
+        # keep rows where pred is not TRUE (null-safe: a NULL
+        # predicate must not delete the row)
+        survivors = survivors.where(~F.coalesce(pred, F.lit(False)))
         new = (self._stage(survivors, self._carryover_stats_cols(affected))
                if survivors.limit(1).count() else [])
-        return self._commit(new, "delete", replace=False,
-                            removed_paths={e["path"] for e in affected})
+        return self._commit(
+            new, "delete", replace=False,
+            removed_paths={e["path"] for e in affected},
+            known_delete_paths={d["path"] for d in snap_dels})
 
     def merge(self, spark: SparkSession, df: DataFrame, key_col: str,
               stats_cols: list[str] | None = None) -> int:
@@ -364,7 +474,9 @@ class SnapshotTable:
         ``stats_cols`` applies to df's new files; rewritten files
         re-derive whatever stats they already carried."""
         import pyspark.sql.functions as F
-        files = self.snapshot()["files"]
+        snap = self.snapshot()
+        files = snap["files"]
+        snap_dels = snap.get("delete_files", [])
         lo, hi = df.agg(F.min(key_col), F.max(key_col)).first()
         if lo is None:
             raise ValueError("merge source has no non-null keys")
@@ -383,19 +495,79 @@ class SnapshotTable:
                         if os.path.basename(e["path"]) in hit]
         new = self._stage(df, stats_cols)
         if affected:
-            survivors = (spark.read.parquet(*self._resolve(affected))
-                         .join(F.broadcast(keys), key_col, "left_anti"))
+            survivors = spark.read.parquet(*self._resolve(affected))
+            survivors = self._apply_deletes(spark, survivors, affected,
+                                            snap_dels)
+            survivors = survivors.join(
+                F.broadcast(keys), key_col, "left_anti")
             if survivors.limit(1).count():
                 new = new + self._stage(
                     survivors, self._carryover_stats_cols(affected))
-        return self._commit(new, "merge", replace=False,
-                            removed_paths={e["path"] for e in affected}
-                            if affected else None)
+        return self._commit(
+            new, "merge", replace=False,
+            removed_paths={e["path"] for e in affected}
+            if affected else None,
+            known_delete_paths={d["path"] for d in snap_dels})
 
     # ----------------------------------------------------------- reads
 
     def _resolve(self, files: list[dict]) -> list[str]:
         return [os.path.join(self.path, e["path"]) for e in files]
+
+    # broadcast the delete rows below this many recorded tuples; past
+    # it, let the anti-join shuffle (the delete volume is known from
+    # metadata, so the choice never needs a scan)
+    MOR_BROADCAST_ROWS = 5_000_000
+
+    @staticmethod
+    def _rel_path_col():
+        """data/<token>/<file> suffix of ``_metadata.file_path`` — the
+        relative form delete files store, keeping tables relocatable."""
+        import pyspark.sql.functions as F
+        return F.regexp_extract(
+            F.col("_metadata.file_path"), r"(data/[^/]+/[^/]+)$", 1)
+
+    def _tag_positions(self, df: DataFrame) -> DataFrame:
+        """Attach (__vt_rel, __vt_pos) — the positional-delete tuple of
+        each row — to a RAW parquet scan (``_metadata`` is only
+        addressable on the file-source relation, so tag before any
+        join)."""
+        import pyspark.sql.functions as F
+        return df.withColumn("__vt_rel", self._rel_path_col()) \
+                 .withColumn("__vt_pos", F.col("_metadata.row_index"))
+
+    def _anti_join_deletes(self, spark: SparkSession, tagged: DataFrame,
+                           applicable: list[dict]) -> DataFrame:
+        import pyspark.sql.functions as F
+        dels = spark.read.parquet(*self._resolve(applicable)) \
+            .select("file_path", "pos")
+        n_tuples = sum(d["rows"] for d in applicable)
+        if n_tuples <= self.MOR_BROADCAST_ROWS:
+            dels = F.broadcast(dels)
+        return tagged.join(
+            dels,
+            (tagged["__vt_rel"] == dels["file_path"])
+            & (tagged["__vt_pos"] == dels["pos"]),
+            "left_anti")
+
+    def _applicable_deletes(self, kept: list[dict],
+                            delete_files: list[dict]) -> list[dict]:
+        kept_paths = {e["path"] for e in kept}
+        return [d for d in delete_files
+                if set(d.get("applies_to", [])) & kept_paths]
+
+    def _apply_deletes(self, spark: SparkSession, df: DataFrame,
+                       kept: list[dict],
+                       delete_files: list[dict]) -> DataFrame:
+        """Anti-join the scan against the positional-delete tuples that
+        apply to any of the ``kept`` data files. No-op (and no plan
+        change) when none apply."""
+        applicable = self._applicable_deletes(kept, delete_files)
+        if not applicable:
+            return df
+        out = self._anti_join_deletes(spark, self._tag_positions(df),
+                                      applicable)
+        return out.drop("__vt_rel", "__vt_pos")
 
     @staticmethod
     def _file_may_match(entry: dict, col: str, op: str, value) -> bool:
@@ -463,6 +635,8 @@ class SnapshotTable:
             df = reader.parquet(*self._resolve(empty_src)).limit(0)
         else:
             df = reader.parquet(*self._resolve(kept))
+            df = self._apply_deletes(
+                spark, df, kept, snap.get("delete_files", []))
         if where:
             df = df.where(self._where_column(where))
         return df
@@ -481,7 +655,7 @@ class SnapshotTable:
         base = {e["path"] for e in self.snapshot(from_version)["files"]}
         for v in range(from_version + 1, to_v + 1):
             op = self.snapshot(v)["operation"]
-            if op in ("overwrite", "delete", "merge"):
+            if op in ("overwrite", "delete", "merge", "rewrite_deletes"):
                 raise ValueError(
                     f"version {v} is a {op}; incremental read across "
                     "it is not append-only (rewritten survivor files "
@@ -519,6 +693,36 @@ class SnapshotTable:
             df = df.coalesce(target_files)
         return self.overwrite(df, stats_cols=stats_cols)
 
+    def rewrite_deletes(self, spark: SparkSession) -> int:
+        """Materialize every outstanding positional delete: the data
+        files any delete file references are rewritten with the
+        deletes applied, everything else rides by reference, and the
+        new snapshot carries no delete files for them (``_commit``
+        consumes the entries when their referenced files are removed).
+        This is Iceberg's rewrite_data_files over delete-bearing
+        files — the maintenance half of merge-on-read that restores
+        anti-join-free scans. Returns the committed version (head
+        unchanged if there is nothing to rewrite)."""
+        snap = self.snapshot()
+        dels = snap.get("delete_files", [])
+        if not dels:
+            return self.current_version()
+        ref: set[str] = set()
+        for d in dels:
+            ref |= set(d.get("applies_to", []))
+        affected = [e for e in snap["files"] if e["path"] in ref]
+        if not affected:
+            return self.current_version()
+        survivors = spark.read.parquet(*self._resolve(affected))
+        survivors = self._apply_deletes(spark, survivors, affected, dels)
+        new = (self._stage(survivors,
+                           self._carryover_stats_cols(affected))
+               if survivors.limit(1).count() else [])
+        return self._commit(
+            new, "rewrite_deletes", replace=False,
+            removed_paths={e["path"] for e in affected},
+            known_delete_paths={d["path"] for d in dels})
+
     def expire_snapshots(self, keep_last: int = 3) -> list[int]:
         """Drop version files beyond the newest ``keep_last`` (data
         files stay until remove_orphans). Version 0 may expire; the
@@ -539,8 +743,11 @@ class SnapshotTable:
         by a commit that has not yet won its version race."""
         live: set[str] = set()
         for h in self.history():
-            for e in self.snapshot(h["version"])["files"]:
+            s = self.snapshot(h["version"])
+            for e in s["files"]:
                 live.add(e["path"])
+            for d in s.get("delete_files", []):
+                live.add(d["path"])
         cutoff = time.time() - grace_seconds
         removed = []
         dd = _data_dir(self.path)
