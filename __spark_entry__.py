@@ -558,6 +558,22 @@ def q_clip_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(pts).alias("n_points"))
 
 
+def q_pip_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench surface for the hexagonal (H3-analog) cell index: the
+    same PIP join as `pip`/`pip_cells`, bucketed on integer-exact hex
+    cells (engine/hexcells.py). Row parity with the broadcast join and
+    cross-engine cell identity vs DuckDB are pinned in
+    tests/test_hexcells.py."""
+    from vtzero_spark.engine import hexcells
+
+    img = synth.images(spark, sf_dir)
+    polys = synth.polygons(spark, sf_dir)
+    j = hexcells.pip_join_hex(img, polys, 4096, 3584)
+    return j.groupBy("pid").agg(
+        F.count("*").alias("n_images"),
+        F.sum("iid").alias("sum_iid"))
+
+
 def q_raster_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     img = synth.images(spark, sf_dir)
     r = tiling.raster_tiles(img, ZOOM_R, WORLD)

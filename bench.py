@@ -56,6 +56,8 @@ EXTENDED = [
     "decontaminate_fuzzy",
     # round-5 geometry reduction (clip + simplify, Arrow kernels)
     "clip_simplify",
+    # round-5 hexagonal (H3-analog) cell-bucketed PIP join
+    "pip_hex",
 ]
 
 # minhash_lsh / simhash_neardup left the 50-entry queries() window in
@@ -68,6 +70,9 @@ BENCH_ONLY = {
     # round-5 geometry reduction: buffered assign -> SH clip -> DP
     # simplify (Arrow batch kernels; oracle-pinned in pytest)
     "clip_simplify": entrymod.q_clip_simplify,
+    # round-5 hex-bucketed PIP (row parity + cross-engine cell
+    # identity pinned in tests/test_hexcells.py)
+    "pip_hex": entrymod.q_pip_hex,
 }
 
 
