@@ -13,6 +13,19 @@ from vtzero_spark.engine import joins, synth
 W, HH = 4096, 3584  # w even; h/w = 7/8 (~1% off regular hexes)
 
 
+def _with_ring(polys):
+    """Closed CW diamond ring from (cx, cy, r) — the synth.polygons
+    shape the exact PIP refine reads."""
+    ring = F.array(
+        F.struct(F.col("cx").alias("x"), (F.col("cy") - F.col("r")).alias("y")),
+        F.struct((F.col("cx") + F.col("r")).alias("x"), F.col("cy").alias("y")),
+        F.struct(F.col("cx").alias("x"), (F.col("cy") + F.col("r")).alias("y")),
+        F.struct((F.col("cx") - F.col("r")).alias("x"), F.col("cy").alias("y")),
+        F.struct(F.col("cx").alias("x"), (F.col("cy") - F.col("r")).alias("y")),
+    )
+    return polys.withColumn("ring", ring)
+
+
 def test_hex_cell_cross_engine_identity(spark, sf_dir):
     """The oracle-grade check: Spark's column pipeline and DuckDB
     running hex_cell_sql assign the SAME cell to every image point —
@@ -122,6 +135,39 @@ def test_hex_covering_superset_of_member_cells(spark, sf_dir):
              .select("pid", "hex").distinct())
     missing = pts.join(cover, ["pid", "hex"], "left_anti").count()
     assert missing == 0
+
+
+def test_hex_covering_row_fringe_regression(spark):
+    """The h/2-strip trap: cube rounding's fix step can pull a point
+    at dy = +0.61h DOWN a row, so cells reach 2h/3 past their center
+    row. This exact constellation (from sf0.1) slipped through a
+    covering that expanded rows by only h/2; it must be joined."""
+    pts = spark.createDataFrame(
+        [(1, 18471, 27275)], "iid long, wx long, wy long")
+    polys = _with_ring(spark.createDataFrame(
+        [(9, 18334, 40946, 14000)], "pid long, cx long, cy long, r long"))
+    got = H.pip_join_hex(pts, polys, W, HH).select("iid", "pid").collect()
+    assert [(r["iid"], r["pid"]) for r in got] == [(1, 9)]
+
+
+def test_pip_join_hex_parity_dense(spark):
+    """Broader parity sweep on a dense deterministic grid that sweeps
+    points through every row-fringe band of several polygons."""
+    import itertools
+    pts = [(i, x, y) for i, (x, y) in enumerate(
+        itertools.product(range(4000, 36000, 257),
+                          range(4000, 36000, 509)))]
+    ptdf = spark.createDataFrame(pts, "iid long, wx long, wy long")
+    polys = [(0, 12000, 12000, 7000), (1, 20000, 26000, 9000),
+             (2, 30000, 8000, 3500), (3, 18000, 18000, 14000)]
+    podf = _with_ring(spark.createDataFrame(
+        polys, "pid long, cx long, cy long, r long"))
+    want = {(r["iid"], r["pid"]) for r in
+            joins.pip_join(ptdf, podf).select("iid", "pid").collect()}
+    got = {(r["iid"], r["pid"]) for r in
+           H.pip_join_hex(ptdf, podf, W, HH).select("iid", "pid").collect()}
+    assert got == want
+    assert len(want) > 3000
 
 
 def test_hex_cell_rejects_odd_w():

@@ -99,7 +99,14 @@ def hex_qr(cell: Column) -> tuple[Column, Column]:
 
 def hex_cell(x: Column, y: Column, w: int, h: int) -> Column:
     q, r = hex_axial(x, y, w, h)
-    return hex_id(q, r)
+    # coalesce with a non-null literal marks the expression
+    # non-nullable (it never IS null — every branch of the cube-round
+    # `when` chain has an otherwise). Without this, Catalyst inserts
+    # an isnotnull(<whole hex expr>) join-key filter and pushes it
+    # below upstream aggregates, re-evaluating the assignment once
+    # per RAW input row instead of once per point — measured 9x on
+    # the PIP join at sf0.1 (BENCH.md).
+    return F.coalesce(hex_id(q, r), F.lit(-1))
 
 
 def point_hex_cells(df: DataFrame, w: int, h: int,
@@ -147,21 +154,33 @@ def hex_covering(polys: DataFrame, w: int, h: int,
                  out: str = "hex") -> DataFrame:
     """Explode each polygon's (cx, cy, r) L-inf bbox into the hex
     cells that can intersect it — the broadcastable hex->polygon
-    covering index. Row ranges come from the exact axial transform
-    with a ±1-cell conservative margin (cell half-extents are < w
-    horizontally and < h vertically), so the covering is a superset;
-    the PIP refine stays exact."""
+    covering index.
+
+    The cube-round cell is the hexagon with vertices (±w/2, ±h/3)
+    and (0, ±2h/3) — half-extents exactly (w/2, 2h/3) — so a cell
+    can intersect the bbox only if its center lies in the bbox
+    expanded by those half-extents. Ranges are exact ceil/floor in
+    integers (no conservative ±1 rows): a superset only by the
+    hexagon's corner cut, with ~40% fewer candidate pairs than the
+    lazy ±1-cell margins (measured; BENCH.md). The PIP refine stays
+    exact either way. (The h/2 'strip' bound is a trap: cube
+    rounding's fix step extends cells past the naive |r̃|≤1/2 strip —
+    a point at dy = +0.61h can still round DOWN a row; pinned by the
+    fringe regression test.)"""
     x0 = F.col("cx") - F.col("r")
     x1 = F.col("cx") + F.col("r")
     y0 = F.col("cy") - F.col("r")
     y1 = F.col("cy") + F.col("r")
-    rr = F.explode(F.sequence(_floordiv_col(y0, h) - 1,
-                              _floordiv_col(y1, h) + 1))
+    # rows: r*h in [y0 - 2h/3, y1 + 2h/3]
+    rr = F.explode(F.sequence(
+        _floordiv_col(y0 * 3 + F.lit(h - 1), 3 * h),
+        _floordiv_col(y1 * 3 + F.lit(2 * h), 3 * h)))
     polys = polys.withColumn("_hr", rr)
-    # center x of column q in row _hr is q*w + _hr*w/2
+    # cols: q*w + r*(w/2) in [x0 - w/2, x1 + w/2]
     off = F.col("_hr") * (w // 2)
-    qq = F.explode(F.sequence(_floordiv_col(x0 - off, w) - 1,
-                              _floordiv_col(x1 - off, w) + 1))
+    qq = F.explode(F.sequence(
+        _floordiv_col((x0 - off) * 2 + F.lit(w - 1), 2 * w),
+        _floordiv_col((x1 - off) * 2 + F.lit(w), 2 * w)))
     polys = polys.withColumn("_hq", qq)
     return polys.withColumn(
         out, hex_id(F.col("_hq"), F.col("_hr"))).drop("_hq", "_hr")
