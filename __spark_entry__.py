@@ -23,6 +23,7 @@ from vtzero_spark.engine import (
     assemble, cells, geomops, joins, knn, lint, rewrite, sessions,
     simsearch, synth, textops, tiling,
 )
+from vtzero_spark.engine import hexcells as _hexcells
 from vtzero_spark.engine.synth import EXTENT, WORLD, ZOOM, ZOOM_R
 
 BUFFER = 64  # tile-edge buffer (vtzero fixtures 053-056 semantics)
@@ -559,19 +560,19 @@ def q_clip_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pip_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bench surface for the hexagonal (H3-analog) cell index: the
-    same PIP join as `pip`/`pip_cells`, bucketed on integer-exact hex
-    cells (engine/hexcells.py). Row parity with the broadcast join and
-    cross-engine cell identity vs DuckDB are pinned in
-    tests/test_hexcells.py."""
+    """Hexagonal (H3-analog) cell index surface: the same PIP join as
+    `pip`/`pip_cells`, bucketed on integer-exact hex cells
+    (engine/hexcells.py), plus each matched point's hex cell id — so
+    the oracle hash-checks BOTH the join rows and the cross-engine
+    cube-rounding arithmetic (hexcells.hex_cell_sql) in one query."""
     from vtzero_spark.engine import hexcells
 
     img = synth.images(spark, sf_dir)
     polys = synth.polygons(spark, sf_dir)
     j = hexcells.pip_join_hex(img, polys, 4096, 3584)
-    return j.groupBy("pid").agg(
-        F.count("*").alias("n_images"),
-        F.sum("iid").alias("sum_iid"))
+    return j.select(
+        "image_id", "pid",
+        hexcells.hex_cell(F.col("wx"), F.col("wy"), 4096, 3584).alias("hex"))
 
 
 def q_raster_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -903,7 +904,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     minhash_lsh / simhash_neardup slots — the xxhash64 production
     tiers those slots ran remain golden-pinned + recall-floored in
     tests/test_scale_sketches.py (minhash_lsh_pairs byte-identical
-    golden, simhash band semantics, planted-paraphrase recall)."""
+    golden, simhash band semantics, planted-paraphrase recall).
+    Round-5 session 3 swapped sessionize_native (oracle TWIN of the
+    still-present sessionize — same rows, same SQL, Catalyst's
+    F.session_window instead of the pandas-UDF state machine; the
+    native operator stays stream==batch + oracle-tested in pytest)
+    for pip_hex, which puts the new hexagonal cell index under the
+    driver's hash gate: join rows AND the integer cube-rounding cell
+    arithmetic, both reproduced in DuckDB via hexcells.hex_cell_sql."""
     return {
         "tile_assign": q_tile_assign,
         "tile_counts": q_tile_counts,
@@ -930,7 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pyramid": q_pyramid,
         "raster_vector": q_raster_vector,
         "sessionize": q_sessionize,
-        "sessionize_native": q_sessionize_native,
+        "pip_hex": q_pip_hex,
         "dedup_exact": q_dedup_exact,
         "dedup_hashed": q_dedup_hashed,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1186,7 +1194,18 @@ SELECT rx // {shift} AS x, ry // {shift} AS y,
 FROM r GROUP BY 1, 2
 """,
         "sessionize": sessions.sessionize_sql(),
-        "sessionize_native": sessions.sessionize_sql(),
+        # pip rows + the hex cell id of each matched point: one query
+        # hash-checks the join AND the integer cube-rounding cell math
+        # against DuckDB (hexcells.hex_cell_sql is bit-identical by
+        # construction — scaled-integer round-half-up, no floats)
+        "pip_hex": f"""
+WITH {images},
+{polys}
+  SELECT p.image_id, q.pid,
+         CAST({_hexcells.hex_cell_sql('p.wx', 'p.wy', 4096, 3584)} AS BIGINT) AS hex
+  FROM images p, polys q
+  WHERE abs(p.wx - q.cx) + abs(p.wy - q.cy) <= q.r
+""",
         "dedup_exact": textops.DEDUP_EXACT_SQL,
         "dedup_hashed": textops.DEDUP_EXACT_SQL,
         "ngram_jaccard": textops.ngram_jaccard_adjacent_sql(),

@@ -70,10 +70,11 @@ BENCH_ONLY = {
     # round-5 geometry reduction: buffered assign -> SH clip -> DP
     # simplify (Arrow batch kernels; oracle-pinned in pytest)
     "clip_simplify": entrymod.q_clip_simplify,
-    # round-5 hex-bucketed PIP (row parity + cross-engine cell
-    # identity pinned in tests/test_hexcells.py)
-    "pip_hex": entrymod.q_pip_hex,
 }
+# pip_hex moved INTO queries() in round-5 session 3 (oracle-bearing:
+# join rows + cross-engine hex cell ids); its bench timing continues
+# via EXTENDED, resolved from the registry. Note the query shape
+# changed grouped-rollup -> row-level select at the swap (BENCH.md).
 
 
 N_TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
