@@ -559,6 +559,26 @@ def q_clip_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(pts).alias("n_points"))
 
 
+def q_render_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench surface for vector->raster rendering (engine/raster.py):
+    buffered assign -> clip -> two-stage scanline rasterization ->
+    256px PNG per tile through the repo codec (engine/png.py). The
+    shuffle carries compressed partial raster buffers, never geometry
+    (rasterization as a commutative monoid); kernel==scalar-oracle and
+    partition-order byte determinism are pinned in tests/test_raster.py.
+    """
+    from vtzero_spark.engine import clip as clipmod
+    from vtzero_spark.engine import raster as rastermod
+
+    img = synth.images(spark, sf_dir)
+    assigned = tiling.assign_tiles(img, zoom=ZOOM, extent=EXTENT, buffer=64)
+    feats = geomops.rect_footprint_features(assigned)
+    feats = clipmod.clip_features(feats, extent=EXTENT, buffer=64)
+    tiles = rastermod.render_tiles(feats, size=256, extent=EXTENT)
+    return tiles.select("z", "x", "y", "n_features", "n_pixels",
+                        F.octet_length("png").alias("png_size"))
+
+
 def q_pip_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hexagonal (H3-analog) cell index surface: the same PIP join as
     `pip`/`pip_cells`, bucketed on integer-exact hex cells

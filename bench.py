@@ -58,6 +58,8 @@ EXTENDED = [
     "clip_simplify",
     # round-5 hexagonal (H3-analog) cell-bucketed PIP join
     "pip_hex",
+    # round-5 vector->raster: scanline rasterize + PNG encode per tile
+    "render_png",
 ]
 
 # minhash_lsh / simhash_neardup left the 50-entry queries() window in
@@ -70,6 +72,9 @@ BENCH_ONLY = {
     # round-5 geometry reduction: buffered assign -> SH clip -> DP
     # simplify (Arrow batch kernels; oracle-pinned in pytest)
     "clip_simplify": entrymod.q_clip_simplify,
+    # round-5 vector->raster PNG tiles (kernel oracle-pinned in
+    # tests/test_raster.py; output is image bytes, so no SQL oracle)
+    "render_png": entrymod.q_render_png,
 }
 # pip_hex moved INTO queries() in round-5 session 3 (oracle-bearing:
 # join rows + cross-engine hex cell ids); its bench timing continues

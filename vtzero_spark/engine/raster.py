@@ -1,0 +1,434 @@
+"""Vector -> raster tile rendering (the image half of raster<->vector).
+
+The reference is a vector-tile codec only; rendering the encoded
+geometry to pixels is what every consumer of its output ultimately
+does (mapnik-vector-tile renders vtzero-shaped layers; vtzero
+examples/vtzero-show.cpp:124-174 stops at printing the decoded
+geometry). This module closes that loop engine-side: tile-local
+feature geometry (the same ``geom_type`` + ``parts`` columns the
+clip/simplify/encode operators carry) becomes PNG raster tiles via
+the in-repo codec (engine/png.py).
+
+Built for the 100 TB shape as a TWO-STAGE PARTIAL AGGREGATION —
+rasterization is a commutative monoid, so it distributes like a sum:
+
+- **Stage 1 (mapInArrow, zero shuffle)**: each Arrow batch scanline-
+  converts its own features into per-tile PARTIAL buffers — a signed
+  winding-crossing difference buffer for polygons (int32, additive)
+  and a coverage mask for lines/points (uint8, OR) — zlib-compressed
+  (sparse rasters compress ~100x). This is map-side combine for
+  images: a partition touching 10M features in 40 tiles emits 40
+  small rows.
+- **Stage 2 (groupBy tile)**: partials merge by plain ``sum`` / ``OR``
+  (order-independent, so Spark's nondeterministic row order cannot
+  change a byte), the winding cumsum + fill rule resolves polygon
+  interiors, and the composite encodes through engine/png.py's
+  vectorized-decodable write path.
+
+The shuffle therefore carries O(tiles x compressed buffer) bytes, not
+the geometry — the same discipline as the map-side-combined stats
+aggregates, applied to pixels. A z0 tile owning the whole corpus
+costs each upstream task one buffer, never a single-task geometry
+pile (the hot_tiles.py lesson).
+
+Scanline semantics (pinned against a per-pixel scalar oracle in
+tests/test_raster.py):
+
+- Pixels sample their CENTER: pixel (r, c) of a ``size``-px tile over
+  a ``extent``-unit extent samples ((c+.5)*s, (r+.5)*s), s=extent/size.
+- Polygon edges contribute a +-1 winding crossing to every pixel row
+  whose center y lies in the edge's half-open y-span (``y0 <= yc < y1``
+  upward = +1, ``y1 <= yc < y0`` downward = -1 — the standard rule
+  that counts shared vertices exactly once); the crossing lands in
+  the difference buffer at the first pixel column whose center x is
+  right of the intersection. Row indices are integer-exact (scaled
+  integer ceil, no float y anywhere); intersection x is float64 with
+  one fixed expression shape shared by kernel and oracle.
+- Fill rule ``nonzero`` (the MVT/mapnik winding convention:
+  CW exterior / CCW interior rings, spec 4.3.3.3) or ``evenodd``.
+- Lines supersample each segment at one step per pixel-sized advance
+  (adjacent samples differ by <= 1px per axis — 8-connected, no
+  gaps); points mark their containing pixel.
+
+Reference parity anchors: geometry model mvt/geometry.py (decoded
+``parts``), winding/ring semantics vtzero builder.hpp:951-1141.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType, IntegerType, LongType, StructField, StructType)
+
+from ..mvt import geometry as G
+
+__all__ = [
+    "poly_crossing_diff", "line_point_mask", "resolve_mask",
+    "rasterize_tile", "rasterize_scalar",
+    "render_tiles", "render_partials",
+]
+
+
+# ------------------------------------------------------------------ kernels
+
+
+def _row_span(y0: np.ndarray, y1: np.ndarray, size: int,
+              extent: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Half-open pixel-row span [r_lo, r_hi) whose centers an edge
+    crosses, integer-exact: center of row r is (r+.5)*extent/size, so
+    yc >= y  <=>  r >= ceil(y*size/extent - 1/2), all in scaled ints.
+    Returns (r_lo, r_hi, sign)."""
+    sign = np.where(y1 > y0, np.int32(1), np.int32(-1))
+    lo = np.minimum(y0, y1)
+    hi = np.maximum(y0, y1)
+    # ceil((2*y*size - extent) / (2*extent)) over int64
+    num_lo = 2 * lo * size - extent
+    num_hi = 2 * hi * size - extent
+    d = 2 * extent
+    r_lo = -((-num_lo) // d)
+    r_hi = -((-num_hi) // d)
+    np.clip(r_lo, 0, size, out=r_lo)
+    np.clip(r_hi, 0, size, out=r_hi)
+    return r_lo.astype(np.int64), r_hi.astype(np.int64), sign
+
+
+def poly_crossing_diff(px: np.ndarray, py: np.ndarray, roff: np.ndarray,
+                       size: int, extent: int) -> np.ndarray:
+    """Signed winding-crossing difference buffer (int32, [size, size+1])
+    for a batch of OPEN rings (flat px/py int64, ring offsets roff).
+    ``cumsum(buf, axis=1)[:, :size]`` is the winding number at every
+    pixel center. Additive across feature subsets — the monoid."""
+    buf = np.zeros((size, size + 1), np.int32)
+    n = px.size
+    if n == 0:
+        return buf
+    # closed-edge endpoints: next vertex within ring, last wraps to first
+    idx = np.arange(n)
+    nxt = idx + 1
+    last = roff[1:] - 1
+    first = roff[:-1]
+    keep = last >= first  # non-empty rings
+    nxt[last[keep]] = first[keep]
+    x0, y0 = px, py
+    x1, y1 = px[nxt], py[nxt]
+    live = y0 != y1
+    x0, y0, x1, y1 = x0[live], y0[live], x1[live], y1[live]
+    if x0.size == 0:
+        return buf
+    r_lo, r_hi, sign = _row_span(y0, y1, size, extent)
+    cnt = r_hi - r_lo
+    pos = cnt > 0
+    x0, y0, x1, y1 = x0[pos], y0[pos], x1[pos], y1[pos]
+    r_lo, cnt, sign = r_lo[pos], cnt[pos], sign[pos]
+    if cnt.size == 0:
+        return buf
+    total = int(cnt.sum())
+    # segmented arange: crossing k of edge e is row r_lo[e] + k
+    eidx = np.repeat(np.arange(cnt.size), cnt)
+    k = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+    rows = r_lo[eidx] + k
+    yc = (rows.astype(np.float64) + 0.5) * (extent / size)
+    fx0 = x0[eidx].astype(np.float64)
+    xc = fx0 + (yc - y0[eidx]) * (x1[eidx] - x0[eidx]).astype(np.float64) \
+        / (y1[eidx] - y0[eidx]).astype(np.float64)
+    # first pixel column whose center is >= xc: c = ceil(xc*size/extent - .5)
+    cols = np.ceil(xc * (size / extent) - 0.5).astype(np.int64)
+    np.clip(cols, 0, size, out=cols)
+    np.add.at(buf, (rows, cols), sign[eidx])
+    return buf
+
+
+def line_point_mask(px: np.ndarray, py: np.ndarray, roff: np.ndarray,
+                    size: int, extent: int,
+                    as_points: bool = False) -> np.ndarray:
+    """Coverage mask (uint8 0/1, [size, size]) for polyline parts
+    (or bare points when ``as_points``). OR-additive across subsets."""
+    mask = np.zeros((size, size), np.uint8)
+    if px.size == 0:
+        return mask
+    s = extent / size
+
+    def mark(xs: np.ndarray, ys: np.ndarray) -> None:
+        c = np.floor(xs / s).astype(np.int64)
+        r = np.floor(ys / s).astype(np.int64)
+        ok = (c >= 0) & (c < size) & (r >= 0) & (r < size)
+        mask[r[ok], c[ok]] = 1
+
+    if as_points:
+        mark(px.astype(np.float64), py.astype(np.float64))
+        return mask
+    # segments: consecutive vertices within each part (no closing edge)
+    n = px.size
+    idx = np.arange(n - 1) if n > 1 else np.empty(0, np.int64)
+    starts = np.ones(max(n - 1, 0), bool)
+    if idx.size:
+        part_last = roff[1:] - 1
+        valid_last = part_last[(part_last >= 0) & (part_last < n - 1)]
+        starts[valid_last] = False  # edge crossing a part boundary
+    a = idx[starts]
+    if a.size == 0:
+        mark(px.astype(np.float64), py.astype(np.float64))
+        return mask
+    x0, y0 = px[a].astype(np.float64), py[a].astype(np.float64)
+    x1, y1 = px[a + 1].astype(np.float64), py[a + 1].astype(np.float64)
+    span = np.maximum(np.abs(x1 - x0), np.abs(y1 - y0)) / s
+    nstep = np.maximum(np.ceil(span).astype(np.int64) + 1, 2)
+    total = int(nstep.sum())
+    eidx = np.repeat(np.arange(nstep.size), nstep)
+    k = np.arange(total) - np.repeat(np.cumsum(nstep) - nstep, nstep)
+    t = k.astype(np.float64) / (nstep[eidx] - 1).astype(np.float64)
+    mark(x0[eidx] + t * (x1[eidx] - x0[eidx]),
+         y0[eidx] + t * (y1[eidx] - y0[eidx]))
+    # isolated single-vertex parts still mark their pixel
+    mark(px.astype(np.float64), py.astype(np.float64))
+    return mask
+
+
+def resolve_mask(diff: np.ndarray, mask: np.ndarray,
+                 rule: str = "nonzero") -> np.ndarray:
+    """Merge a polygon crossing-diff buffer and a line/point mask into
+    the final uint8 0/1 coverage image."""
+    size = mask.shape[0]
+    wind = np.cumsum(diff, axis=1)[:, :size]
+    if rule == "nonzero":
+        poly = wind != 0
+    elif rule == "evenodd":
+        poly = (wind & 1) != 0
+    else:
+        raise ValueError(f"unknown fill rule {rule!r}")
+    return (poly | mask.astype(bool)).astype(np.uint8)
+
+
+def rasterize_tile(px: np.ndarray, py: np.ndarray, roff: np.ndarray,
+                   gtypes_per_ring: np.ndarray, size: int, extent: int,
+                   rule: str = "nonzero") -> np.ndarray:
+    """One-shot kernel: flat rings of mixed geometry (gtypes_per_ring
+    gives each ring's feature geom_type) -> uint8 0/1 coverage."""
+    counts = np.diff(roff)
+
+    def subset(sel: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        keep = np.repeat(sel, counts)
+        c = counts[sel]
+        return px[keep], py[keep], np.concatenate(([0], np.cumsum(c)))
+
+    diff = poly_crossing_diff(
+        *subset(gtypes_per_ring == G.GEOM_POLYGON), size, extent)
+    lmask = line_point_mask(
+        *subset(gtypes_per_ring == G.GEOM_LINESTRING), size, extent)
+    pmask = line_point_mask(
+        *subset(gtypes_per_ring == G.GEOM_POINT), size, extent,
+        as_points=True)
+    return resolve_mask(diff, np.maximum(lmask, pmask), rule)
+
+
+# ------------------------------------------------------------ scalar oracle
+
+
+def rasterize_scalar(features: list, size: int, extent: int,
+                     rule: str = "nonzero") -> np.ndarray:
+    """Per-pixel reference rasterizer (slow, loops): features are
+    (geom_type, [[(x, y), ...], ...]) tuples. Uses the SAME crossing
+    convention and the same float expression for intersection x as
+    the batch kernel, so equality is exact, not approximate.
+
+    Winding accumulates GLOBALLY across all polygon features (compound
+    -path semantics — what makes the distributed kernel a monoid); for
+    validly-wound MVT polygons (CW outers, CCW holes inside them,
+    spec 4.3.3.3 — what lint.py checks upstream) the nonzero rule
+    makes this identical to per-feature painter's union, pinned in
+    tests/test_raster.py."""
+    img = np.zeros((size, size), np.uint8)
+    s = extent / size
+    poly_rings = [ring for gt, parts in features if gt == G.GEOM_POLYGON
+                  for ring in parts]
+    if poly_rings:
+        for r in range(size):
+            yc = (r + 0.5) * s
+            for c in range(size):
+                cx = (c + 0.5) * s
+                wind = 0
+                for ring in poly_rings:
+                    m = len(ring)
+                    for i in range(m):
+                        x0, y0 = ring[i]
+                        x1, y1 = ring[(i + 1) % m]
+                        if y0 == y1:
+                            continue
+                        if y0 <= yc < y1 or y1 <= yc < y0:
+                            xc = float(x0) + (yc - y0) * float(x1 - x0) \
+                                / float(y1 - y0)
+                            if cx >= xc:
+                                wind += 1 if y1 > y0 else -1
+                inside = wind != 0 if rule == "nonzero" else wind % 2 != 0
+                if inside:
+                    img[r, c] = 1
+    for gt, parts in features:
+        if gt == G.GEOM_POLYGON:
+            continue
+        elif gt == G.GEOM_LINESTRING:
+            for part in parts:
+                if len(part) == 1:
+                    part = part + part
+                for (x0, y0), (x1, y1) in zip(part, part[1:]):
+                    span = max(abs(x1 - x0), abs(y1 - y0)) / s
+                    n = max(int(np.ceil(span)) + 1, 2)
+                    for k in range(n):
+                        t = k / (n - 1)
+                        xs, ys = x0 + t * (x1 - x0), y0 + t * (y1 - y0)
+                        c, r = int(np.floor(xs / s)), int(np.floor(ys / s))
+                        if 0 <= c < size and 0 <= r < size:
+                            img[r, c] = 1
+        else:
+            for part in parts:
+                for (x, y) in part:
+                    c, r = int(np.floor(x / s)), int(np.floor(y / s))
+                    if 0 <= c < size and 0 <= r < size:
+                        img[r, c] = 1
+    return img
+
+
+# ------------------------------------------------------------ Spark stages
+
+
+_PARTIAL_SCHEMA = StructType([
+    StructField("z", IntegerType()), StructField("x", LongType()),
+    StructField("y", LongType()),
+    StructField("poly_diff", BinaryType()),   # zlib(int32 [size, size+1])
+    StructField("cover_mask", BinaryType()),  # zlib(uint8 [size, size])
+    StructField("n_features", LongType()),
+])
+
+
+def render_partials(features: DataFrame, size: int = 256,
+                    extent: int = 4096) -> DataFrame:
+    """Stage 1: features (z, x, y, geom_type, parts) -> per-(input
+    partition x tile) PARTIAL raster buffers. mapInArrow over the flat
+    Arrow buffers (the clip.py discipline) — no shuffle, no per-point
+    Python objects; one output row per tile present in the batch."""
+    import pyarrow as pa
+    from .clip import _flat_parts
+
+    def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for rb in batches:
+            tbl = pa.Table.from_batches([rb])
+            if tbl.num_rows == 0:
+                continue
+            z = tbl.column("z").to_numpy(zero_copy_only=False).astype(np.int32)
+            xs = tbl.column("x").to_numpy(zero_copy_only=False).astype(np.int64)
+            ys = tbl.column("y").to_numpy(zero_copy_only=False).astype(np.int64)
+            gt = tbl.column("geom_type").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            col = tbl.column("parts")
+            if col.num_chunks != 1:
+                col = col.combine_chunks()
+            else:
+                col = col.chunk(0)
+            o1, o2, fx, fy = _flat_parts(col)
+            # per-feature ring span [o1[i], o1[i+1]) indexes into o2
+            tile_key = (z.astype(np.int64) << 52) ^ (xs << 26) ^ ys
+            order = np.argsort(tile_key, kind="stable")
+            bounds = np.flatnonzero(
+                np.diff(tile_key[order], prepend=tile_key[order[0]] ^ 1))
+            bounds = np.append(bounds, order.size)
+            out = {k: [] for k in ("z", "x", "y", "pd", "cm", "nf")}
+            for b0, b1 in zip(bounds[:-1], bounds[1:]):
+                rows = order[b0:b1]
+                diff = np.zeros((size, size + 1), np.int32)
+                mask = np.zeros((size, size), np.uint8)
+                for gval in (G.GEOM_POLYGON, G.GEOM_LINESTRING, G.GEOM_POINT):
+                    frows = rows[gt[rows] == gval]
+                    if frows.size == 0:
+                        continue
+                    # gather all rings of these features
+                    rspan = np.stack([o1[frows], o1[frows + 1]], 1)
+                    nr = rspan[:, 1] - rspan[:, 0]
+                    ridx = np.repeat(rspan[:, 0], nr) + (
+                        np.arange(int(nr.sum()))
+                        - np.repeat(np.cumsum(nr) - nr, nr))
+                    pcnt = (o2[ridx + 1] - o2[ridx])
+                    tot = int(pcnt.sum())
+                    pidx = np.repeat(o2[ridx], pcnt) + (
+                        np.arange(tot)
+                        - np.repeat(np.cumsum(pcnt) - pcnt, pcnt))
+                    ppx, ppy = fx[pidx], fy[pidx]
+                    roff = np.concatenate(([0], np.cumsum(pcnt)))
+                    if gval == G.GEOM_POLYGON:
+                        diff += poly_crossing_diff(ppx, ppy, roff, size, extent)
+                    else:
+                        np.maximum(mask, line_point_mask(
+                            ppx, ppy, roff, size, extent,
+                            as_points=(gval == G.GEOM_POINT)), out=mask)
+                out["z"].append(int(z[rows[0]]))
+                out["x"].append(int(xs[rows[0]]))
+                out["y"].append(int(ys[rows[0]]))
+                out["pd"].append(zlib.compress(diff.tobytes(), 1))
+                out["cm"].append(zlib.compress(mask.tobytes(), 1))
+                out["nf"].append(int(rows.size))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out["z"], pa.int32()),
+                 pa.array(out["x"], pa.int64()),
+                 pa.array(out["y"], pa.int64()),
+                 pa.array(out["pd"], pa.binary()),
+                 pa.array(out["cm"], pa.binary()),
+                 pa.array(out["nf"], pa.int64())],
+                schema=pa.schema([
+                    ("z", pa.int32()), ("x", pa.int64()), ("y", pa.int64()),
+                    ("poly_diff", pa.binary()), ("cover_mask", pa.binary()),
+                    ("n_features", pa.int64())]))
+
+    return features.select("z", "x", "y", "geom_type", "parts") \
+        .mapInArrow(fn, _PARTIAL_SCHEMA)
+
+
+_TILE_SCHEMA = StructType([
+    StructField("z", IntegerType()), StructField("x", LongType()),
+    StructField("y", LongType()),
+    StructField("width", IntegerType()), StructField("height", IntegerType()),
+    StructField("n_features", LongType()),
+    StructField("n_pixels", LongType()),
+    StructField("png", BinaryType()),
+])
+
+
+def render_tiles(features: DataFrame, size: int = 256, extent: int = 4096,
+                 rule: str = "nonzero",
+                 level: int = 6) -> DataFrame:
+    """Vector features -> one PNG raster tile per (z, x, y).
+
+    Two-stage partial aggregation (module docstring); merge is a plain
+    integer sum / byte OR, so the output bytes are independent of row
+    and partition order. PNG rows are 0 or 255 gray via the repo
+    codec's vectorized-decodable write path."""
+    partials = render_partials(features, size=size, extent=extent)
+
+    def merge(pdf):
+        import pandas as pd
+        from . import png as PNG
+
+        diff = np.zeros((size, size + 1), np.int32)
+        mask = np.zeros((size, size), np.uint8)
+        for blob in pdf["poly_diff"]:
+            diff += np.frombuffer(
+                zlib.decompress(blob), np.int32).reshape(size, size + 1)
+        for blob in pdf["cover_mask"]:
+            np.maximum(mask, np.frombuffer(
+                zlib.decompress(blob), np.uint8).reshape(size, size),
+                out=mask)
+        img = resolve_mask(diff, mask, rule)
+        data = PNG.encode(img * np.uint8(255), level=level)
+        return pd.DataFrame({
+            "z": pdf["z"].iloc[:1], "x": pdf["x"].iloc[:1],
+            "y": pdf["y"].iloc[:1],
+            "width": np.int32(size), "height": np.int32(size),
+            "n_features": np.int64(pdf["n_features"].sum()),
+            "n_pixels": np.int64(int(img.sum())),
+            "png": [data],
+        })
+
+    return partials.groupBy("z", "x", "y").applyInPandas(merge, _TILE_SCHEMA)
