@@ -212,3 +212,72 @@ def test_render_composes_with_assign_and_clip(spark, sf_dir):
     for t in tiles[:3]:
         arr, _ = PNG.decode(bytes(t.png))
         assert int((arr[..., 0] > 0).sum()) == t.n_pixels
+
+
+# -------------------------------------------------------- raster -> vector
+
+
+def test_vectorize_solid_rect_matches_rect_ring_order():
+    mask = np.zeros((16, 16), np.uint8)
+    mask[2:6, 3:8] = 1
+    rings = R.vectorize_mask(mask, scale=16)
+    assert rings == [[(48, 32), (128, 32), (128, 96), (48, 96), (48, 32)]]
+
+
+def test_vectorize_donut_hole_winding():
+    mask = np.zeros((16, 16), np.uint8)
+    mask[2:10, 2:10] = 1
+    mask[4:8, 4:8] = 0
+    rings = R.vectorize_mask(mask)
+    assert len(rings) == 2
+
+    def shoelace2(ring):
+        return sum(x0 * y1 - x1 * y0
+                   for (x0, y0), (x1, y1) in zip(ring, ring[1:]))
+
+    areas = sorted(shoelace2(r) for r in rings)
+    # y-down CW outer has positive shoelace in this convention's mirror;
+    # the two rings must have opposite orientation and the outer the
+    # bigger magnitude
+    assert areas[0] < 0 < areas[1]
+    assert abs(areas[0]) != abs(areas[1])
+
+
+def test_vectorize_rasterize_roundtrip_fuzz():
+    rng = np.random.default_rng(11)
+    for _ in range(40):
+        size = int(rng.choice([8, 16, 24]))
+        mask = (rng.random((size, size))
+                < rng.uniform(0.05, 0.9)).astype(np.uint8)
+        rings = R.vectorize_mask(mask, scale=16)
+        if not rings:
+            assert mask.sum() == 0
+            continue
+        got = R.rasterize_tile(
+            *_flatten([(G.GEOM_POLYGON, rings)]), size, size * 16)
+        assert np.array_equal(got, mask)
+
+
+def test_vectorize_checkerboard_saddles_stay_simple():
+    """Worst-case saddle density: every interior vertex is a saddle.
+    Each covered pixel must come out as its own simple ring and the
+    round trip must still be exact."""
+    size = 8
+    mask = (np.indices((size, size)).sum(0) % 2).astype(np.uint8)
+    rings = R.vectorize_mask(mask)
+    assert len(rings) == int(mask.sum()) - 13  # merged-at-border count pin
+    got = R.rasterize_tile(
+        *_flatten([(G.GEOM_POLYGON, rings)]), size, size)
+    assert np.array_equal(got, mask)
+
+
+def test_contour_tiles_roundtrip_byte_identical(spark):
+    """render -> contour -> render reproduces the PNG bytes exactly —
+    the distributed form of the round-trip theorem."""
+    df, _ = _mixed_features_df(spark)
+    tiles1 = R.render_tiles(df, size=64, extent=4096)
+    feats2 = R.contour_tiles(tiles1, size=64, extent=4096)
+    tiles2 = R.render_tiles(feats2, size=64, extent=4096)
+    a = {(r.z, r.x, r.y): bytes(r.png) for r in tiles1.collect()}
+    b = {(r.z, r.x, r.y): bytes(r.png) for r in tiles2.collect()}
+    assert a == b

@@ -64,7 +64,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    BinaryType, IntegerType, LongType, StructField, StructType)
+    ArrayType, BinaryType, IntegerType, LongType, StructField, StructType)
 
 from ..mvt import geometry as G
 
@@ -72,6 +72,7 @@ __all__ = [
     "poly_crossing_diff", "line_point_mask", "resolve_mask",
     "rasterize_tile", "rasterize_scalar",
     "render_tiles", "render_partials",
+    "vectorize_mask", "contour_tiles",
 ]
 
 
@@ -432,3 +433,185 @@ def render_tiles(features: DataFrame, size: int = 256, extent: int = 4096,
         })
 
     return partials.groupBy("z", "x", "y").applyInPandas(merge, _TILE_SCHEMA)
+
+
+# ------------------------------------------------------- raster -> vector
+
+
+# directed boundary edge types, interior on the RIGHT of travel
+# (y-down): R = covered pixel's top edge ->, D = right edge v,
+# L = bottom edge <-, U = left edge ^. A solid rect traces in exactly
+# geomops.rect_ring's corner order (CW outer, vtzero's positive
+# shoelace, builder.hpp:951-1141); holes come out reversed.
+_E_R, _E_D, _E_L, _E_U = 0, 1, 2, 3
+
+
+def vectorize_mask(mask: np.ndarray, scale: int = 1) -> list:
+    """Exact boundary polygons of a binary mask: closed rings (lists
+    of (x, y) int tuples, coords scaled by ``scale``) tracing the
+    boundary of the union of covered pixel squares, outer rings CW
+    (y-down), holes CCW.
+
+    The inverse of the scanline fill up to pixel sampling — the
+    round-trip theorem ``rasterize(vectorize(M)) == M`` holds EXACTLY
+    (tests/test_raster.py): ring edges lie on pixel-square boundaries
+    while the rasterizer samples pixel centers, which are strictly
+    interior, and the center-vs-vertical-edge comparisons are exact
+    in float64 for integer coordinates.
+
+    Saddle vertices (two covered pixels meeting diagonally) resolve
+    by the turn-toward-the-diagonal rule, which keeps interiors
+    4-connected — each diagonal neighbor lands in its own contour, so
+    the output rings are always simple (non-self-intersecting).
+
+    Successor computation is one vectorized numpy pass over all
+    boundary edges; only the cycle walk is a Python loop (O(total
+    boundary length) array lookups).
+    """
+    h, w = mask.shape
+    m = np.zeros((h + 2, w + 2), bool)
+    m[1:-1, 1:-1] = mask.astype(bool)
+    core = m[1:-1, 1:-1]
+    # boundary edges, identified by (type, owning covered pixel r, c)
+    er = core & ~m[:-2, 1:-1]   # uncovered above
+    ed = core & ~m[1:-1, 2:]    # uncovered right
+    el = core & ~m[2:, 1:-1]    # uncovered below
+    eu = core & ~m[1:-1, :-2]   # uncovered left
+    if not er.any():
+        return []
+    # global edge index: eid = ((t * h) + r) * w + c
+    stride = h * w
+
+    def ids(t, grid):
+        rr, cc = np.nonzero(grid)
+        return (t * h + rr) * w + cc, rr, cc
+
+    rid, rr, rc = ids(_E_R, er)
+    did, dr, dc = ids(_E_D, ed)
+    lid, lr, lc = ids(_E_L, el)
+    uid, ur, uc = ids(_E_U, eu)
+
+    def cov(r, c):
+        return m[r + 1, c + 1]
+
+    # successor of each edge (vectorized per type); the three-way rule:
+    # diagonal-ahead covered -> turn toward it; straight-ahead covered
+    # -> continue; else -> fold back around the owning pixel's corner.
+    succ = {}
+
+    def put(eids, nxt):
+        for e, s in zip(eids.tolist(), nxt.tolist()):
+            succ[e] = s
+
+    # R edge of (r, c): ends at vertex (c+1, r). A = pixel (r-1, c+1),
+    # B = pixel (r, c+1).
+    a = cov(rr - 1, rc + 1)
+    b = cov(rr, rc + 1)
+    nxt = np.where(a, (_E_U * h + (rr - 1)) * w + (rc + 1),
+                   np.where(b, (_E_R * h + rr) * w + (rc + 1),
+                            (_E_D * h + rr) * w + rc))
+    put(rid, nxt)
+    # D edge of (r, c): ends at (c+1, r+1). A = (r+1, c+1), B = (r+1, c).
+    a = cov(dr + 1, dc + 1)
+    b = cov(dr + 1, dc)
+    nxt = np.where(a, (_E_R * h + (dr + 1)) * w + (dc + 1),
+                   np.where(b, (_E_D * h + (dr + 1)) * w + dc,
+                            (_E_L * h + dr) * w + dc))
+    put(did, nxt)
+    # L edge of (r, c): ends at (c, r+1). A = (r+1, c-1), B = (r, c-1).
+    a = cov(lr + 1, lc - 1)
+    b = cov(lr, lc - 1)
+    nxt = np.where(a, (_E_D * h + (lr + 1)) * w + (lc - 1),
+                   np.where(b, (_E_L * h + lr) * w + (lc - 1),
+                            (_E_U * h + lr) * w + lc))
+    put(lid, nxt)
+    # U edge of (r, c): ends at (c, r). A = (r-1, c-1), B = (r-1, c).
+    a = cov(ur - 1, uc - 1)
+    b = cov(ur - 1, uc)
+    nxt = np.where(a, (_E_L * h + (ur - 1)) * w + (uc - 1),
+                   np.where(b, (_E_U * h + (ur - 1)) * w + uc,
+                            (_E_R * h + ur) * w + uc))
+    put(uid, nxt)
+
+    # start vertex (x, y) of an edge id, in grid units
+    def start_vertex(eid):
+        t, rem = divmod(eid, stride)
+        r, c = divmod(rem, w)
+        if t == _E_R:
+            return (c, r)
+        if t == _E_D:
+            return (c + 1, r)
+        if t == _E_L:
+            return (c + 1, r + 1)
+        return (c, r + 1)
+
+    rings = []
+    seen = set()
+    for e0 in succ:
+        if e0 in seen:
+            continue
+        ring = []
+        e = e0
+        while True:
+            seen.add(e)
+            ring.append(e)
+            e = succ[e]
+            if e == e0:
+                break
+        # collinear merge: consecutive edges of the same type are one
+        # straight run; keep only vertices where the direction turns
+        types = np.array([x // stride for x in ring])
+        turn = types != np.roll(types, 1)
+        pts = [start_vertex(ring[i]) for i in np.flatnonzero(turn)]
+        pts.append(pts[0])  # closed-ring convention (geomops.rect_ring)
+        rings.append([(x * scale, y * scale) for (x, y) in pts])
+    return rings
+
+
+_CONTOUR_SCHEMA = StructType([
+    StructField("z", IntegerType()), StructField("x", LongType()),
+    StructField("y", LongType()),
+    StructField("geom_type", IntegerType()),
+    StructField("parts", ArrayType(ArrayType(StructType([
+        StructField("x", LongType()),
+        StructField("y", LongType())])))),
+    StructField("n_rings", IntegerType()),
+])
+
+
+def contour_tiles(tiles: DataFrame, size: int = 256,
+                  extent: int = 4096) -> DataFrame:
+    """Raster PNG tiles (render_tiles output) -> one polygon feature
+    per tile whose rings trace the exact coverage boundary; feeds
+    straight back into render_tiles (byte-identical round trip,
+    tests/test_raster.py) or into simplify_features for
+    tolerance-based smoothing of the pixel staircase. Row-local
+    (mapInPandas, no shuffle); PNG decode via the repo codec."""
+    import pandas as pd
+    from . import png as PNG
+
+    if extent % size:
+        raise ValueError(f"extent {extent} not a multiple of size {size}")
+    s = extent // size
+
+    def fn(pdfs):
+        for pdf in pdfs:
+            out = []
+            for row in pdf.itertuples(index=False):
+                arr, _ = PNG.decode(bytes(row.png))
+                mask = (arr[..., 0] > 0).astype(np.uint8)
+                rings = vectorize_mask(mask, scale=s)
+                if not rings:
+                    continue
+                out.append({
+                    "z": row.z, "x": row.x, "y": row.y,
+                    "geom_type": G.GEOM_POLYGON,
+                    "parts": [[{"x": int(px), "y": int(py)}
+                               for (px, py) in ring] for ring in rings],
+                    "n_rings": len(rings),
+                })
+            if out:
+                yield pd.DataFrame(out)
+
+    return tiles.select("z", "x", "y", "png").mapInPandas(
+        fn, _CONTOUR_SCHEMA)
