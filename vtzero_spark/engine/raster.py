@@ -399,36 +399,54 @@ _TILE_SCHEMA = StructType([
 
 def render_tiles(features: DataFrame, size: int = 256, extent: int = 4096,
                  rule: str = "nonzero",
-                 level: int = 6) -> DataFrame:
+                 level: int = 6,
+                 supersample: int = 1) -> DataFrame:
     """Vector features -> one PNG raster tile per (z, x, y).
 
     Two-stage partial aggregation (module docstring); merge is a plain
     integer sum / byte OR, so the output bytes are independent of row
-    and partition order. PNG rows are 0 or 255 gray via the repo
-    codec's vectorized-decodable write path."""
-    partials = render_partials(features, size=size, extent=extent)
+    and partition order. With ``supersample=1`` PNG rows are binary
+    0/255 gray; with ``supersample=k`` the partials rasterize at
+    ``k*size`` and each output pixel is the exact box mean of its k^2
+    subpixels (integer round-half-up) — anti-aliased 8-bit coverage,
+    still byte-deterministic. Writes go through the repo codec's
+    vectorized-decodable path."""
+    if supersample < 1:
+        raise ValueError(f"supersample must be >= 1, got {supersample}")
+    ss = supersample
+    hi = size * ss
+    partials = render_partials(features, size=hi, extent=extent)
 
     def merge(pdf):
         import pandas as pd
         from . import png as PNG
 
-        diff = np.zeros((size, size + 1), np.int32)
-        mask = np.zeros((size, size), np.uint8)
+        diff = np.zeros((hi, hi + 1), np.int32)
+        mask = np.zeros((hi, hi), np.uint8)
         for blob in pdf["poly_diff"]:
             diff += np.frombuffer(
-                zlib.decompress(blob), np.int32).reshape(size, size + 1)
+                zlib.decompress(blob), np.int32).reshape(hi, hi + 1)
         for blob in pdf["cover_mask"]:
             np.maximum(mask, np.frombuffer(
-                zlib.decompress(blob), np.uint8).reshape(size, size),
+                zlib.decompress(blob), np.uint8).reshape(hi, hi),
                 out=mask)
         img = resolve_mask(diff, mask, rule)
-        data = PNG.encode(img * np.uint8(255), level=level)
+        if ss == 1:
+            out8 = img * np.uint8(255)
+            n_pixels = int(img.sum())
+        else:
+            covered = img.reshape(size, ss, size, ss).sum(
+                axis=(1, 3), dtype=np.int64)
+            out8 = ((covered * 255 + (ss * ss) // 2)
+                    // (ss * ss)).astype(np.uint8)
+            n_pixels = int((covered > 0).sum())
+        data = PNG.encode(out8, level=level)
         return pd.DataFrame({
             "z": pdf["z"].iloc[:1], "x": pdf["x"].iloc[:1],
             "y": pdf["y"].iloc[:1],
             "width": np.int32(size), "height": np.int32(size),
             "n_features": np.int64(pdf["n_features"].sum()),
-            "n_pixels": np.int64(int(img.sum())),
+            "n_pixels": np.int64(n_pixels),
             "png": [data],
         })
 
