@@ -186,3 +186,115 @@ def knn_queries_sql(alias: str = "queries", n_queries: int = 20) -> str:
     (n_nationkey * {_QAY} + {_QBY}) % {WORLD} AS qy
   FROM nation WHERE n_nationkey < {n_queries}
 )"""
+
+# --------------------------------------------------- radius queries
+
+_RAX, _RBX = 65539, 17
+_RAY, _RBY = 48271, 29
+
+
+def radius_queries(spark: SparkSession, sf_dir: str,
+                   modulus: int = 8) -> DataFrame:
+    """Query points for the distance-within (ST_DWithin analog) join,
+    derived from customer so the query-set size scales with SF
+    (~customer/modulus rows). Same LCG discipline as knn_queries; SQL
+    twin in radius_queries_sql()."""
+    c = load(spark, sf_dir, "customer").where(
+        F.col("c_custkey") % modulus == 0)
+    return c.select(
+        F.col("c_custkey").cast("long").alias("qid"),
+        ((F.col("c_custkey") * _RAX + _RBX) % WORLD).alias("qx"),
+        ((F.col("c_custkey") * _RAY + _RBY) % WORLD).alias("qy"),
+    )
+
+
+def radius_queries_sql(alias: str = "queries", modulus: int = 8) -> str:
+    return f"""
+{alias} AS (
+  SELECT
+    CAST(c_custkey AS BIGINT) AS qid,
+    (c_custkey * {_RAX} + {_RBX}) % {WORLD} AS qx,
+    (c_custkey * {_RAY} + {_RBY}) % {WORLD} AS qy
+  FROM customer WHERE c_custkey % {modulus} = 0
+)"""
+
+
+# ------------------------------------------------------- pixel grid
+
+GRID = 512
+_AV, _BV = 22695477, 1  # Borland LCG (public constant)
+
+
+def pixel_grid(spark: SparkSession, grid: int = GRID,
+               world: int = WORLD) -> DataFrame:
+    """Dense raster band: one row per pixel center with a deterministic
+    integer value — the raster side of zonal statistics. A raster
+    layer's resolution is fixed (independent of table SF), so the grid
+    is synthesized from spark.range, not from a TPC-H table; the
+    DuckDB twin (pixel_grid_sql) uses range() identically.
+
+    Columns: (px, py, wx, wy, value) — wx/wy are the pixel CENTER in
+    world units (pixel-center sample semantics), value in [0, 1000).
+    """
+    pix = world // grid
+    return spark.range(grid * grid).select(
+        F.expr(f"id % {grid}").alias("px"),
+        F.expr(f"id div {grid}").alias("py"),
+        F.expr(f"(id % {grid}) * {pix} + {pix // 2}").alias("wx"),
+        F.expr(f"(id div {grid}) * {pix} + {pix // 2}").alias("wy"),
+        F.expr(f"(id * {_AV} + {_BV}) % 1000").alias("value"),
+    )
+
+
+def pixel_grid_sql(alias: str = "pix", grid: int = GRID,
+                   world: int = WORLD) -> str:
+    pix = world // grid
+    return f"""
+{alias} AS (
+  SELECT
+    i % {grid} AS px,
+    i // {grid} AS py,
+    (i % {grid}) * {pix} + {pix // 2} AS wx,
+    (i // {grid}) * {pix} + {pix // 2} AS wy,
+    (i * {_AV} + {_BV}) % 1000 AS value
+  FROM range({grid * grid}) t(i)
+)"""
+
+
+# --------------------------------------------------- overlay B-side
+
+_PBX, _PBBX = 1566083941 % WORLD, 211
+_PBY, _PBBY = 69069, 3023
+
+
+def polygons_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second convex polygon set (diamonds from supplier) — the other
+    side of the polygon-overlay intersection join. Scales with SF
+    (supplier is 100 rows at sf0.01); SQL twin in polygons_b_sql()."""
+    s = load(spark, sf_dir, "supplier")
+    df = s.select(
+        F.col("s_suppkey").cast("long").alias("pid"),
+        ((F.col("s_suppkey") * _PBX + _PBBX) % WORLD).alias("cx"),
+        ((F.col("s_suppkey") * _PBY + _PBBY) % WORLD).alias("cy"),
+        (F.lit(1000) + (F.col("s_suppkey") % 7) * 2000).alias("r"),
+    )
+    ring = F.array(
+        F.struct((F.col("cx")).alias("x"), (F.col("cy") - F.col("r")).alias("y")),
+        F.struct((F.col("cx") + F.col("r")).alias("x"), (F.col("cy")).alias("y")),
+        F.struct((F.col("cx")).alias("x"), (F.col("cy") + F.col("r")).alias("y")),
+        F.struct((F.col("cx") - F.col("r")).alias("x"), (F.col("cy")).alias("y")),
+        F.struct((F.col("cx")).alias("x"), (F.col("cy") - F.col("r")).alias("y")),
+    )
+    return df.withColumn("ring", ring)
+
+
+def polygons_b_sql(alias: str = "polys_b") -> str:
+    return f"""
+{alias} AS (
+  SELECT
+    CAST(s_suppkey AS BIGINT) AS pid,
+    (s_suppkey * {_PBX} + {_PBBX}) % {WORLD} AS cx,
+    (s_suppkey * {_PBY} + {_PBBY}) % {WORLD} AS cy,
+    1000 + (s_suppkey % 7) * 2000 AS r
+  FROM supplier
+)"""
