@@ -60,6 +60,10 @@ EXTENDED = [
     "pip_hex",
     # round-5 vector->raster: scanline rasterize + PNG encode per tile
     "render_png",
+    # round-5 session-4 oracle-bearing spatial additions
+    "dwithin",
+    "zonal_stats",
+    "overlay",
 ]
 
 # minhash_lsh / simhash_neardup left the 50-entry queries() window in
@@ -69,6 +73,16 @@ EXTENDED = [
 BENCH_ONLY = {
     "minhash_lsh": entrymod.q_minhash_lsh,
     "simhash_neardup": entrymod.q_simhash_neardup,
+    # round-5 session-4 window swap: dedup_exact's slot carries the
+    # new oracle-bearing zonal_stats; the raw-text dedup twin keeps
+    # its HEADLINE timing history here (dedup_hashed stays in the
+    # window as the scalable form)
+    "dedup_exact": entrymod.q_dedup_exact,
+    # round-5 session-4: fused rewrite's window slot carries the new
+    # overlay join (its oracle SQL was literally identical to
+    # streets_filter's); byte parity + zero-shuffle plan stay pinned
+    # in test_rewrite.py/test_plans.py, timing history continues here
+    "streets_filter_fused": entrymod.q_streets_filter_fused,
     # round-5 geometry reduction: buffered assign -> SH clip -> DP
     # simplify (Arrow batch kernels; oracle-pinned in pytest)
     "clip_simplify": entrymod.q_clip_simplify,
