@@ -483,6 +483,20 @@ def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joins.zonal_stats(pix, polys)
 
 
+def q_cell_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polyfill + compact (H3 polygonToCellsCompact analog): level-8
+    cells whose center lies in a diamond zone, compacted to the
+    MINIMAL multi-resolution cover (complete sibling quartets promote
+    recursively, cells.compact_cells). At sf0.01 the ~49k leaf cells
+    compact 24x to ~2k cells spanning seven levels."""
+    pix = synth.pixel_grid(spark, grid=256)
+    polys = synth.polygons(spark, sf_dir)
+    hits = joins.pip_join(pix, polys)
+    c0 = hits.select(cells.cell_id(F.col("px"), F.col("py"), 8).alias("cell"))
+    return cells.compact_cells(c0, 8).select(
+        "cell", cells.cell_level(F.col("cell")).alias("level"))
+
+
 def q_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polygon-overlay intersection join (overlay.overlay_join):
     convex sets A (nation diamonds) x B (supplier diamonds) -> exact
@@ -989,11 +1003,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     in test_rewrite.py/test_plans.py; bench timing continues via
     BENCH_ONLY) for overlay — the polygon x polygon intersection-AREA
     join (overlay.overlay_join), hash-matched against a closed-form
-    DuckDB oracle via the 45-degree rotation."""
+    DuckDB oracle via the 45-degree rotation. Finally layer_stats
+    (the plan-side twin of mvt_layer_stats — their oracle SQL is the
+    same text; mvt_layer_stats stays and exercises the REAL encoded
+    dictionary path, and a pytest pins the two paths equal) made room
+    for cell_compact — H3 polygonToCellsCompact analog (polyfill +
+    recursive quartet promotion, cells.compact_cells), hash-matched
+    against a chained-CTE DuckDB oracle."""
     return {
         "tile_assign": q_tile_assign,
         "tile_counts": q_tile_counts,
-        "layer_stats": q_layer_stats,
         "mvt_layer_stats": q_mvt_layer_stats,
         "roundtrip_counts": q_roundtrip_counts,
         "feature_lookup": q_feature_lookup,
@@ -1018,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dwithin": q_dwithin,
         "zonal_stats": q_zonal_stats,
         "overlay": q_overlay,
+        "cell_compact": q_cell_compact,
         "dedup_hashed": q_dedup_hashed,
         "ngram_jaccard": q_ngram_jaccard,
         "decontaminate": q_decontaminate,
@@ -1068,15 +1088,6 @@ WITH {images},
 SELECT z, x, y, count(*) AS n_features,
        count(DISTINCT layer_name) AS n_layers
 FROM assigned GROUP BY z, x, y
-""",
-        "layer_stats": f"""
-WITH {images},
-{assigned}
-SELECT z, x, y, layer_name, count(*) AS num_features,
-       CAST(3 AS BIGINT) AS key_table_size,
-       count(DISTINCT phash) + count(DISTINCT fmt)
-         + count(DISTINCT caption) AS value_table_size
-FROM assigned GROUP BY z, x, y, layer_name
 """,
         "mvt_layer_stats": f"""
 WITH {images},
@@ -1279,6 +1290,17 @@ WITH {synth.pixel_grid_sql('pix')},
 WITH {polys},
 {synth.polygons_b_sql('polys_b')}
 {_overlay.overlay_sql('polys', 'polys_b')}
+""",
+        "cell_compact": f"""
+WITH {synth.pixel_grid_sql('pix', grid=256)},
+{polys},
+cells0 AS (
+  SELECT DISTINCT CAST({cells.cell_id_sql('p.px', 'p.py', 8)} AS BIGINT) AS cell
+  FROM pix p, polys q
+  WHERE abs(p.wx - q.cx) + abs(p.wy - q.cy) <= q.r
+),
+{cells.compact_cells_sql('cells0', 8)}
+SELECT cell, CAST(FLOOR(LOG2(cell)) / 2 AS INT) AS level FROM compacted
 """,
         "dedup_hashed": textops.DEDUP_EXACT_SQL,
         "ngram_jaccard": textops.ngram_jaccard_adjacent_sql(),

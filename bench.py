@@ -64,6 +64,7 @@ EXTENDED = [
     "dwithin",
     "zonal_stats",
     "overlay",
+    "cell_compact",
 ]
 
 # minhash_lsh / simhash_neardup left the 50-entry queries() window in

@@ -149,3 +149,77 @@ def morton_sql(x: str, y: str, level: int) -> str:
 
 def cell_id_sql(x: str, y: str, level: int) -> str:
     return f"({1 << (2 * level)} | {morton_sql(x, y, level)})"
+
+
+# ------------------------------------------------------- compaction
+
+def compact_cells(cells_df: DataFrame, level: int,
+                  cell_col: str = "cell") -> DataFrame:
+    """H3 ``compactCells`` analog on the quadkey index: the MINIMAL
+    multi-resolution cover of a cell set — every complete sibling
+    quartet is replaced by its parent, recursively, so the output's
+    subtrees partition exactly the input set (disjoint, nothing
+    added, nothing lost).
+
+    Input: cell ids all at ``level`` (duplicates tolerated — the set
+    is distinct'd). Output: one ``cell`` column at mixed levels.
+
+    Plan: ``level`` rounds of (groupBy parent HAVING count(*) = 4 ->
+    promote, anti-join the promoted quartets out). Work shrinks by
+    >= 4x per round — round k touches at most |cells|/4^k rows — so
+    the total shuffle volume is a geometric series bounded by 4/3 of
+    one pass over the distinct cell set, regardless of depth. Each
+    round's survivor/promoted frames are localCheckpoint'd to keep
+    the plan tree linear (same discipline as knn.py's ring loop).
+
+    At 10^12 scale this is how a polyfill / visited-cell set is
+    stored and broadcast: compaction turns a dense region's millions
+    of leaf cells into thousands of mixed-level cells while keeping
+    the subtree_range pruning property (each output cell is still one
+    contiguous id range).
+    """
+    cur = cells_df.select(F.col(cell_col).cast("long").alias("cell")) \
+        .distinct().localCheckpoint()
+    kept_parts = []
+    for _ in range(level):
+        promoted = (
+            cur.groupBy(parent_cell(F.col("cell")).alias("p"))
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") == 4)
+            .select("p")
+            .localCheckpoint()
+        )
+        kept = cur.join(
+            promoted, parent_cell(cur["cell"]) == promoted["p"], "left_anti"
+        ).localCheckpoint()
+        kept_parts.append(kept)
+        cur = promoted.select(F.col("p").alias("cell"))
+        if not cur.take(1):
+            break
+    out = cur
+    for part in kept_parts:
+        out = out.unionByName(part)
+    return out
+
+
+def compact_cells_sql(cells_cte: str, level: int,
+                      out_cte: str = "compacted") -> str:
+    """DuckDB mirror of compact_cells: ``level`` chained CTE stages
+    (promote complete quartets via HAVING count(*)=4, keep the rest),
+    ending in CTE ``out_cte`` = the union of every stage's survivors;
+    the caller appends its own final SELECT over ``out_cte``."""
+    parts = []
+    outs = []
+    prev = cells_cte
+    for l in range(level, 0, -1):
+        parts.append(
+            f"p{l} AS (SELECT cell // 4 AS cell FROM {prev} "
+            f"GROUP BY 1 HAVING count(*) = 4)")
+        parts.append(
+            f"k{l} AS (SELECT cell FROM {prev} "
+            f"WHERE cell // 4 NOT IN (SELECT cell FROM p{l}))")
+        outs.append(f"SELECT cell FROM k{l}")
+        prev = f"p{l}"
+    outs.append(f"SELECT cell FROM {prev}")
+    union = "\nUNION ALL\n".join(outs)
+    return ",\n".join(parts) + f",\n{out_cte} AS (\n{union}\n)"
