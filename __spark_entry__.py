@@ -25,6 +25,7 @@ from vtzero_spark.engine import (
 )
 from vtzero_spark.engine import hexcells as _hexcells
 from vtzero_spark.engine import overlay as _overlay
+from vtzero_spark.engine import raster as _raster
 from vtzero_spark.engine.synth import EXTENT, WORLD, ZOOM, ZOOM_R
 
 BUFFER = 64  # tile-edge buffer (vtzero fixtures 053-056 semantics)
@@ -495,6 +496,18 @@ def q_cell_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     c0 = hits.select(cells.cell_id(F.col("px"), F.col("py"), 8).alias("cell"))
     return cells.compact_cells(c0, 8).select(
         "cell", cells.cell_level(F.col("cell")).alias("level"))
+
+
+def q_raster_stencil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed 3x3 stencil over the dense raster band with halo
+    exchange (raster.raster_stencil): border-band pixels ship to
+    adjacent tiles (~6% halo volume at tile=64), one groupBy runs the
+    whole convolution as a numpy pass per tile — integer-exact, so it
+    hash-matches the scatter-then-group DuckDB mirror."""
+    pix = synth.pixel_grid(spark)
+    from vtzero_spark.engine import raster as _raster
+
+    return _raster.raster_stencil(pix, synth.GRID)
 
 
 def q_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1009,7 +1022,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dictionary path, and a pytest pins the two paths equal) made room
     for cell_compact — H3 polygonToCellsCompact analog (polyfill +
     recursive quartet promotion, cells.compact_cells), hash-matched
-    against a chained-CTE DuckDB oracle."""
+    against a chained-CTE DuckDB oracle. And pip_cells (row-identical
+    to the still-present pip by pytest pin test_pip_cells_equals_pip_join;
+    the single-join-key cell strategy stays oracle-checked via pip_hex
+    and exercised by cell_compact/zonal_stats) made room for
+    raster_stencil — the distributed 3x3 halo-exchange convolution
+    over the dense raster band (raster.raster_stencil)."""
     return {
         "tile_assign": q_tile_assign,
         "tile_counts": q_tile_counts,
@@ -1026,7 +1044,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layer_lookup": q_layer_lookup,
         "tile_check": q_tile_check,
         "cell_index": q_cell_index,
-        "pip_cells": q_pip_cells,
         "pip": q_pip,
         "pip_salted": q_pip_salted,
         "knn": q_knn,
@@ -1038,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats": q_zonal_stats,
         "overlay": q_overlay,
         "cell_compact": q_cell_compact,
+        "raster_stencil": q_raster_stencil,
         "dedup_hashed": q_dedup_hashed,
         "ngram_jaccard": q_ngram_jaccard,
         "decontaminate": q_decontaminate,
@@ -1227,11 +1245,6 @@ SELECT image_id, cell6, CAST(cell6 >> 4 AS BIGINT) AS cell4,
        CAST({CELL_LEVEL + 2} AS INT) AS level
 FROM c
 """,
-        "pip_cells": f"""
-WITH {images},
-{polys}
-{joins.pip_join_sql('images', 'polys')}
-""",
         "pip": f"""
 WITH {images},
 {polys}
@@ -1290,6 +1303,10 @@ WITH {synth.pixel_grid_sql('pix')},
 WITH {polys},
 {synth.polygons_b_sql('polys_b')}
 {_overlay.overlay_sql('polys', 'polys_b')}
+""",
+        "raster_stencil": f"""
+WITH {synth.pixel_grid_sql('pix')}
+{_raster.raster_stencil_sql('pix', synth.GRID)}
 """,
         "cell_compact": f"""
 WITH {synth.pixel_grid_sql('pix', grid=256)},

@@ -65,6 +65,7 @@ EXTENDED = [
     "zonal_stats",
     "overlay",
     "cell_compact",
+    "raster_stencil",
 ]
 
 # minhash_lsh / simhash_neardup left the 50-entry queries() window in
@@ -84,6 +85,10 @@ BENCH_ONLY = {
     # streets_filter's); byte parity + zero-shuffle plan stay pinned
     # in test_rewrite.py/test_plans.py, timing history continues here
     "streets_filter_fused": entrymod.q_streets_filter_fused,
+    # round-5 session-4: pip_cells' window slot carries raster_stencil
+    # (pip_cells rows are pytest-pinned identical to pip, and the
+    # single-key cell join stays oracle-checked via pip_hex)
+    "pip_cells": entrymod.q_pip_cells,
     # round-5 geometry reduction: buffered assign -> SH clip -> DP
     # simplify (Arrow batch kernels; oracle-pinned in pytest)
     "clip_simplify": entrymod.q_clip_simplify,

@@ -171,3 +171,38 @@ def test_zonal_stats_broadcasts_zone_index(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
     # map-side combine: partial HashAggregate below the exchange
     assert len(re.findall(r"\(\d+\) HashAggregate", p)) == 2
+
+
+# -------------------------------------------------- raster stencil
+
+def test_raster_stencil_matches_padded_numpy(spark):
+    """Distributed halo-exchange 3x3 sum == one-shot zero-padded
+    numpy convolution over the whole band (tile boundaries invisible),
+    including a grid that is not a multiple of the tile size's
+    neighbor structure (tile=32 on 128)."""
+    from vtzero_spark.engine import raster
+
+    GRID = 128
+    pix = synth.pixel_grid(spark, grid=GRID)
+    got = raster.raster_stencil(pix, GRID, tile=32).toPandas()
+    pp = pix.toPandas()
+    V = np.zeros((GRID, GRID), dtype=np.int64)
+    V[pp["py"], pp["px"]] = pp["value"]
+    P = np.pad(V, 1)
+    want = sum(P[a:a + GRID, b:b + GRID]
+               for a in range(3) for b in range(3))
+    W = np.zeros((GRID, GRID), dtype=np.int64)
+    W[got["py"], got["px"]] = got["conv_sum"]
+    assert len(got) == GRID * GRID
+    assert (W == want).all()
+
+
+def test_raster_stencil_single_shuffle(spark):
+    """The stencil plan shuffles ONCE (the groupBy tile feeding
+    applyInPandas); halo replication is a narrow explode+filter."""
+    from vtzero_spark.engine import raster
+
+    df = raster.raster_stencil(synth.pixel_grid(spark, grid=128), 128, tile=32)
+    p = _plan(df)
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "FlatMapGroupsInPandas" in p or "FlatMapGroupsIn" in p
