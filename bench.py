@@ -66,12 +66,19 @@ EXTENDED = [
     "overlay",
     "cell_compact",
     "raster_stencil",
+    "raster_pyramid",
 ]
 
 # minhash_lsh / simhash_neardup left the 50-entry queries() window in
 # round 5 (their slots carry the oracle-bearing md5 tier) but their
 # production xxhash64 operators and timing history continue here,
 # resolved straight from the entry module.
+def _raster_pyramid_query(spark):
+    from vtzero_spark.engine import raster
+
+    return raster.raster_pyramid(synth.pixel_grid(spark), synth.GRID)
+
+
 BENCH_ONLY = {
     "minhash_lsh": entrymod.q_minhash_lsh,
     "simhash_neardup": entrymod.q_simhash_neardup,
@@ -89,6 +96,9 @@ BENCH_ONLY = {
     # (pip_cells rows are pytest-pinned identical to pip, and the
     # single-key cell join stays oracle-checked via pip_hex)
     "pip_cells": entrymod.q_pip_cells,
+    # round-5 session-4: raster overview pyramid — cross-engine parity
+    # runs inside pytest (test_dwithin_zonal.py), window stays at 50
+    "raster_pyramid": lambda spark, sf_dir: _raster_pyramid_query(spark),
     # round-5 geometry reduction: buffered assign -> SH clip -> DP
     # simplify (Arrow batch kernels; oracle-pinned in pytest)
     "clip_simplify": entrymod.q_clip_simplify,

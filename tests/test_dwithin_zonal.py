@@ -206,3 +206,42 @@ def test_raster_stencil_single_shuffle(spark):
     p = _plan(df)
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
     assert "FlatMapGroupsInPandas" in p or "FlatMapGroupsIn" in p
+
+
+# -------------------------------------------------- raster pyramid
+
+def test_raster_pyramid_laws_and_cross_engine(spark):
+    """Overview pyramid: every parent equals the sum of its (up to 4)
+    children, the apex equals the band total, and the whole pyramid
+    matches the direct DuckDB grouping (associativity cross-check)."""
+    import duckdb
+
+    from vtzero_spark.engine import raster
+
+    GRID = 128
+    pix = synth.pixel_grid(spark, grid=GRID)
+    got = raster.raster_pyramid(pix, GRID).toPandas()
+    assert len(got) == (4 ** 8 - 1) // 3  # levels 7..0 over 128^2
+
+    # parent == sum of children, every level
+    for lvl in range(6, -1, -1):
+        kids = got[got["level"] == lvl + 1].copy()
+        kids["px"] //= 2
+        kids["py"] //= 2
+        want = kids.groupby(["px", "py"])["sum_v"].sum().reset_index()
+        par = got[got["level"] == lvl][["px", "py", "sum_v"]]
+        m = par.merge(want, on=["px", "py"], suffixes=("", "_k"))
+        assert len(m) == len(par) and (m["sum_v"] == m["sum_v_k"]).all(), lvl
+
+    apex = got[got["level"] == 0]["sum_v"].iloc[0]
+    assert apex == pix.toPandas()["value"].sum()
+
+    o = duckdb.sql(
+        "WITH " + synth.pixel_grid_sql("pix", grid=GRID)[1:] + "\n"
+        + raster.raster_pyramid_sql("pix", GRID)).df()
+
+    def key(df):
+        return df[["level", "px", "py", "sum_v"]].astype("int64") \
+            .sort_values(["level", "px", "py"]).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(key(got), key(o))

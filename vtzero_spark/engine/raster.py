@@ -724,3 +724,59 @@ def raster_stencil_sql(pix_cte: str = "pix", grid: int = 512,
   WHERE q.px + o.dx BETWEEN 0 AND {grid - 1}
     AND q.py + o.dy BETWEEN 0 AND {grid - 1}
   GROUP BY 1, 2"""
+
+
+def raster_pyramid(pixels: DataFrame, grid: int,
+                   out: str = "sum_v") -> DataFrame:
+    """Raster overview pyramid (the COG-overview / tiling.pyramid
+    analog for the dense band): every power-of-two downsample level
+    from the full band to 1x1, each pixel holding the SUM of its 2x2
+    children (so any level is exact, not resampled).
+
+    Output: (level, px, py, sum_v) with level = log2(grid) the native
+    band down to level 0 (one pixel). Built iteratively — level L-1 is
+    one groupBy over level L, so work decays 4x per level and total
+    shuffle volume is <= 4/3 of the band (the compact_cells
+    discipline); each level is localCheckpoint'd to keep the plan
+    linear and reused by BOTH its output row and the next level's
+    input (no re-derivation cascade).
+    """
+    import math
+
+    top = int(math.log2(grid))
+    assert (1 << top) == grid, "grid must be a power of two"
+    cur = pixels.select(
+        F.lit(top).alias("level"), "px", "py",
+        F.col("value").cast("long").alias(out))
+    parts = [cur]
+    for lvl in range(top - 1, -1, -1):
+        cur = (
+            cur.groupBy(
+                F.expr("px div 2").alias("px"),
+                F.expr("py div 2").alias("py"))
+            .agg(F.sum(out).alias(out))
+            .select(F.lit(lvl).alias("level"), "px", "py", out)
+            .localCheckpoint()
+        )
+        parts.append(cur)
+    res = parts[0]
+    for p in parts[1:]:
+        res = res.unionByName(p)
+    return res
+
+
+def raster_pyramid_sql(pix_cte: str = "pix", grid: int = 512,
+                       out: str = "sum_v") -> str:
+    """DuckDB mirror: each level grouped directly from the band
+    (associativity of SUM makes the iterative and direct forms equal)."""
+    import math
+
+    top = int(math.log2(grid))
+    selects = []
+    for lvl in range(top, -1, -1):
+        k = 1 << (top - lvl)
+        selects.append(
+            f"SELECT {lvl} AS level, px // {k} AS px, py // {k} AS py,"
+            f" CAST(SUM(value) AS BIGINT) AS {out}"
+            f" FROM {pix_cte} GROUP BY 1, 2, 3")
+    return "\nUNION ALL\n".join(selects)
