@@ -67,6 +67,7 @@ EXTENDED = [
     "cell_compact",
     "raster_stencil",
     "raster_pyramid",
+    "nearest_fence",
 ]
 
 # minhash_lsh / simhash_neardup left the 50-entry queries() window in
@@ -77,6 +78,14 @@ def _raster_pyramid_query(spark):
     from vtzero_spark.engine import raster
 
     return raster.raster_pyramid(synth.pixel_grid(spark), synth.GRID)
+
+
+def _nearest_fence_query(spark, sf_dir):
+    from vtzero_spark.engine import joins
+
+    return joins.nearest_fence(
+        synth.images(spark, sf_dir), synth.polygons(spark, sf_dir)
+    ).select("image_id", "pid", "d2x2")
 
 
 BENCH_ONLY = {
@@ -99,6 +108,9 @@ BENCH_ONLY = {
     # round-5 session-4: raster overview pyramid — cross-engine parity
     # runs inside pytest (test_dwithin_zonal.py), window stays at 50
     "raster_pyramid": lambda spark, sf_dir: _raster_pyramid_query(spark),
+    # round-5 session-4: zero-shuffle nearest-fence argmin — DuckDB
+    # QUALIFY parity runs inside pytest, window stays at 50
+    "nearest_fence": lambda spark, sf_dir: _nearest_fence_query(spark, sf_dir),
     # round-5 geometry reduction: buffered assign -> SH clip -> DP
     # simplify (Arrow batch kernels; oracle-pinned in pytest)
     "clip_simplify": entrymod.q_clip_simplify,

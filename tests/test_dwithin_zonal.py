@@ -245,3 +245,74 @@ def test_raster_pyramid_laws_and_cross_engine(spark):
             .sort_values(["level", "px", "py"]).reset_index(drop=True)
 
     pd.testing.assert_frame_equal(key(got), key(o))
+
+
+# --------------------------------------------------- nearest fence
+
+def test_nearest_fence_known_geometry(spark):
+    """Hand-checked rotated-clamp distances: inside -> 0 (tie to the
+    smallest pid), corner regime (nearest point is a vertex), edge
+    regime (perpendicular foot on a +-1-slope edge)."""
+    from vtzero_spark.engine import joins
+
+    fences = spark.createDataFrame(pd.DataFrame({
+        "pid": [3, 5], "cx": [0, 0], "cy": [0, 0], "r": [10, 10]}))
+    pts = spark.createDataFrame(pd.DataFrame({
+        "image_id": ["inside", "corner", "edge"],
+        "wx": [1, 20, 20],
+        "wy": [1, 0, 20],
+    }))
+    got = {r.image_id: (r.pid, r.d2x2)
+           for r in joins.nearest_fence(pts, fences).collect()}
+    assert got["inside"] == (3, 0)          # tie on d2x2=0 -> min pid
+    assert got["corner"] == (3, 200)        # d = 10 to vertex (10, 0)
+    assert got["edge"] == (3, 900)          # d = 30/sqrt(2) to edge x+y=10
+
+
+def test_nearest_fence_matches_duckdb(spark, sf_dir):
+    """Full argmin over the synth tables == the DuckDB QUALIFY oracle
+    (cross-engine, exact int64 d2x2)."""
+    import duckdb
+
+    from vtzero_spark.engine import joins
+
+    got = joins.nearest_fence(
+        synth.images(spark, sf_dir), synth.polygons(spark, sf_dir)) \
+        .select("image_id", "pid", "d2x2").toPandas()
+    con = duckdb.connect()
+    for t in ("lineitem", "nation"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    o = con.execute(
+        "WITH " + synth.images_sql()[1:] + "," + synth.polygons_sql()[1:]
+        + joins.nearest_fence_sql("images", "polys")).df()
+
+    def key(df):
+        df = df.copy()
+        df["pid"] = df["pid"].astype("int64")
+        df["d2x2"] = df["d2x2"].astype("int64")
+        return df.sort_values("image_id").reset_index(drop=True)[
+            ["image_id", "pid", "d2x2"]]
+
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(key(got), key(o))
+
+
+def test_nearest_fence_zero_shuffle(spark, sf_dir):
+    """The argmin is a pure projection: NO join operator and no new
+    Exchange beyond the input derivation's own."""
+    from vtzero_spark.engine import joins
+
+    pts = synth.images(spark, sf_dir)
+    base = len(re.findall(r"\(\d+\) Exchange", _plan(pts)))
+    p = _plan(joins.nearest_fence(pts, synth.polygons(spark, sf_dir)))
+    assert "Join" not in p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == base
+
+
+def test_nearest_fence_guards(spark, sf_dir):
+    from vtzero_spark.engine import joins
+
+    empty = synth.polygons(spark, sf_dir).where("pid < 0")
+    with pytest.raises(ValueError, match="at least one"):
+        joins.nearest_fence(synth.images(spark, sf_dir), empty)

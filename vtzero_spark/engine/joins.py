@@ -354,3 +354,73 @@ def zonal_stats_sql(pix_cte: str = "pix", polys_cte: str = "polys") -> str:
   FROM {pix_cte} p, {polys_cte} q
   WHERE abs(p.wx - q.cx) + abs(p.wy - q.cy) <= q.r
   GROUP BY q.pid"""
+
+
+# --------------------------------------------- nearest-fence join
+
+def nearest_fence(points: DataFrame, polys: DataFrame) -> DataFrame:
+    """Nearest-polygon join for DIAMOND fences: each point gets the
+    closest fence (Euclidean distance to the fence SET, 0 inside) as
+    (point columns..., pid, d2x2) where ``d2x2 = 2 * distance^2`` is
+    an EXACT int64: under u = dx+dy, v = dx-dy the L1 ball is the
+    square max(|u|,|v|) <= r, the rotation scales d^2 by exactly 2,
+    and the square-clamp distance is
+    ``d2x2 = max(|u|-r, 0)^2 + max(|v|-r, 0)^2``. Ties break to the
+    smallest pid.
+
+    Scale shape: the fence table is collected (bounded, same
+    broadcast-dimension assumption as pip_join's broadcast tier and
+    geofence_stream's closure table) into ONE array-of-structs column
+    literal; the argmin is `transform` + `array_min` over struct
+    (d2x2, pid) — lexicographic struct comparison IS the tie rule —
+    so the whole operator is a single zero-join, zero-shuffle
+    projection inside whole-stage codegen. A fence set too large to
+    inline would use knn.py's ring expansion over the cell index
+    instead.
+    """
+    rows = polys.select("pid", "cx", "cy", "r").collect()
+    if not rows:
+        raise ValueError("nearest_fence needs at least one fence")
+    if len(rows) > 10_000:
+        raise ValueError("fence set too large to inline as a literal "
+                         "array — use cell-ring expansion (knn.py)")
+    fences = F.array(*[
+        F.struct(
+            F.lit(int(r["pid"])).cast("long").alias("pid"),
+            F.lit(int(r["cx"])).cast("long").alias("cx"),
+            F.lit(int(r["cy"])).cast("long").alias("cy"),
+            F.lit(int(r["r"])).cast("long").alias("r"),
+        ) for r in rows
+    ])
+    zero = F.lit(0).cast("long")
+
+    def _d2x2(f):
+        du = F.greatest(
+            F.abs((F.col("wx") - f["cx"]) + (F.col("wy") - f["cy"])) - f["r"],
+            zero)
+        dv = F.greatest(
+            F.abs((F.col("wx") - f["cx"]) - (F.col("wy") - f["cy"])) - f["r"],
+            zero)
+        return du * du + dv * dv  # pure int64, no float anywhere
+
+    cand = F.transform(
+        fences,
+        lambda f: F.struct(_d2x2(f).alias("d2x2"), f["pid"].alias("pid")),
+    )
+    best = F.array_min(cand)
+    return points.withColumn("_best", best) \
+        .withColumn("pid", F.col("_best.pid")) \
+        .withColumn("d2x2", F.col("_best.d2x2")) \
+        .drop("_best")
+
+
+def nearest_fence_sql(points_cte: str, polys_cte: str = "polys") -> str:
+    """DuckDB mirror: cross join + QUALIFY argmin with the same
+    integer rotated-clamp distance and (d2x2, pid) tie rule."""
+    d2x2 = ("POWER(GREATEST(abs((p.wx - q.cx) + (p.wy - q.cy)) - q.r, 0), 2)"
+            " + POWER(GREATEST(abs((p.wx - q.cx) - (p.wy - q.cy)) - q.r, 0), 2)")
+    return f"""
+  SELECT p.image_id, q.pid, CAST({d2x2} AS BIGINT) AS d2x2
+  FROM {points_cte} p, {polys_cte} q
+  QUALIFY row_number() OVER (
+    PARTITION BY p.image_id ORDER BY {d2x2}, q.pid) = 1"""
