@@ -643,6 +643,25 @@ def q_render_png(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.octet_length("png").alias("png_size"))
 
 
+def q_mosaic_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench surface for browse-imagery mosaic tiles (engine/mosaic.py):
+    per zoom-4 tile, an 8x8 grid of 16px thumbnails of each cell's
+    deterministic winner image, composited and PNG-encoded through the
+    repo codecs. SELECT-THEN-DECODE: the argmin is a map-side-combined
+    JVM min_by, so only tiles x 64 winners (16,384 at zoom 4) ever
+    reach the Python decode stage regardless of corpus size.
+    Serial-reference pixel parity, winner rule, and the two-exchange
+    plan are pinned in tests/test_mosaic.py (image output — no SQL
+    oracle, same class as mvt_tiles/render_png)."""
+    from vtzero_spark.engine import mosaic as mosaicmod
+
+    img = synth.images(spark, sf_dir, with_bytes=True)
+    return mosaicmod.mosaic_tiles(
+        img, zoom=ZOOM, extent=EXTENT, thumb=16, grid=8
+    ).select("z", "x", "y", "n_images", "n_failed",
+             F.octet_length("png").alias("png_size"))
+
+
 def q_pip_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hexagonal (H3-analog) cell index surface: the same PIP join as
     `pip`/`pip_cells`, bucketed on integer-exact hex cells

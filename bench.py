@@ -68,6 +68,9 @@ EXTENDED = [
     "raster_stencil",
     "raster_pyramid",
     "nearest_fence",
+    # round-5 browse-imagery mosaic tiles (select-then-decode; pixel
+    # parity pinned in tests/test_mosaic.py)
+    "mosaic_tiles",
 ]
 
 # minhash_lsh / simhash_neardup left the 50-entry queries() window in
@@ -117,6 +120,9 @@ BENCH_ONLY = {
     # round-5 vector->raster PNG tiles (kernel oracle-pinned in
     # tests/test_raster.py; output is image bytes, so no SQL oracle)
     "render_png": entrymod.q_render_png,
+    # round-5 browse-imagery mosaic (image bytes out, no SQL oracle;
+    # serial-reference parity in tests/test_mosaic.py)
+    "mosaic_tiles": entrymod.q_mosaic_tiles,
 }
 # pip_hex moved INTO queries() in round-5 session 3 (oracle-bearing:
 # join rows + cross-engine hex cell ids); its bench timing continues

@@ -1,0 +1,147 @@
+"""Browse-imagery mosaic tiles: the image x geospatial composition.
+
+Every real tile service over an imagery corpus serves "browse"
+mosaics: a zoom-z tile showing one small thumbnail per grid cell,
+chosen deterministically from the images whose footprint lands in
+that cell. The reference stops at the vector codec (vtzero is
+geometry+properties only); this operator is the imagery twin of
+engine/raster.py's vector->PNG renderer, composing five existing
+engine pieces — tiling.assign_tiles, the in-repo JPEG/PNG decoders
+(engine/jpeg.py, engine/png.py via payload.decode_payload), the
+stacked thumbnail kernel (payload.thumbnail_batch), and the PNG
+write path (png.encode) — into ONE declarative plan.
+
+Built SELECT-THEN-DECODE for the 10^12-image shape:
+
+- **Stage 1 (projection, zero shuffle)**: tile + cell assignment is
+  pure integer arithmetic in whole-stage codegen (assign_tiles with
+  buffer=0 never explodes).
+- **Stage 2 (argmin, one shuffle)**: per (tile, cell) the winning
+  image is ``min_by(struct(...), iid)`` — a partially-aggregable
+  JVM aggregate, so map-side combine caps every task's shuffle
+  contribution at tiles x grid^2 rows REGARDLESS of input size, and
+  the full corpus' payload bytes never travel: only per-task
+  winners do.
+- **Stage 3 (decode winners only)**: the expensive Python work
+  (JPEG/PNG decode) runs on at most tiles x grid^2 rows — at z2 /
+  grid 8 that is <= 1,024 decodes for ANY corpus size, vs 10^12 if
+  decode preceded selection. Decodes batch through the stacked
+  thumbnail kernel; corrupt payloads become ok=false rows (errors
+  as data), never task failures.
+- **Stage 4 (composite, one shuffle)**: groupBy tile places each
+  t x t thumbnail at its grid cell and encodes through png.encode's
+  vectorized-decodable write path. Each group holds <= grid^2 rows
+  by construction — no hot-tile pile is possible.
+
+Total: two exchanges, decode cost O(tiles x grid^2), shuffle volume
+O(task_count x tiles x grid^2) small structs. The operator's output
+is image bytes, so correctness is pinned by a serial numpy/pandas
+reference plus PNG lossless round-trip in tests/test_mosaic.py
+(no SQL oracle — same class as mvt_tiles/render_png).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import png
+from .payload import _decode_and_group, thumbnail_batch, _STACK_CHUNK
+from .tiling import EXTENT, ZOOM, assign_tiles
+
+
+def mosaic_tiles(images: DataFrame, zoom: int = ZOOM, extent: int = EXTENT,
+                 thumb: int = 16, grid: int = 8) -> DataFrame:
+    """Render one ``grid*thumb``-px square PNG mosaic per zoom-``zoom``
+    tile: the tile splits into ``grid x grid`` cells, each cell shows
+    the ``thumb x thumb`` thumbnail of its deterministic winner (the
+    smallest ``iid`` landing in the cell; empty cells stay black).
+
+    ``images`` needs (iid, wx, wy, bytes, fmt). Returns one row per
+    non-empty tile: (z, x, y, n_images, n_failed, w, h, png) where
+    n_images counts placed thumbnails and n_failed counts winners
+    whose payload did not decode (their cells stay black).
+    """
+    if grid < 1 or thumb < 1:
+        raise ValueError(f"grid={grid} and thumb={thumb} must be >= 1")
+    t, g = int(thumb), int(grid)
+
+    cells = (
+        assign_tiles(images.select("iid", "wx", "wy", "bytes", "fmt"),
+                     zoom=zoom, extent=extent)
+        .withColumn("cx", F.expr(f"cast((loc_x * {g}) div {extent} as int)"))
+        .withColumn("cy", F.expr(f"cast((loc_y * {g}) div {extent} as int)"))
+    )
+    winners = (
+        cells.groupBy("z", "x", "y", "cx", "cy")
+        .agg(F.min_by(F.struct("iid", "bytes", "fmt"),
+                      F.col("iid")).alias("win"))
+        .select("z", "x", "y", "cx", "cy",
+                F.col("win.iid").alias("iid"),
+                F.col("win.bytes").alias("bytes"),
+                F.col("win.fmt").alias("fmt"))
+    )
+    # the argmin output is tiny (<= tiles x grid^2 rows) but may land
+    # on few post-shuffle partitions; spread so the Python decode
+    # stage uses the whole cluster
+    from .textops import _spread
+
+    winners = _spread(winners)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            pxs, statuses, groups = _decode_and_group(pdf)
+            thumbs: list = [b""] * n
+            for shape, idxs in groups.items():
+                for c0 in range(0, len(idxs), _STACK_CHUNK):
+                    part = idxs[c0:c0 + _STACK_CHUNK]
+                    stack = np.stack([pxs[i] for i in part])
+                    tb = thumbnail_batch(stack, t)
+                    for j, i in enumerate(part):
+                        thumbs[i] = tb[j].tobytes()
+            yield pd.DataFrame({
+                "z": pdf["z"].to_numpy(),
+                "x": pdf["x"].to_numpy(),
+                "y": pdf["y"].to_numpy(),
+                "cx": pdf["cx"].to_numpy(),
+                "cy": pdf["cy"].to_numpy(),
+                "thumb": thumbs,
+                "ok": [s == "ok" for s in statuses],
+            })
+
+    decoded = winners.mapInPandas(
+        decode,
+        schema="z int, x long, y long, cx int, cy int, "
+               "thumb binary, ok boolean",
+    )
+
+    size = g * t
+
+    def composite(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        canvas = np.zeros((size, size, 3), dtype=np.uint8)
+        ok = pdf[pdf["ok"].to_numpy()]
+        a_cx = ok["cx"].to_numpy()
+        a_cy = ok["cy"].to_numpy()
+        a_tb = ok["thumb"].to_numpy(object)
+        for i in range(len(ok)):          # <= grid^2 rows by construction
+            cy, cx = int(a_cy[i]), int(a_cx[i])
+            tile = np.frombuffer(a_tb[i], dtype=np.uint8).reshape(t, t, 3)
+            canvas[cy * t:(cy + 1) * t, cx * t:(cx + 1) * t] = tile
+        return pd.DataFrame([{
+            "z": int(key[0]), "x": int(key[1]), "y": int(key[2]),
+            "n_images": int(len(ok)),
+            "n_failed": int((~pdf["ok"]).sum()),
+            "w": size, "h": size,
+            "png": png.encode(canvas),
+        }])
+
+    return decoded.groupBy("z", "x", "y").applyInPandas(
+        composite,
+        schema="z int, x long, y long, n_images int, n_failed int, "
+               "w int, h int, png binary",
+    )
