@@ -10,8 +10,9 @@ Correctness contract:
 - the result is independent of input partitioning;
 - corrupt payloads become n_failed counts (black cells), never task
   failures;
-- plan shape: exactly two hash exchanges (the argmin and the tile
-  groupBy) and the min_by aggregate is partial (map-side combine).
+- plan shape: exactly two hash exchanges (the narrow min(iid) argmin
+  and the tile composite), a broadcast fetch join (the corpus never
+  shuffles), and no payload bytes inside any aggregate.
 """
 
 import numpy as np
@@ -116,14 +117,24 @@ def _tiny_df(spark, n=40):
     return spark.createDataFrame(pdf)
 
 
-def test_plan_two_exchanges_partial_argmin(spark):
+def test_plan_shape(spark):
+    """One narrow hash exchange for the min(iid) argmin, a broadcast
+    fetch join (the corpus side never shuffles), one hash exchange for
+    the tile composite — and the payload column stays out of every
+    aggregate."""
     df = mosaic_tiles(_tiny_df(spark), zoom=0, extent=16384)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan, plan[:3000]
     import re
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, \
         plan[:3000]
-    assert "partial_min_by" in plan.lower(), plan[:3000]
+    assert "partial_min" in plan.lower(), plan[:3000]
+    # the argmin aggregate sees only the key, never bytes
+    agg_lines = [ln for ln in plan.splitlines() if "HashAggregate" in ln]
+    assert agg_lines and all("bytes" not in ln for ln in agg_lines), \
+        agg_lines
 
 
 def test_argmin_winner_rule_pinned(spark):

@@ -16,28 +16,35 @@ Built SELECT-THEN-DECODE for the 10^12-image shape:
 - **Stage 1 (projection, zero shuffle)**: tile + cell assignment is
   pure integer arithmetic in whole-stage codegen (assign_tiles with
   buffer=0 never explodes).
-- **Stage 2 (argmin, one shuffle)**: per (tile, cell) the winning
-  image is ``min_by(struct(...), iid)`` — a partially-aggregable
-  JVM aggregate, so map-side combine caps every task's shuffle
-  contribution at tiles x grid^2 rows REGARDLESS of input size, and
-  the full corpus' payload bytes never travel: only per-task
-  winners do.
-- **Stage 3 (decode winners only)**: the expensive Python work
+- **Stage 2 (argmin, one narrow shuffle)**: per (tile, cell) the
+  winner is ``min(iid)`` — the aggregate touches ONLY the 8-byte key,
+  never the payload, so map-side combine caps every task's shuffle
+  contribution at tiles x grid^2 16-byte rows and no image byte ever
+  enters an aggregation buffer. (A ``min_by(struct(iid, bytes), iid)``
+  one-shuffle formulation was measured 4x slower at sf0.1: it copies
+  EVERY input payload into an unsafe aggregate row before the combine
+  can discard it.)
+- **Stage 3 (broadcast fetch, zero corpus shuffle)**: the winner set
+  (<= tiles x grid^2 rows) broadcasts back onto the corpus as an
+  inner hash join on iid — the corpus is never shuffled and its
+  bytes column is scanned exactly once, already filtered.
+- **Stage 4 (decode winners only)**: the expensive Python work
   (JPEG/PNG decode) runs on at most tiles x grid^2 rows — at z2 /
   grid 8 that is <= 1,024 decodes for ANY corpus size, vs 10^12 if
   decode preceded selection. Decodes batch through the stacked
   thumbnail kernel; corrupt payloads become ok=false rows (errors
   as data), never task failures.
-- **Stage 4 (composite, one shuffle)**: groupBy tile places each
+- **Stage 5 (composite, one tiny shuffle)**: groupBy tile places each
   t x t thumbnail at its grid cell and encodes through png.encode's
   vectorized-decodable write path. Each group holds <= grid^2 rows
   by construction — no hot-tile pile is possible.
 
-Total: two exchanges, decode cost O(tiles x grid^2), shuffle volume
-O(task_count x tiles x grid^2) small structs. The operator's output
-is image bytes, so correctness is pinned by a serial numpy/pandas
-reference plus PNG lossless round-trip in tests/test_mosaic.py
-(no SQL oracle — same class as mvt_tiles/render_png).
+Total: two hash exchanges (both bounded by tiles x grid^2 rows) plus
+one broadcast, decode cost O(tiles x grid^2), the corpus itself never
+shuffled. The operator's output is image bytes, so correctness is
+pinned by a serial numpy/pandas reference plus PNG lossless
+round-trip in tests/test_mosaic.py (no SQL oracle — same class as
+mvt_tiles/render_png).
 """
 
 from __future__ import annotations
@@ -55,39 +62,44 @@ from .tiling import EXTENT, ZOOM, assign_tiles
 
 
 def mosaic_tiles(images: DataFrame, zoom: int = ZOOM, extent: int = EXTENT,
-                 thumb: int = 16, grid: int = 8) -> DataFrame:
+                 thumb: int = 16, grid: int = 8,
+                 broadcast_winners: bool = True) -> DataFrame:
     """Render one ``grid*thumb``-px square PNG mosaic per zoom-``zoom``
     tile: the tile splits into ``grid x grid`` cells, each cell shows
     the ``thumb x thumb`` thumbnail of its deterministic winner (the
     smallest ``iid`` landing in the cell; empty cells stay black).
 
-    ``images`` needs (iid, wx, wy, bytes, fmt). Returns one row per
-    non-empty tile: (z, x, y, n_images, n_failed, w, h, png) where
-    n_images counts placed thumbnails and n_failed counts winners
-    whose payload did not decode (their cells stay black).
+    ``images`` needs (iid, wx, wy, bytes, fmt) with UNIQUE iid (the
+    corpus key — a duplicate iid would fetch twice and race for its
+    cell). Returns one row per non-empty tile: (z, x, y, n_images,
+    n_failed, w, h, png) where n_images counts placed thumbnails and
+    n_failed counts winners whose payload did not decode (their cells
+    stay black).
+
+    ``broadcast_winners=False`` switches the fetch to a shuffle join
+    for extreme zoom x occupancy where tiles x grid^2 winner rows
+    outgrow a broadcast (e.g. a full zoom-12 pyramid).
     """
     if grid < 1 or thumb < 1:
         raise ValueError(f"grid={grid} and thumb={thumb} must be >= 1")
     t, g = int(thumb), int(grid)
 
     cells = (
-        assign_tiles(images.select("iid", "wx", "wy", "bytes", "fmt"),
+        assign_tiles(images.select("iid", "wx", "wy"),
                      zoom=zoom, extent=extent)
         .withColumn("cx", F.expr(f"cast((loc_x * {g}) div {extent} as int)"))
         .withColumn("cy", F.expr(f"cast((loc_y * {g}) div {extent} as int)"))
     )
-    winners = (
+    win_ids = (
         cells.groupBy("z", "x", "y", "cx", "cy")
-        .agg(F.min_by(F.struct("iid", "bytes", "fmt"),
-                      F.col("iid")).alias("win"))
-        .select("z", "x", "y", "cx", "cy",
-                F.col("win.iid").alias("iid"),
-                F.col("win.bytes").alias("bytes"),
-                F.col("win.fmt").alias("fmt"))
+        .agg(F.min("iid").alias("iid"))
     )
-    # the argmin output is tiny (<= tiles x grid^2 rows) but may land
-    # on few post-shuffle partitions; spread so the Python decode
-    # stage uses the whole cluster
+    if broadcast_winners:
+        win_ids = F.broadcast(win_ids)
+    winners = images.select("iid", "bytes", "fmt").join(win_ids, "iid")
+    # the fetch output is tiny (<= tiles x grid^2 rows) but inherits
+    # the corpus' partitioning; spread so the Python decode stage
+    # uses the whole cluster
     from .textops import _spread
 
     winners = _spread(winners)
