@@ -992,6 +992,22 @@ def q_payload_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tile_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tileset version diff (engine/diff.py): per (tile, image), is
+    the feature added / removed / moved / retagged between the corpus
+    and its deterministic v2 mutation (synth.images_v2: ~1/23 removed,
+    ~1/31 added, ~1/17 moved, ~1/29 retagged — every branch of the
+    classifier exercised)? Per-TILE semantics: a cross-boundary move
+    is removed+added (both tiles need re-encoding). One shuffle per
+    side into a full-outer sort-merge join; sparse output. This is
+    the work-list operator behind tools/incremental_job.py."""
+    from vtzero_spark.engine import diff as diffmod
+
+    return diffmod.tile_diff(
+        synth.images(spark, sf_dir), synth.images_v2(spark, sf_dir),
+        zoom=ZOOM, extent=EXTENT)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — the driver's correctness harness records at
     most 50, and round 3 silently dropped the last five (the whole
@@ -1053,7 +1069,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the single-join-key cell strategy stays oracle-checked via pip_hex
     and exercised by cell_compact/zonal_stats) made room for
     raster_stencil — the distributed 3x3 halo-exchange convolution
-    over the dense raster band (raster.raster_stencil)."""
+    over the dense raster band (raster.raster_stencil). Round-5
+    session 5 swapped layer_filter (rows-only tile-byte output whose
+    passthrough byte identity is pytest-pinned across all three
+    encoders in test_layer_passthrough.py, and whose sibling
+    mvt_tiles stays in the window as the tile-byte sink
+    representative; bench timing continues via BENCH_ONLY) for
+    tile_diff — the ORACLE-BEARING tileset version diff
+    (diff.tile_diff vs a DuckDB full-outer-join oracle over the
+    deterministic images_v2 mutation)."""
     return {
         "tile_assign": q_tile_assign,
         "tile_counts": q_tile_counts,
@@ -1094,9 +1118,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation": q_curation,
         "ann_topk": q_ann_topk,
         "embed_neardup": q_embed_neardup,
+        "tile_diff": q_tile_diff,
         # rows-only (non-SQL-expressible; tested in tests/)
         "mvt_tiles": q_mvt_tiles,
-        "layer_filter": q_layer_filter,
         "mvt_ingest": q_mvt_ingest,
         "polygon_tiles_hot": q_polygon_tiles_hot,
         "image_phash_neardup": q_image_phash_neardup,
@@ -1333,6 +1357,24 @@ WITH {polys},
         "raster_stencil": f"""
 WITH {synth.pixel_grid_sql('pix')}
 {_raster.raster_stencil_sql('pix', synth.GRID)}
+""",
+        "tile_diff": f"""
+WITH {images},
+{synth.images_v2_sql('images_v2')},
+o AS ({tiling.assign_tiles_sql('images', ZOOM, EXTENT, 0)}),
+n AS ({tiling.assign_tiles_sql('images_v2', ZOOM, EXTENT, 0)}),
+j AS (
+  SELECT coalesce(o.z, n.z) AS z, coalesce(o.x, n.x) AS x,
+         coalesce(o.y, n.y) AS y, coalesce(o.iid, n.iid) AS iid,
+         CASE WHEN o.iid IS NULL THEN 'added'
+              WHEN n.iid IS NULL THEN 'removed'
+              WHEN o.loc_x <> n.loc_x OR o.loc_y <> n.loc_y THEN 'moved'
+              WHEN o.caption <> n.caption THEN 'retagged'
+              ELSE 'unchanged' END AS status
+  FROM o FULL JOIN n
+    ON o.z = n.z AND o.x = n.x AND o.y = n.y AND o.iid = n.iid
+)
+SELECT z, x, y, iid, status FROM j WHERE status <> 'unchanged'
 """,
         "cell_compact": f"""
 WITH {synth.pixel_grid_sql('pix', grid=256)},

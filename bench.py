@@ -71,6 +71,8 @@ EXTENDED = [
     # round-5 browse-imagery mosaic tiles (select-then-decode; pixel
     # parity pinned in tests/test_mosaic.py)
     "mosaic_tiles",
+    # round-5 oracle-bearing tileset version diff
+    "tile_diff",
 ]
 
 # minhash_lsh / simhash_neardup left the 50-entry queries() window in
@@ -123,6 +125,11 @@ BENCH_ONLY = {
     # round-5 browse-imagery mosaic (image bytes out, no SQL oracle;
     # serial-reference parity in tests/test_mosaic.py)
     "mosaic_tiles": entrymod.q_mosaic_tiles,
+    # round-5 session-5 window swap: layer_filter's slot carries the
+    # new oracle-bearing tile_diff; the passthrough byte identity
+    # stays pytest-pinned (test_layer_passthrough.py) and its timing
+    # history continues here
+    "layer_filter": entrymod.q_layer_filter,
 }
 # pip_hex moved INTO queries() in round-5 session 3 (oracle-bearing:
 # join rows + cross-engine hex cell ids); its bench timing continues

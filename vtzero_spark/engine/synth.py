@@ -65,7 +65,18 @@ def images(spark: SparkSession, sf_dir: str, with_bytes: bool = False,
             .crossJoin(reps)
             .select((F.col("iid") * repeat + F.col("_rep")).alias("iid"))
         )
-    df = df.select(
+    df = _derive_image_cols(df)
+    if with_bytes:
+        from .payload import with_image_bytes
+
+        df = with_image_bytes(df)
+    return df
+
+
+def _derive_image_cols(df: DataFrame) -> DataFrame:
+    """Every image column as a pure LCG function of a one-column
+    (iid) frame — shared by images() and images_v2()."""
+    return df.select(
         "iid",
         F.format_string("img%012d", F.col("iid")).alias("image_id"),
         ((F.col("iid") * _AX + _BX) % WORLD).alias("wx"),
@@ -83,20 +94,11 @@ def images(spark: SparkSession, sf_dir: str, with_bytes: bool = False,
         F.concat(F.lit("cap "), F.col("iid").cast("string")).alias("caption"),
         F.concat(F.lit("L"), (F.col("iid") % 3).cast("string")).alias("layer_name"),
     )
-    if with_bytes:
-        from .payload import with_image_bytes
-
-        df = with_image_bytes(df)
-    return df
 
 
-def images_sql(alias: str = "images") -> str:
-    """DuckDB CTE reproducing images() exactly (minus bytes)."""
+def _derive_image_cols_sql(src: str) -> str:
+    """DuckDB SELECT body mirroring _derive_image_cols over ``src``."""
     return f"""
-iid_base AS (
-  SELECT DISTINCT (l_orderkey * 8 + l_linenumber) AS iid FROM lineitem
-),
-{alias} AS (
   SELECT
     iid,
     printf('img%012d', iid) AS image_id,
@@ -108,7 +110,82 @@ iid_base AS (
     CASE WHEN iid % 4 = 0 THEN 'jpeg' ELSE 'png' END AS fmt,
     'cap ' || CAST(iid AS VARCHAR) AS caption,
     'L' || CAST(iid % 3 AS VARCHAR) AS layer_name
-  FROM iid_base
+  FROM {src}"""
+
+
+def images_sql(alias: str = "images") -> str:
+    """DuckDB CTE reproducing images() exactly (minus bytes)."""
+    return f"""
+iid_base AS (
+  SELECT DISTINCT (l_orderkey * 8 + l_linenumber) AS iid FROM lineitem
+),
+{alias} AS ({_derive_image_cols_sql("iid_base")}
+)"""
+
+
+# second corpus version for diff operators: every mutation class a
+# pure iid predicate so the DuckDB twin is exact
+_V2_DROP, _V2_MOVE, _V2_RETAG, _V2_ADD = 23, 17, 29, 31
+_V2_SHIFT = 257
+
+
+def images_v2(spark: SparkSession, sf_dir: str,
+              with_bytes: bool = False) -> DataFrame:
+    """Deterministic SECOND VERSION of the image corpus, for diff /
+    incremental operators: vs images(), ~1/23 of rows are removed,
+    ~1/31 are added (new iid = old*8 — disjoint from every real iid,
+    which is l_orderkey*8 + l_linenumber with linenumber in 1..7),
+    ~1/17 moved (+257 on wx, mod world), ~1/29 retagged (caption
+    suffix). All other rows byte-identical to images(). DuckDB twin:
+    images_v2_sql() (compose AFTER images_sql(); it reuses that CTE's
+    iid_base)."""
+    li = load(spark, sf_dir, "lineitem")
+    base = li.select(
+        (F.col("l_orderkey") * F.lit(8) + F.col("l_linenumber")).alias("iid")
+    ).distinct()
+    kept = base.where(F.col("iid") % _V2_DROP != 0)
+    added = base.where(F.col("iid") % _V2_ADD == 0).select(
+        (F.col("iid") * 8).alias("iid"))
+    df = _derive_image_cols(kept.unionAll(added))
+    df = df.withColumn(
+        "wx",
+        F.when(F.col("iid") % _V2_MOVE == 0,
+               (F.col("wx") + _V2_SHIFT) % WORLD).otherwise(F.col("wx")),
+    ).withColumn(
+        "caption",
+        F.when(F.col("iid") % _V2_RETAG == 0,
+               F.concat(F.col("caption"), F.lit(" v2")))
+        .otherwise(F.col("caption")),
+    )
+    if with_bytes:
+        from .payload import with_image_bytes
+
+        df = with_image_bytes(df)
+    return df
+
+
+def images_v2_sql(alias: str = "images_v2") -> str:
+    """DuckDB CTEs reproducing images_v2() exactly (minus bytes).
+    Assumes images_sql() appears earlier in the same WITH clause (this
+    reuses its iid_base CTE)."""
+    return f"""
+v2_ids AS (
+  SELECT iid FROM iid_base WHERE iid % {_V2_DROP} <> 0
+  UNION ALL
+  SELECT iid * 8 AS iid FROM iid_base WHERE iid % {_V2_ADD} = 0
+),
+v2_base AS ({_derive_image_cols_sql("v2_ids")}
+),
+{alias} AS (
+  SELECT
+    iid, image_id,
+    CASE WHEN iid % {_V2_MOVE} = 0 THEN (wx + {_V2_SHIFT}) % {WORLD}
+         ELSE wx END AS wx,
+    wy, phash, w, h, fmt,
+    CASE WHEN iid % {_V2_RETAG} = 0 THEN caption || ' v2'
+         ELSE caption END AS caption,
+    layer_name
+  FROM v2_base
 )"""
 
 
