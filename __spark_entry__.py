@@ -59,11 +59,14 @@ def _encode_image_tiles(feats: DataFrame) -> DataFrame:
 
 # ------------------------------------------------------------ features
 
-def _features(spark: SparkSession, sf_dir: str, buffer: int = BUFFER) -> DataFrame:
+def _features(spark: SparkSession, sf_dir: str, buffer: int = BUFFER,
+              img: DataFrame | None = None) -> DataFrame:
     """images -> buffered tile assignment -> feature rows ready for the
     MVT encode aggregation (ordinal = iid keeps vtzero's positional
-    order deterministic under shuffle, SURVEY §2.8)."""
-    img = synth.images(spark, sf_dir)
+    order deterministic under shuffle, SURVEY §2.8). ``img`` overrides
+    the corpus (e.g. synth.images_v2 for the tile_diff patch law)."""
+    if img is None:
+        img = synth.images(spark, sf_dir)
     feats = tiling.assign_tiles(img, zoom=ZOOM, extent=EXTENT, buffer=buffer)
     props = F.array(
         F.struct(F.lit("phash").alias("key"), F.lit(5).alias("vtype"),

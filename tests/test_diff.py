@@ -138,3 +138,35 @@ def test_plan_full_outer_smj_no_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" not in plan
     assert "FullOuter" in plan, plan[:2000]
+
+
+def test_patch_law_v1_plus_diff_equals_v2(spark, sf_dir):
+    """The diff is a SUFFICIENT re-encode work list: patching v1's
+    tile set on exactly the diff's (z,x,y) tiles reproduces the full
+    v2 encode byte-for-byte — every tile OUTSIDE the diff is already
+    byte-identical between versions (completeness: no byte-affecting
+    change escapes the classifier), and every tile INSIDE it differs
+    (tile-granularity soundness). Uses the production buffered
+    assignment, so edge-copy ownership is part of the law."""
+    import __spark_entry__ as em
+
+    old = synth.images(spark, sf_dir)
+    new = synth.images_v2(spark, sf_dir)
+
+    def tiles(img):
+        enc = em._encode_image_tiles(em._features(spark, sf_dir, img=img))
+        return {(r["z"], r["x"], r["y"]): bytes(r["tile_bytes"])
+                for r in enc.collect()}
+
+    t1, t2 = tiles(old), tiles(new)
+    changed = {(r["z"], r["x"], r["y"])
+               for r in tile_diff(old, new, ZOOM, EXTENT,
+                                  buffer=em.BUFFER)
+               .select("z", "x", "y").distinct().collect()}
+    unchanged = (t1.keys() | t2.keys()) - changed
+    assert unchanged, "corpus mutation touched every tile; law vacuous"
+    for k in t1.keys() | t2.keys():
+        if k in changed:
+            assert t1.get(k) != t2.get(k), (k, "flagged but identical")
+        else:
+            assert t1[k] == t2[k], (k, "changed but not flagged")

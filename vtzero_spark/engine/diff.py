@@ -38,7 +38,7 @@ from .tiling import EXTENT, ZOOM, assign_tiles
 def tile_diff(old: DataFrame, new: DataFrame, zoom: int = ZOOM,
               extent: int = EXTENT, key: str = "iid",
               geom: tuple = ("loc_x", "loc_y"),
-              tags: tuple = ("caption",)) -> DataFrame:
+              tags: tuple = ("caption",), buffer: int = 0) -> DataFrame:
     """Per-(tile, ``key``) change classification between two corpus
     versions carrying (key, wx, wy, *tags). Returns sparse rows
     (z, x, y, key, status) with status in {'added', 'removed',
@@ -46,14 +46,19 @@ def tile_diff(old: DataFrame, new: DataFrame, zoom: int = ZOOM,
 
     ``geom`` names tile-local columns produced by assign_tiles to
     compare for 'moved' (default: the local coordinates); ``tags``
-    names attribute columns to compare for 'retagged'.
+    names attribute columns to compare for 'retagged'. Pass the
+    ENCODER'S ``buffer`` to diff buffered assignments: a change then
+    flags every owning tile including buffered edge copies, which is
+    exactly the re-encode work list (the patch law — v1 tiles patched
+    on the diff's tile set == full v2 encode byte-for-byte — is pinned
+    in tests/test_diff.py).
     """
     keycols = ["z", "x", "y", key]
     cmp_cols = [*geom, *tags]
 
     def side(df: DataFrame, pfx: str) -> DataFrame:
         a = assign_tiles(df.select(key, "wx", "wy", *tags),
-                         zoom=zoom, extent=extent)
+                         zoom=zoom, extent=extent, buffer=buffer)
         return a.select(
             *keycols,
             *[F.col(c).alias(pfx + c) for c in cmp_cols],
