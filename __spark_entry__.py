@@ -20,8 +20,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from vtzero_spark.engine import (
-    assemble, cells, geomops, joins, knn, lint, rewrite, sessions,
-    simsearch, synth, textops, tiling,
+    assemble, cells, composite, geomops, joins, knn, lint, rewrite,
+    sessions, simsearch, synth, textops, tiling,
 )
 from vtzero_spark.engine import hexcells as _hexcells
 from vtzero_spark.engine import overlay as _overlay
@@ -233,6 +233,29 @@ def q_donut_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sum_x").alias("sum_x"),
         F.sum("sum_y").alias("sum_y"),
         F.sum("area2").alias("area2"),
+    )
+
+
+def q_overzoom_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overzoom (mapbox/vtcomposite's archive->wire op, built here on
+    the reference codec semantics): the buffer-0 point tileset at ZOOM
+    is overzoomed one level — geometry scaled 2x and each child
+    clipped out of its parent, shuffle-free (composite.overzoom_tiles)
+    — then the children are decoded back. Per child tile, feature
+    count and local-coordinate sums must equal pure integer math on
+    the corpus (child x = (2*wx) div E, child loc = (2*wx) mod E):
+    the integer-exactness law, byte-pinned in tests/test_composite.py."""
+    parent = _encode_image_tiles(_features(spark, sf_dir, buffer=0))
+    kids = composite.overzoom_tiles(parent, dz=1)
+    decoded = assemble.decode_tiles(
+        kids.where(F.col("status") == "ok")
+            .select("z", "x", "y", "tile_bytes"))
+    pts = assemble.decoded_points(
+        decoded.where(F.col("decode_status") == "ok"))
+    return pts.groupBy("z", "x", "y", "layer_name").agg(
+        F.count("*").alias("n_features"),
+        F.sum("pt_x").alias("sum_x"),
+        F.sum("pt_y").alias("sum_y"),
     )
 
 
@@ -1080,7 +1103,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     representative; bench timing continues via BENCH_ONLY) for
     tile_diff — the ORACLE-BEARING tileset version diff
     (diff.tile_diff vs a DuckDB full-outer-join oracle over the
-    deterministic images_v2 mutation)."""
+    deterministic images_v2 mutation). Round-5 session 6 swapped
+    polygon_roundtrip (subsumed by the still-present donut_roundtrip,
+    which pins BOTH winding classes and the closing-point re-emission
+    on the same encode->decode->stats path; the rectangle case stays
+    byte-round-tripped in test_codec_geometry.py + hypothesis and its
+    HEADLINE timing continues via BENCH_ONLY) for overzoom_counts —
+    the ORACLE-BEARING overzoom (composite.overzoom_tiles, the
+    vtcomposite archive->wire op): children decoded back and
+    hash-matched against pure DuckDB integer math at the child grid,
+    with the stronger byte-identity law pinned in
+    tests/test_composite.py."""
     return {
         "tile_assign": q_tile_assign,
         "tile_counts": q_tile_counts,
@@ -1088,7 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_counts": q_roundtrip_counts,
         "feature_lookup": q_feature_lookup,
         "dict_encode": q_dict_encode,
-        "polygon_roundtrip": q_polygon_roundtrip,
+        "overzoom_counts": q_overzoom_counts,
         "donut_roundtrip": q_donut_roundtrip,
         "tile_lint": q_tile_lint,
         "streets_filter": q_streets_filter,
@@ -1194,15 +1227,13 @@ SELECT z, x, y, layer_name, fmt,
             AS BIGINT) AS value_idx
 FROM firsts
 """,
-        "polygon_roundtrip": f"""
+        "overzoom_counts": f"""
 WITH {images},
-{assigned0}
+scaled AS (SELECT * REPLACE (wx * 2 AS wx, wy * 2 AS wy) FROM images),
+child AS ({tiling.assign_tiles_sql('scaled', ZOOM + 1, EXTENT, 0)})
 SELECT z, x, y, layer_name, count(*) AS n_features,
-       CAST(5 * count(*) AS BIGINT) AS n_points,
-       CAST(sum(5 * loc_x + 2 * w) AS BIGINT) AS sum_x,
-       CAST(sum(5 * loc_y + 2 * h) AS BIGINT) AS sum_y,
-       CAST(sum(2 * w * h) AS BIGINT) AS area2
-FROM assigned0 GROUP BY z, x, y, layer_name
+       CAST(sum(loc_x) AS BIGINT) AS sum_x, CAST(sum(loc_y) AS BIGINT) AS sum_y
+FROM child GROUP BY z, x, y, layer_name
 """,
         # donut ring math: outer ring contributes 5 decoded points
         # (closing point re-emitted), sum_x 5*x0+2w; the inner ring is

@@ -73,6 +73,8 @@ EXTENDED = [
     "mosaic_tiles",
     # round-5 oracle-bearing tileset version diff
     "tile_diff",
+    # round-5 oracle-bearing overzoom (vtcomposite archive->wire op)
+    "overzoom_counts",
 ]
 
 # minhash_lsh / simhash_neardup left the 50-entry queries() window in
@@ -130,6 +132,12 @@ BENCH_ONLY = {
     # stays pytest-pinned (test_layer_passthrough.py) and its timing
     # history continues here
     "layer_filter": entrymod.q_layer_filter,
+    # round-5 session-6 window swap: polygon_roundtrip's slot carries
+    # the new oracle-bearing overzoom_counts; the rectangle round-trip
+    # stays byte-pinned in test_codec_geometry.py (donut_roundtrip
+    # remains in the window for both winding classes) and its HEADLINE
+    # timing history continues here
+    "polygon_roundtrip": entrymod.q_polygon_roundtrip,
 }
 # pip_hex moved INTO queries() in round-5 session 3 (oracle-bearing:
 # join rows + cross-engine hex cell ids); its bench timing continues
