@@ -75,6 +75,10 @@ EXTENDED = [
     "tile_diff",
     # round-5 oracle-bearing overzoom (vtcomposite archive->wire op)
     "overzoom_counts",
+    # round-5 session-7 archive-level pair: distributed tile-join
+    # (decode -> broadcast join -> re-encode -> decode) and tilestats
+    "join_attrs",
+    "tilestats",
 ]
 
 # minhash_lsh / simhash_neardup left the 50-entry queries() window in
@@ -138,6 +142,13 @@ BENCH_ONLY = {
     # remains in the window for both winding classes) and its HEADLINE
     # timing history continues here
     "polygon_roundtrip": entrymod.q_polygon_roundtrip,
+    # round-5 session-7 window swap: streets_filter's slot carries the
+    # new oracle-bearing join_attrs (its oracle SQL is the filtered
+    # form of streets_filter_decoded's, which stays in the window and
+    # proves the same answer through the byte round trip; the
+    # plan-side twin stays pytest-pinned in test_enrich.py) — its
+    # HEADLINE timing history continues here
+    "streets_filter": entrymod.q_streets_filter,
 }
 # pip_hex moved INTO queries() in round-5 session 3 (oracle-bearing:
 # join rows + cross-engine hex cell ids); its bench timing continues

@@ -253,3 +253,55 @@ def test_overzoom_malformed_parent_is_status_row(spark):
 def test_overzoom_rejects_dz_zero():
     with pytest.raises(ValueError):
         overzoom_tile_bytes(b"", dz=0)
+
+
+def test_overzoom_point_fast_path_matches_slow_path(monkeypatch):
+    """The vectorized single-point fast path must be a PURE
+    optimization: byte-identical children to the general clip path on
+    tag-less features, null ids, out-of-band points, shared dictionary
+    subsets, and a mixed tile where a polygon layer rides the slow
+    path next to a fast point layer."""
+    from vtzero_spark.engine import composite as C
+
+    ring = np.array([[100, 100], [900, 100], [900, 900], [100, 900],
+                     [100, 100]])
+    feats = {
+        "pts": [
+            _pt(1, 10, 20, [(b"k", b"\x0a\x01a")]),
+            _pt(2, 3000, 4000, [(b"k", b"\x0a\x01b"), (b"m", b"\x0a\x01a")]),
+            (None, G.GEOM_POINT, G.encode_point(np.array([[2048, 2047]])),
+             []),                                     # null id, no tags
+            _pt(4, 4095, 4095, [(b"k", b"\x0a\x01a")]),
+            _pt(5, 0, 0, []),
+            _pt(6, 4096, 5000, []),  # out of band: both paths drop it
+        ],
+        "poly": [(7, G.GEOM_POLYGON, G.encode_geometry(
+            G.GEOM_POLYGON, [ring]), [(b"zone", b"\x0a\x01z")])],
+    }
+    buf = _mk_tile(feats)
+    for dz in (1, 2):
+        fast, ns_f = C.overzoom_tile_bytes(buf, dz)
+        monkeypatch.setattr(C, "_overzoom_point_layer_fast",
+                            lambda layer, k: None)
+        slow, ns_s = C.overzoom_tile_bytes(buf, dz)
+        monkeypatch.undo()
+        assert ns_f == ns_s
+        assert fast.keys() == slow.keys() and len(fast) >= 3
+        for cc in fast:
+            assert fast[cc] == slow[cc], (dz, cc)
+
+
+def test_overzoom_corrupt_tag_index_stays_errors_as_data():
+    """A point layer whose feature references a key/value index past
+    the dictionary tables must NOT crash the fast path: it falls back
+    to the general path, whose OutOfRangeError the Spark wrapper turns
+    into a status row."""
+    from vtzero_spark.engine import composite as C
+    from vtzero_spark.mvt.errors import MVTError
+
+    blob = T.build_feature(1, G.GEOM_POINT,
+                           G.encode_point(np.array([[10, 10]])), [5, 7])
+    layer = T.build_layer("bad", [blob], [b"k"], [b"\x0a\x01a"])
+    buf = T.build_tile([layer])
+    with pytest.raises(MVTError):
+        C.overzoom_tile_bytes(buf, 1)

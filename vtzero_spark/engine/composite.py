@@ -30,7 +30,12 @@ Scale shapes:
   once per parent; each child is cut with the batch clip kernels
   (engine/clip.py clip_rings / clip_lines — vectorized across ALL
   rings of a layer per clip edge), so per-child cost is a handful of
-  numpy passes, not per-point Python.
+  numpy passes, not per-point Python. All-single-point layers at
+  buffer=0 (the browse/POI-tileset hot shape) skip the clip entirely:
+  ``_overzoom_point_layer_fast`` assigns children by div/mod and
+  rebuilds each child layer BATCHED (ragged tag gather + factorize +
+  one flat varint scatter), byte-identical to the general path
+  (pinned) and ~3x faster end to end on the point corpus.
 
 Integer exactness: world width is 2^z * extent by construction
 (engine/tiling.py), so overzoom's coordinate map
@@ -208,6 +213,95 @@ _CLIP_FN = {
 }
 
 
+def _overzoom_point_layer_fast(layer: T.Layer, k: int
+                               ) -> dict[tuple[int, int], bytes] | None:
+    """Vectorized overzoom of an all-single-point layer at buffer=0 —
+    the browse/POI-tileset hot shape. Child membership is pure div/mod
+    (half-open, identical to the slow path's half-open clip box), the
+    per-child layer rebuilds batched: ragged tag gather, factorize
+    over the gathered key/value BYTES (first-appearance — the same
+    dedup DictBuilder.add performs, so parent tables with duplicate
+    entries still collapse identically), one flat varint scatter for
+    the features section (rewrite._vartag_features_bytes). Returns
+    None when any feature is not a single point — caller falls back
+    to the general clip path. Byte-equality with the slow path is
+    pinned in tests/test_composite.py."""
+    from ..mvt.pbf import len_field, varint_field
+    from .rewrite import _vartag_features_bytes
+
+    fs = layer.features
+    nf = len(fs)
+    if nf == 0:
+        return {}
+    for f in fs:
+        if (f.geom_type != G.GEOM_POINT or f.geometry.size != 3
+                or f.geometry[0] != 9):
+            return None
+    E = layer.extent
+    g = np.stack([f.geometry for f in fs]).astype(np.int64)
+    zz = g[:, 1:3]
+    pts = ((zz >> 1) ^ -(zz & 1)) * k  # scaled world-of-parent coords
+    ci, cj = pts[:, 0] // E, pts[:, 1] // E
+    inb = (ci >= 0) & (ci < k) & (cj >= 0) & (cj < k)
+    lx, ly = pts[:, 0] - ci * E, pts[:, 1] - cj * E
+    nzx = ((lx << 1) ^ (lx >> 63)).astype(np.uint64)
+    nzy = ((ly << 1) ^ (ly >> 63)).astype(np.uint64)
+
+    tlens = np.fromiter((f.tags.size for f in fs), np.int64, nf)
+    toff = np.zeros(nf + 1, np.int64)
+    np.cumsum(tlens, out=toff[1:])
+    tflat = (np.concatenate([f.tags for f in fs]).astype(np.int64)
+             if toff[-1] else np.zeros(0, np.int64))
+    if tflat.size and (
+            int(tflat[0::2].max(initial=-1)) >= len(layer.keys)
+            or int(tflat[1::2].max(initial=-1)) >= len(layer.values)):
+        return None  # corrupt tag index: the general path surfaces
+        # it as OutOfRangeError -> a status row (errors as data)
+    ids = np.fromiter((f.id or 0 for f in fs), np.int64, nf)
+    has_id = np.fromiter((f.id is not None for f in fs), bool, nf)
+    karr = np.asarray(layer.keys, dtype=object)
+    varr = np.asarray(layer.values, dtype=object)
+
+    header = (
+        varint_field(T.LAYER_VERSION, layer.version)
+        + len_field(T.LAYER_NAME, layer.name.encode("utf-8"))
+        + varint_field(T.LAYER_EXTENT, layer.extent)
+    )
+    out: dict[tuple[int, int], bytes] = {}
+    child_key = ci * k + cj
+    for child in np.unique(child_key[inb]):
+        sel = np.flatnonzero(inb & (child_key == child))  # source order
+        # ragged gather of the survivors' tag streams, feature-major
+        s_tlens = tlens[sel]
+        s_toff = np.zeros(sel.size + 1, np.int64)
+        np.cumsum(s_tlens, out=s_toff[1:])
+        pos = (np.arange(s_toff[-1], dtype=np.int64)
+               - np.repeat(s_toff[:-1], s_tlens)
+               + np.repeat(toff[sel], s_tlens))
+        stflat = tflat[pos]
+        k_codes, k_uniq = pd.factorize(karr[stflat[0::2]])
+        v_codes, v_uniq = pd.factorize(varr[stflat[1::2]])
+        new_tags = np.empty(stflat.size, np.uint64)
+        new_tags[0::2] = k_codes.astype(np.uint64)
+        new_tags[1::2] = v_codes.astype(np.uint64)
+
+        gf = np.empty(sel.size * 3, np.uint64)
+        gf[0::3] = 9
+        gf[1::3] = nzx[sel]
+        gf[2::3] = nzy[sel]
+        goff = np.arange(sel.size + 1, dtype=np.int64) * 3
+        fb = _vartag_features_bytes(
+            ids[sel], has_id[sel],
+            np.full(sel.size, G.GEOM_POINT, np.int64),
+            gf, goff, new_tags, s_toff)
+        out[(int(child) // k, int(child) % k)] = b"".join([
+            header, fb,
+            b"".join(len_field(T.LAYER_KEYS, kb) for kb in k_uniq),
+            b"".join(len_field(T.LAYER_VALUES, vb) for vb in v_uniq),
+        ])
+    return out
+
+
 def overzoom_tile_bytes(buf: bytes, dz: int, buffer: int = 0
                         ) -> tuple[dict[tuple[int, int], bytes], int]:
     """Pure per-parent kernel: tile bytes -> ({(ci, cj): child tile
@@ -225,8 +319,16 @@ def overzoom_tile_bytes(buf: bytes, dz: int, buffer: int = 0
     n_skipped = 0
     # (ci, cj) -> layer position -> list[(feature_pos, id, gtype, cmds, props)]
     children: dict[tuple[int, int], dict[int, list]] = {}
+    # (ci, cj) -> layer position -> finished layer bytes (fast path)
+    child_bytes: dict[tuple[int, int], dict[int, bytes]] = {}
     for li, layer in enumerate(layers):
         E = layer.extent
+        if buffer == 0:
+            fast = _overzoom_point_layer_fast(layer, k)
+            if fast is not None:
+                for cc, lb in fast.items():
+                    child_bytes.setdefault(cc, {})[li] = lb
+                continue
         tables, skipped = _layer_class_tables(layer, k, pa)
         n_skipped += skipped
         if not tables:
@@ -278,9 +380,14 @@ def overzoom_tile_bytes(buf: bytes, dz: int, buffer: int = 0
                         continue
                     out.append((fi, ft.id, gtype, cmds, pr))
     tiles: dict[tuple[int, int], bytes] = {}
-    for (ci, cj), by_layer in children.items():
+    for cc in set(children) | set(child_bytes):
+        by_layer = children.get(cc, {})
+        fast_layers = child_bytes.get(cc, {})
         blobs = []
-        for li in sorted(by_layer):
+        for li in sorted(set(by_layer) | set(fast_layers)):
+            if li in fast_layers:
+                blobs.append(fast_layers[li])
+                continue
             feats = sorted(by_layer[li], key=lambda t: t[0])
             if not feats:
                 continue
@@ -290,7 +397,7 @@ def overzoom_tile_bytes(buf: bytes, dz: int, buffer: int = 0
                 [(fid, gt, cmds, pr) for _, fid, gt, cmds, pr in feats],
                 version=layer.version, extent=layer.extent))
         if blobs:
-            tiles[(ci, cj)] = T.build_tile(blobs)
+            tiles[cc] = T.build_tile(blobs)
     return tiles, n_skipped
 
 
