@@ -231,3 +231,35 @@ def test_tile_counts_equals_tile_assign_rollup(spark, sf_dir):
     got = {(r.z, r.x, r.y): r.n_features for r in
            entry.q_tile_counts(spark, sf_dir).collect()}
     assert got == want
+
+
+def test_tileset_metadata_synth_and_reference(spark, sf_dir):
+    """TileJSON metadata: zoom/bounds from (z,x,y), per-layer spans
+    from the header-only layer scan, fields from tileset_stats —
+    checked on the synth corpus and on the real reference tile."""
+    import json
+
+    tiles = entry._encode_image_tiles(entry._features(spark, sf_dir))
+    meta = enrich.tileset_metadata(tiles, name="synth")
+    assert meta["tilejson"] == "3.0.0" and meta["name"] == "synth"
+    assert meta["minzoom"] == meta["maxzoom"] == ZOOM
+    assert [v["id"] for v in meta["vector_layers"]] == ["L0", "L1", "L2"]
+    n_feats = entry._features(spark, sf_dir).count()
+    assert sum(v["feature_count"] for v in meta["vector_layers"]) == n_feats
+    for v in meta["vector_layers"]:
+        assert v["fields"] == {"phash": "uint", "fmt": "string",
+                               "caption": "string"}
+        assert v["minzoom"] == v["maxzoom"] == ZOOM
+    json.dumps(meta)  # serializable as served
+
+    buf = open("/root/reference/test/data/"
+               "mapbox-streets-v6-14-8714-8017.mvt", "rb").read()
+    ref = spark.createDataFrame(
+        [(14, 8714, 8017, 12, bytearray(buf))],
+        "z long, x long, y long, num_layers int, tile_bytes binary")
+    m2 = enrich.tileset_metadata(ref)
+    assert m2["minzoom"] == m2["maxzoom"] == 14
+    assert m2["bounds"] == [8714, 8017, 8714, 8017]
+    assert len(m2["vector_layers"]) == 12
+    road = {v["id"]: v for v in m2["vector_layers"]}["road"]
+    assert road["fields"]["class"] == "string"

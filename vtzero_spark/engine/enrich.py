@@ -183,3 +183,54 @@ def tileset_stats(tiles: DataFrame, exact: bool = True) -> DataFrame:
             F.min("num").alias("min_num"),
             F.max("num").alias("max_num"),
         )
+
+
+def tileset_metadata(tiles: DataFrame, name: str = "tileset",
+                     exact: bool = False) -> dict:
+    """TileJSON-3.0-shaped metadata for a tileset — what an mbtiles
+    writer stores in its ``metadata`` table (``json.vector_layers``)
+    and a tile server returns from its TileJSON endpoint. Coordinates
+    are in this engine's integer tile grid (no geographic CRS in the
+    corpus), so ``bounds`` is [min_x, min_y, max_x, max_y] in tile
+    units at ``maxzoom``.
+
+    Three bounded aggregations, cheapest first:
+    - zoom range + bounds from the (z, x, y) columns alone (no decode);
+    - per-layer zoom span + feature totals from ``decode_layers``
+      (header/frame scan only — feature bodies stay unparsed);
+    - per-layer ``fields`` from :func:`tileset_stats` (the full
+      decode; ``exact=False`` HLL by default since a metadata JSON
+      never needs exact cardinalities).
+    Driver materialization is layers x attributes rows — never
+    corpus-sized."""
+    zb = tiles.agg(
+        F.min("z").alias("minz"), F.max("z").alias("maxz"),
+        F.min("x").alias("minx"), F.max("x").alias("maxx"),
+        F.min("y").alias("miny"), F.max("y").alias("maxy")).first()
+    span = assemble.decode_layers(tiles) \
+        .where(F.col("decode_status") == "ok") \
+        .groupBy("layer_name").agg(
+            F.min("z").alias("minzoom"), F.max("z").alias("maxzoom"),
+            F.sum("num_features").alias("n_features")).collect()
+    fields: dict[str, dict[str, str]] = {}
+    for r in tileset_stats(tiles, exact=exact).collect():
+        fields.setdefault(r.layer_name, {})[r.attribute] = r.att_type
+    return {
+        "tilejson": "3.0.0",
+        "name": name,
+        "scheme": "xyz",
+        "minzoom": int(zb.minz),
+        "maxzoom": int(zb.maxz),
+        "bounds": [int(zb.minx), int(zb.miny),
+                   int(zb.maxx), int(zb.maxy)],
+        "vector_layers": [
+            {
+                "id": r.layer_name,
+                "minzoom": int(r.minzoom),
+                "maxzoom": int(r.maxzoom),
+                "fields": fields.get(r.layer_name, {}),
+                "feature_count": int(r.n_features),
+            }
+            for r in sorted(span, key=lambda r: r.layer_name)
+        ],
+    }
