@@ -79,6 +79,8 @@ EXTENDED = [
     # (decode -> broadcast join -> re-encode -> decode) and tilestats
     "join_attrs",
     "tilestats",
+    # round-5 session-8 mass-conserving per-tile thinning+accumulate
+    "thin_cluster",
 ]
 
 # minhash_lsh / simhash_neardup left the 50-entry queries() window in

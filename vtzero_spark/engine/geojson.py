@@ -1,0 +1,209 @@
+"""GeoJSON export / parse — the text boundary of the tile pipeline.
+
+vtzero itself stops at the wire format; its ecosystem callers cross
+into GeoJSON on both sides (tippecanoe ingests GeoJSON features and
+hands vtzero-shaped layers to an encoder; vt2geojson walks exactly
+the decode surface vtzero exposes — layers -> features -> geometry +
+properties — and prints Features).  This module is that boundary,
+Spark-first:
+
+- ``export_geojson``: decoded feature rows (assemble.decode_tiles
+  schema — command-integer geometry) -> one RFC-7946 Feature string
+  per feature.  Geometry decode reuses mvt.geometry.decode_geometry
+  (the tested codec path, closing point re-emitted per
+  geometry.hpp:373); text assembly is batch Python inside ONE
+  mapInPandas — no shuffle, cost linear in vertex count, exactly the
+  decode flatMap shape every archive operator here uses.
+  Coordinates are emitted as INTEGERS in tile-local units — the
+  engine's exact grid (lon/lat is a lossy FP projection; callers who
+  want it compose tiling.lonlat helpers).  Multi-part geometries
+  follow vt2geojson's mapping: >1 decoded part promotes Point ->
+  MultiPoint, LineString -> MultiLineString, >1 outer ring ->
+  MultiPolygon (inner rings attach to the preceding outer,
+  spec 4.3.4.4).  Undecodable features surface as status rows
+  (errors-as-data), never task failures.
+
+- ``parse_geojson``: Feature strings -> typed rows with geometry
+  normalized to a ragged parts array — PURE JVM (get_json_object +
+  from_json + higher-order array ops, whole-stage codegen, zero
+  Python), so ingest keeps up with a parquet scan at 100 TB.  Each
+  depth variant parses only its CASE branch's rows semantically;
+  malformed JSON yields null parts (errors as data again).
+
+- ``vertices``: parsed rows -> one row per vertex via posexplode —
+  the exploded integer form the DuckDB oracle can reproduce closed
+  form, which is how the geojson_roundtrip driver query pins the
+  whole encode -> decode -> export -> parse chain hash-exactly.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..mvt import geometry as G
+from ..mvt.errors import MVTError
+
+EXPORT_SCHEMA = (
+    "z long, x long, y long, layer_name string, feature_id long, "
+    "geojson string, status string"
+)
+
+
+def _ring_text(arr: np.ndarray) -> str:
+    return "[" + ",".join(
+        "[%d,%d]" % (int(p[0]), int(p[1])) for p in arr) + "]"
+
+
+def _props_text(props) -> str:
+    """Deterministic properties object: sorted keys, 7-type union
+    rendered to JSON scalars (strings escaped via json.dumps)."""
+    if props is None or len(props) == 0:
+        return "{}"
+    out = []
+    for k in sorted(props):
+        v = props[k]
+        vt = v["vtype"]
+        if vt == 1:
+            tv = json.dumps(v["sval"], ensure_ascii=False)
+        elif vt in (2, 3):
+            tv = repr(float(v["dval"]))
+        elif vt == 7:
+            tv = "true" if v["ival"] else "false"
+        else:
+            tv = str(int(v["ival"]))
+        out.append(json.dumps(k, ensure_ascii=False) + ":" + tv)
+    return "{" + ",".join(out) + "}"
+
+
+def _geometry_text(gtype: int, cmds: np.ndarray, nbytes) -> str:
+    parts, ring_types = G.decode_geometry(
+        gtype, cmds, None if nbytes is None else int(nbytes))
+    if gtype == G.GEOM_POINT:
+        pts = parts[0]
+        if len(pts) == 1:
+            return '{"type":"Point","coordinates":[%d,%d]}' % (
+                int(pts[0][0]), int(pts[0][1]))
+        return '{"type":"MultiPoint","coordinates":%s}' % _ring_text(pts)
+    if gtype == G.GEOM_LINESTRING:
+        if len(parts) == 1:
+            return '{"type":"LineString","coordinates":%s}' % _ring_text(
+                parts[0])
+        return '{"type":"MultiLineString","coordinates":[%s]}' % ",".join(
+            _ring_text(p) for p in parts)
+    # polygon: outer starts a polygon, inners attach to it
+    polys: list[list[str]] = []
+    for ring, rt in zip(parts, ring_types):
+        if rt == G.RING_INNER and polys:
+            polys[-1].append(_ring_text(ring))
+        else:
+            polys.append([_ring_text(ring)])
+    if len(polys) == 1:
+        return '{"type":"Polygon","coordinates":[%s]}' % ",".join(polys[0])
+    return '{"type":"MultiPolygon","coordinates":[%s]}' % ",".join(
+        "[" + ",".join(p) + "]" for p in polys)
+
+
+def export_geojson(features: DataFrame) -> DataFrame:
+    """assemble.decode_tiles rows -> RFC-7946 Feature strings.
+
+    One mapInPandas, no shuffle; expects the FEATURE(_PROPS)_SCHEMA
+    columns (properties optional). Output: (z, x, y, layer_name,
+    feature_id, geojson, status) — status='ok' or the decode error.
+    """
+    has_props = "properties" in features.columns
+    cols = ["z", "x", "y", "layer_name", "feature_id", "geom_type",
+            "geometry", "geometry_nbytes"] + (
+                ["properties"] if has_props else [])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            gj = [None] * n
+            st = [None] * n
+            gt = pdf["geom_type"].to_numpy()
+            geom = pdf["geometry"].to_numpy()
+            nb = pdf["geometry_nbytes"].to_numpy()
+            fid = pdf["feature_id"].to_numpy()
+            pr = pdf["properties"].to_numpy() if has_props else None
+            for i in range(n):
+                try:
+                    gtxt = _geometry_text(
+                        int(gt[i]), np.asarray(geom[i], dtype=np.int64),
+                        nb[i])
+                except (MVTError, ValueError, TypeError) as e:
+                    st[i] = f"{type(e).__name__}: {e}"
+                    continue
+                idtxt = ("" if fid[i] is None or pd.isna(fid[i])
+                         else '"id":%d,' % int(fid[i]))
+                ptxt = _props_text(pr[i]) if pr is not None else "{}"
+                gj[i] = ('{"type":"Feature",%s"properties":%s,'
+                         '"geometry":%s}' % (idtxt, ptxt, gtxt))
+                st[i] = "ok"
+            out = pdf[["z", "x", "y", "layer_name"]].copy()
+            out["feature_id"] = pdf["feature_id"]
+            out["geojson"] = gj
+            out["status"] = st
+            yield out
+
+    return features.select(*cols).mapInPandas(fn, schema=EXPORT_SCHEMA)
+
+
+# -------------------------------------------------------- parse (JVM)
+
+_PARTS_T = "array<array<array<bigint>>>"
+
+
+def parse_geojson(df: DataFrame, col: str = "geojson") -> DataFrame:
+    """Feature strings -> typed rows, PURE JVM (codegen end to end).
+
+    Output columns (input columns preserved):
+      gj_type   geometry type string
+      fid       feature id (null when absent)
+      props_json raw properties object text (typed access is the
+                caller's schema decision)
+      parts     geometry normalized to array<array<array<bigint>>> —
+                a list of rings/paths of [x, y]; Point wraps to one
+                single-point part, MultiPolygon flattens its polygons
+                (ring grouping is recoverable from ring order/winding,
+                same as the wire format itself, spec 4.3.4.4).
+    Malformed JSON or unknown types yield null parts (errors as data).
+    """
+    c = F.col(col)
+    typ = F.get_json_object(c, "$.geometry.type")
+    coords = F.get_json_object(c, "$.geometry.coordinates")
+    d1 = F.from_json(coords, "array<bigint>")
+    d2 = F.from_json(coords, "array<array<bigint>>")
+    d3 = F.from_json(coords, _PARTS_T)
+    d4 = F.from_json(coords, "array<array<array<array<bigint>>>>")
+    parts = (
+        F.when(typ == "Point", F.array(F.array(d1)))
+        .when(typ.isin("MultiPoint", "LineString"), F.array(d2))
+        .when(typ.isin("MultiLineString", "Polygon"), d3)
+        .when(typ == "MultiPolygon", F.flatten(d4))
+        .otherwise(F.lit(None).cast(_PARTS_T))
+    )
+    return df.withColumns({
+        "gj_type": typ,
+        "fid": F.get_json_object(c, "$.id").cast("long"),
+        "props_json": F.get_json_object(c, "$.properties"),
+        "parts": parts,
+    })
+
+
+def vertices(parsed: DataFrame) -> DataFrame:
+    """Parsed rows -> one row per vertex: (…, part, idx, cx, cy) —
+    posexplode twice, still pure JVM; the oracle-comparable form."""
+    e1 = parsed.select(
+        "*", F.posexplode("parts").alias("part", "_ring")).drop("parts")
+    return e1.select(
+        "*", F.posexplode("_ring").alias("idx", "_pt")).drop("_ring") \
+        .withColumns({
+            "cx": F.element_at("_pt", 1),
+            "cy": F.element_at("_pt", 2),
+        }).drop("_pt")
