@@ -81,6 +81,8 @@ EXTENDED = [
     "tilestats",
     # round-5 session-8 mass-conserving per-tile thinning+accumulate
     "thin_cluster",
+    # round-5 session-8 GeoJSON text boundary (export + JVM parse)
+    "geojson_roundtrip",
 ]
 
 # minhash_lsh / simhash_neardup left the 50-entry queries() window in

@@ -187,6 +187,26 @@ def test_parse_malformed_json_yields_null_parts(spark):
     assert len(rows) == 2 and all(r.isnull for r in rows)
 
 
+def test_ingest_reencode_byte_identity(spark, sf_dir):
+    """The tippecanoe direction closes the loop: tiles -> GeoJSON
+    text -> parse -> to_features -> encode == the ORIGINAL tile bytes,
+    byte for byte (geometry-only corpus; dictionaries empty on both
+    sides, ordering by feature_ordinal == fid)."""
+    img = synth.images(spark, sf_dir)
+    assigned = tiling.assign_tiles(img)
+    orig = assemble.encode_geom_tiles(
+        geomops.rect_stream_features(assigned))
+    exp = geojson.export_geojson(
+        assemble.decode_tiles(orig).where(F.col("decode_status") == "ok"))
+    feats2 = geojson.to_features(geojson.parse_geojson(
+        exp.where(F.col("status") == "ok")))
+    redo = assemble.encode_tiles(assemble.encode_layers(feats2))
+    a = {(r.z, r.x, r.y): bytes(r.tile_bytes) for r in orig.collect()}
+    b = {(r.z, r.x, r.y): bytes(r.tile_bytes) for r in redo.collect()}
+    assert a.keys() == b.keys() and len(a) > 0
+    assert all(a[k] == b[k] for k in a)
+
+
 def test_parse_plan_is_jvm_only(spark, sf_dir):
     """The parse+vertices side must contain no Python evaluation —
     ingest scales at scan speed."""

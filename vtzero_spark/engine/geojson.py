@@ -196,6 +196,41 @@ def parse_geojson(df: DataFrame, col: str = "geojson") -> DataFrame:
     })
 
 
+def to_features(parsed: DataFrame) -> DataFrame:
+    """Parsed GeoJSON rows -> encoder-ready feature rows (the
+    tippecanoe direction: text in, wire bytes out via
+    assemble.encode_tiles).  Pure JVM: the struct conversion is two
+    nested ``transform``s, so the only Python in the whole ingest
+    chain is the one vectorized encode UDF.
+
+    Expects parse_geojson output plus (z, x, y, layer_name); feature
+    ordering inside a layer follows ``fid`` (feature_ordinal := fid),
+    matching the synth corpora where ordinal == id.  Rows whose parts
+    failed to parse are dropped here — upstream keeps them as status
+    rows, the encoder only ever sees well-formed features.
+    """
+    gt = (
+        F.when(F.col("gj_type").isin("Point", "MultiPoint"), F.lit(1))
+        .when(F.col("gj_type").isin("LineString", "MultiLineString"),
+              F.lit(2))
+        .when(F.col("gj_type").isin("Polygon", "MultiPolygon"), F.lit(3))
+    )
+    parts = F.transform(
+        "parts",
+        lambda ring: F.transform(
+            ring,
+            lambda p: F.struct(
+                F.element_at(p, 1).cast("long").alias("x"),
+                F.element_at(p, 2).cast("long").alias("y"))))
+    return parsed.where(F.col("parts").isNotNull()).select(
+        "z", "x", "y", "layer_name",
+        F.col("fid").alias("feature_ordinal"),
+        F.col("fid").alias("feature_id"),
+        gt.cast("int").alias("geom_type"),
+        parts.alias("parts"),
+    )
+
+
 def vertices(parsed: DataFrame) -> DataFrame:
     """Parsed rows -> one row per vertex: (…, part, idx, cx, cy) —
     posexplode twice, still pure JVM; the oracle-comparable form."""
