@@ -24,6 +24,7 @@ from vtzero_spark.engine import (
     rewrite, sessions, simsearch, synth, textops, thin, tiling,
 )
 from vtzero_spark.engine import geojson as _geojson
+from vtzero_spark.engine import hilbert as _hilbert
 from vtzero_spark.engine import hexcells as _hexcells
 from vtzero_spark.engine import overlay as _overlay
 from vtzero_spark.engine import raster as _raster
@@ -531,6 +532,23 @@ def q_cell_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells.parent_cell(cells.parent_cell(F.col("cell6"))).alias("cell4"),
         cells.cell_level(F.col("cell6")).alias("level"),
     )
+
+
+def q_hilbert_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve cell ordering at level 8 (S2's real ordering and
+    PMTiles' tile-id space): the unrolled rotate-and-accumulate walk
+    in pure column math (engine/hilbert.py), hash-matched against the
+    chained-CTE DuckDB twin. Consecutive ids are 4-adjacent cells and
+    quadrant subtrees stay contiguous intervals (test_hilbert.py), so
+    Hilbert-clustered file layout strictly improves the Z-order
+    range-serving locality at identical plan shape."""
+    img = synth.images(spark, sf_dir)
+    src = img.select(
+        "iid",
+        F.expr("wx div 256").alias("cx"),
+        F.expr("wy div 256").alias("cy"))
+    return _hilbert.with_hilbert(src, "cx", "cy", 8) \
+        .select("iid", "cx", "cy", "hd")
 
 
 def q_pip_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1232,7 +1250,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the vt2geojson/tippecanoe surface): encode -> decode -> Feature
     strings -> pure-JVM JSON parse -> vertex rows, hash-matched
     against closed-form DuckDB integer math with NO JSON on the
-    oracle side."""
+    oracle side. And fingerprint (third sibling of the same
+    justification: curation's output carries the fp column, so the
+    fingerprint expressions stay driver-gated via that slot;
+    standalone pin in tests/test_hilbert.py::test_fingerprint_oracle_pin)
+    made room for hilbert_index — the Hilbert-curve cell ordering
+    (engine/hilbert.py, S2's real ordering / PMTiles' tile-id space),
+    hash-matched against a chained-CTE DuckDB twin of the unrolled
+    rotate-and-accumulate walk."""
     return {
         "tile_assign": q_tile_assign,
         "tilestats": q_tilestats,
@@ -1269,7 +1294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geojson_roundtrip": q_geojson_roundtrip,
         "token_stats": q_token_stats,
         "thin_cluster": q_thin_cluster,
-        "fingerprint": q_fingerprint,
+        "hilbert_index": q_hilbert_index,
         "curation": q_curation,
         "ann_topk": q_ann_topk,
         "embed_neardup": q_embed_neardup,
@@ -1602,7 +1627,12 @@ WITH {images},
 src AS (SELECT iid, wx, wy, iid % 97 + 1 AS weight FROM images)
 {thin.thin_accumulate_sql('src', 4)}
 """,
-        "fingerprint": textops.FINGERPRINT_SQL,
+        "hilbert_index": f"""
+WITH {images},
+src AS (SELECT iid, wx // 256 AS cx, wy // 256 AS cy FROM images),
+{_hilbert.hilbert_sql_ctes('src', 'cx', 'cy', 8)}
+SELECT iid, cx, cy, hd FROM hfin
+""",
         "curation": textops.curation_sql(),
         "ann_topk": simsearch.ann_topk_sql(),
         "embed_neardup": simsearch.embed_neardup_sql(),
