@@ -130,3 +130,41 @@ def test_mbtiles_deterministic_bytes(spark, sf_dir, tmp_path):
     for p in (a, b):
         mbtiles.write_mbtiles(tiles, p, {"name": "d", "format": "pbf"})
     assert open(a, "rb").read() == open(b, "rb").read()
+
+
+def test_archive_job_emits_consistent_artifacts(spark, sf_dir, tmp_path):
+    """tools/archive_job.run: one encode feeds every archive form;
+    mvt dir, mbtiles, pmtiles, and tilejson must agree with each
+    other tile-for-tile."""
+    import json as _json
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import archive_job
+
+    from vtzero_spark.engine import mvt_files, pmtiles as _pm
+
+    out = str(tmp_path / "arch")
+    summary = archive_job.run(spark, sf_dir, out,
+                              ["mvt", "mbtiles", "pmtiles"])
+    n = summary["n_tiles"]
+    assert summary["formats"]["mvt"]["files"] == n
+    assert summary["formats"]["mbtiles"]["n_tiles"] == n
+    a = {(r.z, r.x, r.y): bytes(r.tile_bytes)
+         for r in mvt_files.read_mvt_files(
+             spark, out + "/tiles").select(
+                 "z", "x", "y", "tile_bytes").collect()}
+    b = {(r.z, r.x, r.y): bytes(r.tile_bytes)
+         for r in mbtiles.read_mbtiles(
+             spark, out + "/tileset.mbtiles").collect()}
+    c = {(r.z, r.x, r.y): bytes(r.tile_bytes)
+         for r in _pm.read_pmtiles(
+             spark, out + "/tileset.pmtiles").collect()}
+    assert a == b == c and len(a) == n
+    meta = _json.load(open(out + "/tilejson.json"))
+    assert meta["tilejson"] == "3.0.0"
+    assert _json.loads(mbtiles.read_mbtiles_metadata(
+        out + "/tileset.mbtiles")["json"])["vector_layers"] \
+        == meta["vector_layers"]
+    assert _pm.read_pmtiles_metadata(
+        out + "/tileset.pmtiles")["vector_layers"] == meta["vector_layers"]
