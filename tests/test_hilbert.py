@@ -163,3 +163,21 @@ def test_fingerprint_oracle_pin(spark, sf_dir):
     b = odf[cols].sort_values(cols).reset_index(drop=True)
     assert len(a) == len(b) > 0
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_hilbert_subtree_range_law(grid_hd):
+    """hilbert_subtree_range == the grid-derived [min, max+1] of every
+    quadrant's ds, at every ancestor zoom — interval POSITION is
+    determined by the quadrant's own level-z d alone."""
+    for z in (1, 2, 3):
+        span = 1 << (L - z)
+        g = grid_hd.copy()
+        g["qx"], g["qy"] = g.cx // span, g.cy // span
+        mm = g.groupby(["qx", "qy"]).hd.agg(["min", "max"])
+        for (qx, qy), row in mm.iterrows():
+            lo, hi = hilbert.hilbert_subtree_range(z, qx, qy, L)
+            assert (lo, hi) == (row["min"], row["max"] + 1)
+    # forward scalar == column walk (shared basis of the range math)
+    for d in range(0, N * N, 11):
+        row = grid_hd.iloc[d]
+        assert hilbert.hilbert_xy2d(int(row.cx), int(row.cy), L) == d

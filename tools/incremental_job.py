@@ -56,7 +56,7 @@ def _commit_cursor(out_dir: str, version: int, meta: dict) -> None:
 def ingest(spark: SparkSession, table_path: str, sf_dir: str,
            slice_spec: str = "0/1", repeat: int = 1,
            cluster_level: int | None = None,
-           cluster_files: int = 8) -> dict:
+           cluster_files: int = 8, order: str = "zorder") -> dict:
     """Producer: append one deterministic slice of the synth
     image+caption table as a snapshot commit.
 
@@ -81,16 +81,35 @@ def ingest(spark: SparkSession, table_path: str, sf_dir: str,
         img = img.where(F.col("iid") % m == k)
     if cluster_level is None:
         version = t.append(img)
-    else:
+    elif order == "zorder":
         clustered = (cells.point_cells(img, cluster_level, WORLD)
                      .repartitionByRange(cluster_files, "cell"))
         version = t.append(clustered, stats_cols=["cell"])
+    elif order == "hilbert":
+        # Hilbert clustering: same plan shape, same stats machinery —
+        # only the sort key changes; bbox serves touch fewer files
+        # (engine/hilbert.py run-count law, measured in
+        # test_incremental_job.py::test_serve_bbox_hilbert_beats_zorder)
+        from vtzero_spark.engine import hilbert
+
+        cell_w = WORLD >> cluster_level
+        withc = img.withColumns({
+            "_ccx": F.expr(f"wx div {cell_w}"),
+            "_ccy": F.expr(f"wy div {cell_w}")})
+        clustered = (hilbert.with_hilbert(
+            withc, "_ccx", "_ccy", cluster_level, out="cell")
+            .drop("_ccx", "_ccy")
+            .repartitionByRange(cluster_files, "cell"))
+        version = t.append(clustered, stats_cols=["cell"])
+    else:
+        raise ValueError(f"unknown order {order!r}")
     return {"op": "ingest", "table": table_path, "version": version,
-            "slice": slice_spec, "cluster_level": cluster_level}
+            "slice": slice_spec, "cluster_level": cluster_level,
+            "order": order if cluster_level is not None else None}
 
 
 def serve_tile(spark: SparkSession, table_path: str, z: int, x: int,
-               y: int, cluster_level: int):
+               y: int, cluster_level: int, order: str = "zorder"):
     """Read ONE tile's features from a cell-clustered table without
     scanning it: tile (z, x, y)'s subtree at the clustering level is a
     single contiguous cell range (cells.subtree_range), so the
@@ -102,10 +121,79 @@ def serve_tile(spark: SparkSession, table_path: str, z: int, x: int,
     from vtzero_spark.engine.table import SnapshotTable
 
     t = SnapshotTable(table_path)
-    lo, hi = cells.subtree_range(z, x, y, cluster_level)
+    if order == "zorder":
+        lo, hi = cells.subtree_range(z, x, y, cluster_level)
+    elif order == "hilbert":
+        from vtzero_spark.engine import hilbert
+
+        lo, hi = hilbert.hilbert_subtree_range(z, x, y, cluster_level)
+    else:
+        raise ValueError(f"unknown order {order!r}")
     df = t.read(spark, where=[("cell", ">=", lo), ("cell", "<", hi)])
     return df, {"files_scanned": len(df.inputFiles()),
                 "files_total": len(t.snapshot()["files"])}
+
+
+def serve_bbox(spark: SparkSession, table_path: str,
+               wx0: int, wy0: int, wx1: int, wy1: int,
+               cluster_level: int, order: str = "zorder"):
+    """Viewport read over a cell-clustered table: the bbox's covering
+    cells merge into contiguous id INTERVALS (driver-side, bounded by
+    the covering size — use a coarser level for continent-scale
+    boxes), each interval reads through SnapshotTable.read (stats
+    prune + delete awareness intact), results union + exact row
+    filter. Fewer intervals -> fewer surviving files; Hilbert
+    clustering yields measurably fewer of both than Z-order on the
+    same data (the Moon-et-al run-count law, pinned in
+    test_incremental_job.py). Returns (DataFrame, metrics)."""
+    from vtzero_spark.engine import cells as _c
+    from vtzero_spark.engine import hilbert as _h
+    from vtzero_spark.engine.synth import WORLD
+    from vtzero_spark.engine.table import SnapshotTable
+
+    if not (0 <= wx0 < wx1 <= WORLD and 0 <= wy0 < wy1 <= WORLD):
+        raise ValueError("bbox must be a non-empty [wx0,wx1)x[wy0,wy1) "
+                         f"inside [0,{WORLD})")
+    t = SnapshotTable(table_path)
+    cw = WORLD >> cluster_level
+    cxs = range(wx0 // cw, (wx1 - 1) // cw + 1)
+    cys = range(wy0 // cw, (wy1 - 1) // cw + 1)
+    if order == "zorder":
+        marker = 1 << (2 * cluster_level)
+        ids = sorted(
+            marker | _morton_scalar(cx, cy, cluster_level)
+            for cx in cxs for cy in cys)
+    elif order == "hilbert":
+        ids = sorted(_h.hilbert_xy2d(cx, cy, cluster_level)
+                     for cx in cxs for cy in cys)
+    else:
+        raise ValueError(f"unknown order {order!r}")
+    intervals: list[list[int]] = []
+    for i in ids:
+        if intervals and i == intervals[-1][1]:
+            intervals[-1][1] = i + 1
+        else:
+            intervals.append([i, i + 1])
+    df = None
+    files: set[str] = set()
+    for lo, hi in intervals:
+        part = t.read(spark, where=[("cell", ">=", lo),
+                                    ("cell", "<", hi)])
+        files.update(part.inputFiles())
+        df = part if df is None else df.unionByName(part)
+    df = df.where((F.col("wx") >= wx0) & (F.col("wx") < wx1)
+                  & (F.col("wy") >= wy0) & (F.col("wy") < wy1))
+    return df, {"files_scanned": len(files),
+                "files_total": len(t.snapshot()["files"]),
+                "n_intervals": len(intervals), "order": order}
+
+
+def _morton_scalar(x: int, y: int, level: int) -> int:
+    m = 0
+    for i in range(level):
+        m |= ((x >> i) & 1) << (2 * i)
+        m |= ((y >> i) & 1) << (2 * i + 1)
+    return m
 
 
 def process(spark: SparkSession, table_path: str, out_dir: str) -> dict:

@@ -107,6 +107,37 @@ def hilbert_sql_ctes(src_cte: str, x: str, y: str, level: int,
     return ",\n".join(ctes)
 
 
+def hilbert_xy2d(x: int, y: int, level: int) -> int:
+    """Scalar forward walk (xy2d) — the driver-side twin of
+    with_hilbert for range builders."""
+    d = 0
+    s = 1 << (level - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+def hilbert_subtree_range(z: int, x: int, y: int,
+                          level: int) -> tuple[int, int]:
+    """Half-open ``[lo, hi)`` of level-``level`` Hilbert ds under tile
+    (z, x, y) — the Hilbert twin of cells.subtree_range: the curve
+    visits a quadrant's whole subtree consecutively, and the span's
+    position depends only on the quadrant's own level-z d (the
+    rotation inside changes visit ORDER, never the interval)."""
+    if level < z:
+        raise ValueError(f"level {level} above tile zoom {z}")
+    d = hilbert_xy2d(x, y, z) if z else 0
+    shift = 2 * (level - z)
+    return d << shift, (d + 1) << shift
+
+
 def hilbert_xy(d: int, level: int) -> tuple[int, int]:
     """Scalar inverse (d2xy) — test/driver-side helper for building
     PMTiles directories and verifying the walk."""
