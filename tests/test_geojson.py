@@ -223,3 +223,61 @@ def test_parse_plan_is_jvm_only(spark, sf_dir):
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                    "FlatMapGroupsInPandas"):
         assert marker not in seg
+
+
+def test_geojson_to_tiles_matches_scalar_clip_oracle(spark, sf_dir):
+    """The composed tippecanoe front door: world-coordinate GeoJSON
+    lines -> bbox fan-out -> localize -> clip -> encode. Every decoded
+    output feature must equal the scalar clip oracle
+    (clip.clip_parts_scalar) run per (feature, candidate tile) —
+    including features spanning multiple tiles, which anchor-point
+    replication would miss."""
+    from vtzero_spark.engine import clip as clipmod
+    from vtzero_spark.engine.synth import EXTENT, ZOOM
+
+    BUF = 64
+    img = synth.images(spark, sf_dir)
+    lines = img.select(F.format_string(
+        '{"type":"Feature","id":%d,"properties":{},'
+        '"geometry":{"type":"Polygon","coordinates":'
+        '[[[%d,%d],[%d,%d],[%d,%d],[%d,%d],[%d,%d]]]}}',
+        "iid", "wx", "wy",
+        F.col("wx") + F.col("w"), "wy",
+        F.col("wx") + F.col("w"), F.col("wy") + F.col("h"),
+        "wx", F.col("wy") + F.col("h"), "wx", "wy").alias("geojson"))
+    tiles = geojson.geojson_to_tiles(
+        lines, zoom=ZOOM, extent=EXTENT, buffer=BUF)
+    dec = assemble.decode_tiles(tiles).where(
+        F.col("decode_status") == "ok")
+    got = {}
+    for r in dec.collect():
+        parts, _ = __import__("vtzero_spark.mvt.geometry", fromlist=["x"]) \
+            .decode_geometry(int(r.geom_type),
+                             np.asarray(r.geometry, dtype=np.int64),
+                             int(r.geometry_nbytes))
+        got[(r.x, r.y, r.feature_id)] = [p.tolist() for p in parts]
+
+    # scalar oracle over every (feature, bbox-candidate tile)
+    src = img.select("iid", "wx", "wy", "w", "h").toPandas()
+    want = {}
+    n_tiles = 1 << ZOOM
+    for t in src.itertuples():
+        ring = np.array([
+            [t.wx, t.wy], [t.wx + t.w, t.wy],
+            [t.wx + t.w, t.wy + t.h], [t.wx, t.wy + t.h],
+            [t.wx, t.wy]], dtype=np.int64)
+        for tx in range(max(0, (t.wx - BUF) // EXTENT),
+                        min(n_tiles - 1, (t.wx + t.w + BUF) // EXTENT) + 1):
+            for ty in range(max(0, (t.wy - BUF) // EXTENT),
+                            min(n_tiles - 1,
+                                (t.wy + t.h + BUF) // EXTENT) + 1):
+                local = ring - np.array([tx * EXTENT, ty * EXTENT])
+                parts = clipmod.clip_parts_scalar(
+                    [local], 3, -BUF, -BUF, EXTENT + BUF, EXTENT + BUF)
+                if parts:
+                    want[(tx, ty, t.iid)] = [np.asarray(p).tolist()
+                                             for p in parts]
+    assert set(got) == set(want)
+    assert len(got) > len(src)  # multi-tile features really occurred
+    for k in want:
+        assert got[k] == want[k], k

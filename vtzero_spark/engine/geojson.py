@@ -231,6 +231,78 @@ def to_features(parsed: DataFrame) -> DataFrame:
     )
 
 
+def geojson_to_tiles(lines: DataFrame, zoom: int, extent: int,
+                     buffer: int = 0, layer: str = "features",
+                     col: str = "geojson") -> DataFrame:
+    """The full tippecanoe front door: GeoJSON Feature lines in WORLD
+    integer coordinates -> encoded MVT tiles at ``zoom``.
+
+    Stages (shuffle only at the final per-tile encode):
+    1. parse_geojson — pure JVM;
+    2. bbox fan-out: per-feature [min, max] via array_min/transform
+       (JVM), candidate tiles = every tile whose buffered rect the
+       bbox touches (sequence + two posexplodes — the correct cover,
+       unlike anchor-point replication which misses geometry that
+       extends past the buffer without its anchor following);
+    3. localize: coordinates shift into each owning tile's frame via
+       nested transforms (JVM);
+    4. clip.clip_features cuts every copy to its buffered rect (the
+       Arrow batch kernels; vanished features drop);
+    5. assemble.encode_layers -> encode_tiles (vectorized encode; the
+       groupBy(z, x, y) is the plan's one hash shuffle).
+
+    Feature order inside a layer follows fid (the corpus discipline).
+    Rows whose JSON failed to parse are dropped (upstream keeps them
+    as status rows via parse_geojson on the same input).
+    """
+    from . import assemble
+    from .clip import clip_features
+
+    n_tiles = 1 << zoom
+    p = parse_geojson(lines, col=col).where(F.col("parts").isNotNull())
+    flat = F.flatten("parts")
+    xs = F.transform(flat, lambda q: F.element_at(q, 1))
+    ys = F.transform(flat, lambda q: F.element_at(q, 2))
+    p = p.withColumns({
+        "_x0": F.array_min(xs), "_x1": F.array_max(xs),
+        "_y0": F.array_min(ys), "_y1": F.array_max(ys),
+    })
+    tx = F.sequence(
+        F.greatest(F.lit(0), F.expr(f"(_x0 - {buffer}) div {extent}")),
+        F.least(F.lit(n_tiles - 1),
+                F.expr(f"(_x1 + {buffer}) div {extent}")))
+    ty = F.sequence(
+        F.greatest(F.lit(0), F.expr(f"(_y0 - {buffer}) div {extent}")),
+        F.least(F.lit(n_tiles - 1),
+                F.expr(f"(_y1 + {buffer}) div {extent}")))
+    p = (p.withColumn("x", F.explode(tx))
+         .withColumn("y", F.explode(ty))
+         .withColumn("z", F.lit(zoom).cast("long")))
+    gt = (
+        F.when(F.col("gj_type").isin("Point", "MultiPoint"), F.lit(1))
+        .when(F.col("gj_type").isin("LineString", "MultiLineString"),
+              F.lit(2))
+        .when(F.col("gj_type").isin("Polygon", "MultiPolygon"), F.lit(3))
+    )
+    loc = F.transform(
+        "parts",
+        lambda ring: F.transform(
+            ring,
+            lambda q: F.struct(
+                (F.element_at(q, 1) - F.col("x") * extent)
+                .cast("long").alias("x"),
+                (F.element_at(q, 2) - F.col("y") * extent)
+                .cast("long").alias("y"))))
+    feats = p.select(
+        "z", "x", "y", F.lit(layer).alias("layer_name"),
+        F.col("fid").alias("feature_ordinal"),
+        F.col("fid").alias("feature_id"),
+        gt.cast("int").alias("geom_type"),
+        loc.alias("parts"))
+    feats = clip_features(feats, extent=extent, buffer=buffer)
+    return assemble.encode_tiles(assemble.encode_layers(feats))
+
+
 def vertices(parsed: DataFrame) -> DataFrame:
     """Parsed rows -> one row per vertex: (…, part, idx, cx, cy) —
     posexplode twice, still pure JVM; the oracle-comparable form."""
