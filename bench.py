@@ -83,6 +83,9 @@ EXTENDED = [
     "thin_cluster",
     # round-5 session-8 GeoJSON text boundary (export + JVM parse)
     "geojson_roundtrip",
+    # round-5 session-8 composed tippecanoe front door: text ->
+    # bbox fan-out -> clip -> encode (JVM parse throughput surface)
+    "geojson_tiles",
 ]
 
 # minhash_lsh / simhash_neardup left the 50-entry queries() window in
@@ -103,7 +106,26 @@ def _nearest_fence_query(spark, sf_dir):
     ).select("image_id", "pid", "d2x2")
 
 
+def _geojson_tiles_query(spark, sf_dir):
+    from vtzero_spark.engine import geojson as gjmod
+    from vtzero_spark.engine.synth import EXTENT, ZOOM
+
+    img = synth.images(spark, sf_dir)
+    lines = img.select(F.format_string(
+        '{"type":"Feature","id":%d,"properties":{},'
+        '"geometry":{"type":"Polygon","coordinates":'
+        '[[[%d,%d],[%d,%d],[%d,%d],[%d,%d],[%d,%d]]]}}',
+        "iid", "wx", "wy",
+        F.col("wx") + F.col("w"), "wy",
+        F.col("wx") + F.col("w"), F.col("wy") + F.col("h"),
+        "wx", F.col("wy") + F.col("h"), "wx", "wy").alias("geojson"))
+    return gjmod.geojson_to_tiles(lines, ZOOM, EXTENT, buffer=64)
+
+
 BENCH_ONLY = {
+    # round-5 session-8: composed GeoJSON ingest (scalar-clip oracle
+    # in tests/test_geojson.py; output is tile bytes, no SQL oracle)
+    "geojson_tiles": _geojson_tiles_query,
     "minhash_lsh": entrymod.q_minhash_lsh,
     "simhash_neardup": entrymod.q_simhash_neardup,
     # round-5 session-4 window swap: dedup_exact's slot carries the

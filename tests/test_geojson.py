@@ -281,3 +281,65 @@ def test_geojson_to_tiles_matches_scalar_clip_oracle(spark, sf_dir):
     assert len(got) > len(src)  # multi-tile features really occurred
     for k in want:
         assert got[k] == want[k], k
+
+
+def test_cmds_from_parts_matches_scalar(spark):
+    """The batch parts->command-stream kernel (geomops.cmds_from_parts)
+    is byte-for-byte G.encode_geometry per feature: 400 random mixed
+    geometries (points/multipoints, 1-3-part polylines, multi-ring
+    polygons in both windings), cursor carry across parts included."""
+    import random
+
+    rng = random.Random(42)
+    rows, expected = [], {}
+    for i in range(400):
+        t = rng.choice([1, 1, 2, 2, 3, 3, 3])
+        if t == 1:
+            parts = [[[rng.randint(-100, 4200), rng.randint(-100, 4200)]
+                      for _ in range(rng.randint(1, 5))]]
+        elif t == 2:
+            parts = []
+            for _ in range(rng.randint(1, 3)):
+                pts = [[0, 0]]
+                while len(pts) < rng.randint(2, 6):
+                    q = [pts[-1][0] + rng.randint(-50, 50),
+                         pts[-1][1] + rng.randint(-50, 50)]
+                    if q != pts[-1]:
+                        pts.append(q)
+                parts.append(pts)
+        else:
+            parts = []
+            for _ in range(rng.randint(1, 3)):
+                x0, y0 = rng.randint(0, 4000), rng.randint(0, 4000)
+                w, h = rng.randint(1, 200), rng.randint(1, 200)
+                ring = [[x0, y0], [x0 + w, y0], [x0 + w, y0 + h],
+                        [x0, y0 + h], [x0, y0]]
+                if rng.random() < 0.5:
+                    ring = ring[::-1]
+                parts.append(ring)
+        rows.append((0, 0, 0, "L", i, i, t,
+                     [[{"x": p[0], "y": p[1]} for p in part]
+                      for part in parts]))
+        expected[i] = G.encode_geometry(
+            t, [np.array(p) for p in parts]).tolist()
+    df = spark.createDataFrame(rows, (
+        "z long, x long, y long, layer_name string, "
+        "feature_ordinal long, feature_id long, geom_type int, "
+        "parts array<array<struct<x: bigint, y: bigint>>>"))
+    out = geomops.cmds_from_parts(df).collect()
+    assert len(out) == 400
+    for r in out:
+        assert list(r.geometry) == expected[r.feature_ordinal]
+
+
+def test_cmds_from_parts_rejects_bad_geometry(spark):
+    from vtzero_spark.mvt.errors import GeometryError  # noqa: F401
+
+    bad = spark.createDataFrame(
+        [(0, 0, 0, "L", 1, 1, 3,
+          [[{"x": 0, "y": 0}, {"x": 4, "y": 0}, {"x": 4, "y": 4}]])],
+        "z long, x long, y long, layer_name string, feature_ordinal "
+        "long, feature_id long, geom_type int, "
+        "parts array<array<struct<x: bigint, y: bigint>>>")
+    with pytest.raises(Exception, match="more than 3 points"):
+        geomops.cmds_from_parts(bad).collect()

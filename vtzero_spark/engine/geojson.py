@@ -248,8 +248,11 @@ def geojson_to_tiles(lines: DataFrame, zoom: int, extent: int,
        nested transforms (JVM);
     4. clip.clip_features cuts every copy to its buffered rect (the
        Arrow batch kernels; vanished features drop);
-    5. assemble.encode_layers -> encode_tiles (vectorized encode; the
-       groupBy(z, x, y) is the plan's one hash shuffle).
+    5. geomops.cmds_from_parts (batch parts->command-stream, byte
+       parity with the scalar encoders) -> assemble.encode_geom_tiles
+       (the fast vectorized geom-stream path; its groupBy(z, x, y) is
+       the plan's one hash shuffle). Measured 1.7x end to end vs
+       routing through encode_layers' per-feature encode (BENCH.md).
 
     Feature order inside a layer follows fid (the corpus discipline).
     Rows whose JSON failed to parse are dropped (upstream keeps them
@@ -257,6 +260,7 @@ def geojson_to_tiles(lines: DataFrame, zoom: int, extent: int,
     """
     from . import assemble
     from .clip import clip_features
+    from .geomops import cmds_from_parts
 
     n_tiles = 1 << zoom
     p = parse_geojson(lines, col=col).where(F.col("parts").isNotNull())
@@ -300,7 +304,7 @@ def geojson_to_tiles(lines: DataFrame, zoom: int, extent: int,
         gt.cast("int").alias("geom_type"),
         loc.alias("parts"))
     feats = clip_features(feats, extent=extent, buffer=buffer)
-    return assemble.encode_tiles(assemble.encode_layers(feats))
+    return assemble.encode_geom_tiles(cmds_from_parts(feats))
 
 
 def vertices(parsed: DataFrame) -> DataFrame:

@@ -438,3 +438,163 @@ def geometry_stats(features: DataFrame) -> DataFrame:
     return features.select(*cols).mapInPandas(
         _geom_stats_batch, schema=GEOM_STATS_SCHEMA
     )
+
+
+# ------------------------------------- batch parts -> command stream
+
+def _zz32(d: np.ndarray) -> np.ndarray:
+    return ((d << 1) ^ (d >> 63)) & 0xFFFFFFFF
+
+
+def _cmds_group(x, y, o1, o2, rows, gtype):
+    """Flat command-stream encode for one geometry type's rows.
+
+    Byte-for-byte the semantics of mvt.geometry.encode_{point,
+    linestring,polygon} (cursor carries across parts, resets per
+    feature; polygon rings drop the closing point into ClosePath and
+    the cursor does NOT advance past it), but vectorized across the
+    whole batch: segmented gathers + one zigzag pass + one scatter.
+    Returns (flat int64 cmds, per-row lengths).
+    """
+    from ..mvt.geometry import (
+        CMD_CLOSE_PATH, CMD_LINE_TO, CMD_MOVE_TO, GEOM_LINESTRING,
+        GEOM_POINT, GEOM_POLYGON, GeometryError, _trunc_i32)
+    from .clip import _seg_take
+
+    n_rings = (o1[rows + 1] - o1[rows]).astype(np.int64)
+    if gtype == GEOM_POINT and np.any(n_rings != 1):
+        raise GeometryError("point geometry must have exactly one part")
+    if np.any(n_rings < 1):
+        raise GeometryError("feature with no parts")
+    ring_ids = _seg_take(o1[rows], n_rings)
+    rp_start = o2[ring_ids]
+    rp_len = (o2[ring_ids + 1] - o2[ring_ids]).astype(np.int64)
+
+    if gtype == GEOM_POLYGON:
+        if np.any(rp_len < 4):
+            raise GeometryError("ring must have more than 3 points")
+        last = rp_start + rp_len - 1
+        if np.any((x[rp_start] != x[last]) | (y[rp_start] != y[last])):
+            raise GeometryError(
+                "Last point in a ring must be the same as the first point.")
+        m = rp_len - 1          # emitted body points per ring
+        out_len_ring = 3 + 2 * m
+    elif gtype == GEOM_LINESTRING:
+        if np.any(rp_len < 2):
+            raise GeometryError("linestring must have more than 1 point")
+        m = rp_len
+        out_len_ring = 2 + 2 * m
+    else:  # GEOM_POINT
+        if np.any(rp_len < 1):
+            raise GeometryError("multipoint must have at least 1 point")
+        m = rp_len
+        out_len_ring = 1 + 2 * m
+
+    ep = _seg_take(rp_start, m)
+    ex, ey = x[ep], y[ep]
+    total_e = ex.size
+
+    # per-row emitted counts -> feature starts reset the cursor
+    row_e = np.zeros(rows.size + 1, dtype=np.int64)
+    np.cumsum(np.add.reduceat(m, np.concatenate(
+        [[0], np.cumsum(n_rings)[:-1]])) if n_rings.size else m[:0],
+        out=row_e[1:])
+    px = np.empty_like(ex)
+    py = np.empty_like(ey)
+    px[1:], py[1:] = ex[:-1], ey[:-1]
+    px[row_e[:-1]] = 0
+    py[row_e[:-1]] = 0
+    dx = _trunc_i32(ex - px)
+    dy = _trunc_i32(ey - py)
+
+    # zero-length segment check: non-first element within each ring
+    ring_first = np.zeros(total_e, dtype=bool)
+    re0 = np.zeros(m.size + 1, dtype=np.int64)
+    np.cumsum(m, out=re0[1:])
+    ring_first[re0[:-1]] = True
+    if gtype != GEOM_POINT:
+        bad = (~ring_first) & (dx == 0) & (dy == 0)
+        if np.any(bad):
+            kind = "rings" if gtype == GEOM_POLYGON else "linestrings"
+            raise GeometryError(
+                f"Zero-length segments in {kind} are not allowed.")
+
+    zz = np.empty(2 * total_e, dtype=np.int64)
+    zz[0::2] = _zz32(dx)
+    zz[1::2] = _zz32(dy)
+
+    ro0 = np.zeros(m.size + 1, dtype=np.int64)
+    np.cumsum(out_len_ring, out=ro0[1:])
+    out = np.zeros(int(ro0[-1]), dtype=np.int64)
+    # zz element positions within its ring's chunk
+    jj = np.arange(2 * total_e, dtype=np.int64) - np.repeat(
+        2 * re0[:-1], 2 * m)
+    base = np.repeat(ro0[:-1], 2 * m)
+    if gtype == GEOM_POINT:
+        out[base + 1 + jj] = zz
+        out[ro0[:-1]] = (CMD_MOVE_TO & 0x7) | (m << 3)
+    else:
+        out[base + 1 + jj + (jj >= 2)] = zz
+        out[ro0[:-1]] = (CMD_MOVE_TO & 0x7) | (1 << 3)
+        out[ro0[:-1] + 3] = (CMD_LINE_TO & 0x7) | ((m - 1) << 3)
+        if gtype == GEOM_POLYGON:
+            out[ro0[1:] - 1] = (CMD_CLOSE_PATH & 0x7) | (1 << 3)
+
+    # per-row output lengths (sum of their rings')
+    r_off = np.zeros(rows.size + 1, dtype=np.int64)
+    np.cumsum(n_rings, out=r_off[1:])
+    row_len = ro0[r_off[1:]] - ro0[r_off[:-1]]
+    return out, row_len
+
+
+def cmds_from_parts(features: DataFrame) -> DataFrame:
+    """`parts` (struct-list geometry) -> `geometry` (command-integer
+    array), batch-vectorized: the bridge from the clip/simplify
+    kernels (which produce parts) to the FAST geom-stream encoders
+    (encode_geom_tiles), replacing encode_layers' per-feature
+    Python encode_geometry loop. One mapInArrow pass, no shuffle;
+    byte parity with the scalar encoders pinned in
+    tests/test_geojson.py::test_cmds_from_parts_matches_scalar."""
+    import pyarrow as pa
+
+    from ..mvt.geometry import GEOM_LINESTRING, GEOM_POINT, GEOM_POLYGON
+    from .clip import _flat_parts
+
+    out_fields = [f for f in features.schema.fields if f.name != "parts"]
+    schema_str = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in out_fields
+    ) + ", geometry array<bigint>"
+
+    def fn(batches):
+        for rb in batches:
+            tbl = pa.Table.from_batches([rb]).combine_chunks()
+            n = tbl.num_rows
+            if n == 0:
+                continue
+            gt = tbl.column("geom_type").to_numpy(zero_copy_only=False)
+            col = tbl.column("parts").combine_chunks()
+            o1, o2, x, y = _flat_parts(col)
+            row_len = np.zeros(n, dtype=np.int64)
+            flats = {}
+            for gval in (GEOM_POINT, GEOM_LINESTRING, GEOM_POLYGON):
+                rows = np.flatnonzero(gt == gval)
+                if rows.size == 0:
+                    continue
+                flat, lens = _cmds_group(x, y, o1, o2, rows, gval)
+                flats[gval] = (rows, flat, lens)
+                row_len[rows] = lens
+            final_off = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(row_len, out=final_off[1:])
+            final = np.zeros(int(final_off[-1]), dtype=np.int64)
+            from .clip import _seg_take
+            for rows, flat, lens in flats.values():
+                final[_seg_take(final_off[rows], lens)] = flat
+            geom = pa.ListArray.from_arrays(
+                pa.array(final_off, pa.int32()),
+                pa.array(final, pa.int64()))
+            arrays = [tbl.column(f.name).combine_chunks()
+                      for f in out_fields] + [geom]
+            yield pa.RecordBatch.from_arrays(
+                arrays, [f.name for f in out_fields] + ["geometry"])
+
+    return features.mapInArrow(fn, schema=schema_str)
