@@ -14,6 +14,8 @@ applyInPandasWithState for custom stateful assembly).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -411,3 +413,39 @@ def append_table_stream(stream_df: DataFrame, table_path: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def stream_mbtiles_shards(
+    tile_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Continuous MBTiles production: each micro-batch's tiles land as
+    a self-contained shard DIRECTORY (``out_dir/batch=N/``) of valid
+    .mbtiles files via the distributed shard writer — the streaming
+    twin of mbtiles.write_mbtiles_shards. Replays (at-least-once
+    foreachBatch) overwrite their own batch directory, so restarts
+    converge exactly like stream_encode_tiles' parquet partitions.
+    The whole accumulated directory tree serves directly through
+    mbtiles.read_mbtiles (shard routing), or merges into one archive
+    with merge_mbtiles at the publishing edge — where the UNIQUE
+    address index makes a tile re-encoded in two batches fail loudly
+    instead of silently serving two versions.
+
+    Expects tiles(z, x, y, tile_bytes); returns the StreamingQuery.
+    """
+    import shutil
+
+    from . import mbtiles as _mb
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        bdir = os.path.join(out_dir, f"batch={batch_id}")
+        shutil.rmtree(bdir, ignore_errors=True)
+        _mb.write_mbtiles_shards(
+            batch_df.select("z", "x", "y", "tile_bytes"), bdir).collect()
+
+    return (
+        tile_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
