@@ -343,3 +343,40 @@ def test_cmds_from_parts_rejects_bad_geometry(spark):
         "parts array<array<struct<x: bigint, y: bigint>>>")
     with pytest.raises(Exception, match="more than 3 points"):
         geomops.cmds_from_parts(bad).collect()
+
+
+def test_tippecanoe_job_text_files_to_archives(spark, sf_dir, tmp_path):
+    """tools/tippecanoe_job with REAL text files: .geojsonl lines on
+    disk scan as a text source and land as MBTiles + PMTiles whose
+    contents agree; the file path and the in-memory path produce the
+    same tiles."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import tippecanoe_job as tj
+
+    from vtzero_spark.engine import mbtiles as mb
+    from vtzero_spark.engine import pmtiles as pm
+
+    lines = tj.synth_lines(spark, sf_dir)
+    src = str(tmp_path / "src")
+    lines.coalesce(2).write.text(src)
+    out = str(tmp_path / "out")
+    file_lines = spark.read.text(src).select(
+        F.col("value").alias("geojson"))
+    summary = tj.run(spark, file_lines, out, zoom=4, buffer=64,
+                     formats=["mbtiles", "pmtiles"])
+    assert summary["n_tiles"] == 256
+    a = {(r.z, r.x, r.y): bytes(r.tile_bytes)
+         for r in mb.read_mbtiles(
+             spark, out + "/tileset.mbtiles").collect()}
+    b = {(r.z, r.x, r.y): bytes(r.tile_bytes)
+         for r in pm.read_pmtiles(
+             spark, out + "/tileset.pmtiles").collect()}
+    assert a == b and len(a) == 256
+    # same tiles as the in-memory lines path
+    from vtzero_spark.engine.synth import EXTENT
+    direct = {(r.z, r.x, r.y): bytes(r.tile_bytes)
+              for r in geojson.geojson_to_tiles(
+                  lines, zoom=4, extent=EXTENT, buffer=64).collect()}
+    assert a == direct
