@@ -151,3 +151,35 @@ def test_quality_oracle_pin(spark, sf_dir):
     b = odf[cols].sort_values(cols).reset_index(drop=True)
     assert len(a) == len(b) > 0
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_thin_pyramid_laws(spark, sf_dir):
+    """The multi-zoom cluster pyramid: EVERY level's weight total
+    equals the corpus total (mass conservation through the ladder),
+    representatives nest (level z-1's kept ids come from level z's),
+    and level row counts shrink monotonically down to z=0 where the
+    single world tile holds ceil(n_z1 / step)-ish clusters."""
+    import pandas as pd
+
+    pts = _pts(spark, sf_dir)
+    total_w = pts.agg(F.sum("weight")).collect()[0][0]
+    n = pts.count()
+    pyr = thin.thin_pyramid(pts, step=4).toPandas()
+    by_z = dict(tuple(pyr.groupby("z").__iter__()))
+    zs = sorted(by_z, reverse=True)
+    assert zs[0] == synth.ZOOM and zs[-1] == 0
+    prev_count = None
+    prev_kept = None
+    for z in zs:
+        lv = by_z[z]
+        assert int(lv.weight_sum.sum()) == total_w, z
+        if prev_count is not None:
+            assert len(lv) <= prev_count
+            assert set(lv.kept_iid) <= prev_kept, z
+        prev_count, prev_kept = len(lv), set(lv.kept_iid)
+    assert len(by_z[synth.ZOOM]) == n          # finest level: identity
+    assert (by_z[synth.ZOOM].n_src == 1).all()
+    # z=0: one tile, every cluster in it, bounded by step decay
+    z0 = by_z[0]
+    assert (z0.x == 0).all() and (z0.y == 0).all()
+    assert len(z0) < len(by_z[1])

@@ -96,6 +96,56 @@ def thin_accumulate(
     )
 
 
+def thin_pyramid(
+    pts: DataFrame,
+    zoom: int = ZOOM,
+    extent: int = EXTENT,
+    step: int = 4,
+    weight: str = "weight",
+) -> DataFrame:
+    """The multi-zoom cluster pyramid (tippecanoe's --cluster-densest
+    across zooms): level ``zoom`` keeps every feature as its own
+    cluster; each coarser level re-thins the PREVIOUS level's
+    representatives (weights ride along), so representative count
+    decays ~``step`` x per level while every level's weight total
+    equals the corpus total exactly — the zoom ladder a low-zoom map
+    serves, mass-conserving at every z.
+
+    Scale shape: one shuffle per level over a ~step-x-shrinking
+    input (the compact_cells / raster_pyramid geometric-series
+    discipline, total <= step/(step-1) of one pass), with a
+    localCheckpoint per level keeping the plan linear. Laws pinned in
+    tests/test_thin.py: per-level conservation, representative
+    nesting (level z-1's kept ids are a subset of level z's), and
+    level row counts monotonically non-increasing.
+    """
+    world = (1 << zoom) * extent
+    levels = []
+    cur = pts.select(
+        "iid", "wx", "wy", F.col(weight).alias("weight"))
+    for z in range(zoom, -1, -1):
+        # at zoom z a tile is world/2^z units wide; loc coords are in
+        # that level's native units (assign_tiles' world-model rule)
+        tile_w = world >> z
+        lv = thin_accumulate(
+            cur, step=1 if z == zoom else step, zoom=z, extent=tile_w)
+        lv = lv.localCheckpoint(eager=True)
+        levels.append(lv)
+        if z == 0:
+            break
+        # representatives carry their ORIGINAL world position and the
+        # accumulated weight into the next-coarser level
+        cur = lv.select(
+            F.col("kept_iid").alias("iid"),
+            (F.col("x") * tile_w + F.col("kept_loc_x")).alias("wx"),
+            (F.col("y") * tile_w + F.col("kept_loc_y")).alias("wy"),
+            F.col("weight_sum").alias("weight"))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
+
+
 def thin_accumulate_sql(
     source_cte: str,
     step: int = 4,
