@@ -147,3 +147,34 @@ def test_pmtiles_not_a_file_rejected(tmp_path):
     p.write_bytes(b"Z" * 200)
     with pytest.raises(ValueError, match="not a PMTiles"):
         pmtiles._read_header(str(p))
+
+
+def test_get_tile_two_read_lookup(spark, sf_dir, tmp_path, monkeypatch):
+    """get_tile finds every stored tile (root-only AND leaf-split
+    archives), answers run-length-spanned ids, and returns None for
+    absent addresses."""
+    tiles = _tiles(spark, sf_dir)
+    orig = {(r.z, r.x, r.y): bytes(r.tile_bytes) for r in tiles.collect()}
+    flat = str(tmp_path / "flat.pmtiles")
+    pmtiles.write_pmtiles(tiles, flat, {})
+    monkeypatch.setattr(pmtiles, "MAX_ROOT_ENTRIES", 64)
+    leafy = str(tmp_path / "leafy.pmtiles")
+    pmtiles.write_pmtiles(tiles, leafy, {})
+    for path in (flat, leafy):
+        for (z, x, y), want in list(orig.items())[::7]:
+            assert pmtiles.get_tile(path, z, x, y) == want
+        assert pmtiles.get_tile(path, 7, 1, 1) is None
+        assert pmtiles.get_tile(path, 4, 100, 100) is None
+    # run-length span: the dedup archive answers all 64 addresses
+    rows = [(3, x, y, bytearray(b"same")) for x in range(8)
+            for y in range(8)]
+    dup = spark.createDataFrame(
+        rows, "z long, x long, y long, tile_bytes binary")
+    dpath = str(tmp_path / "dup.pmtiles")
+    monkeypatch.setattr(pmtiles, "MAX_ROOT_ENTRIES", 16384)
+    info = pmtiles.write_pmtiles(dup, dpath, {})
+    assert info["n_entries"] < 64
+    for x in range(8):
+        for y in range(8):
+            assert pmtiles.get_tile(dpath, 3, x, y) == b"same"
+    assert pmtiles.get_tile(dpath, 3, 8, 0) is None

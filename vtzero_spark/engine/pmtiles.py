@@ -339,3 +339,36 @@ def read_pmtiles(spark: SparkSession, path: str,
 
     return rdf.mapInPandas(
         fn, schema="z long, x long, y long, tile_bytes binary")
+
+
+def get_tile(path: str, z: int, x: int, y: int) -> bytes | None:
+    """Single-tile lookup, the client read path the format exists
+    for: header -> root directory -> (leaf directory) -> payload, at
+    most two directory reads before the data fetch regardless of
+    archive size. Binary search over the sorted entries; run-length
+    entries answer every id they span. Returns decompressed tile
+    bytes, or None when the id is absent."""
+    import bisect
+
+    if z < 0 or not (0 <= x < (1 << z)) or not (0 <= y < (1 << z)):
+        return None  # outside the zoom's grid (the walk would alias)
+    h = _read_header(path)
+    tid = zxy_to_tileid(z, x, y)
+    with open(path, "rb") as fh:
+        fh.seek(h["root_off"])
+        entries = _parse_dir(gzip.decompress(fh.read(h["root_len"])))
+        for _depth in range(2):  # root, then at most one leaf hop
+            ids = [e[0] for e in entries]
+            i = bisect.bisect_right(ids, tid) - 1
+            if i < 0:
+                return None
+            e_tid, off, ln, rl = entries[i]
+            if rl == 0:  # leaf pointer
+                fh.seek(h["leaf_off"] + off)
+                entries = _parse_dir(gzip.decompress(fh.read(ln)))
+                continue
+            if tid >= e_tid + rl:
+                return None
+            fh.seek(h["data_off"] + off)
+            return gzip.decompress(fh.read(ln))
+    return None
