@@ -178,3 +178,35 @@ def test_get_tile_two_read_lookup(spark, sf_dir, tmp_path, monkeypatch):
         for y in range(8):
             assert pmtiles.get_tile(dpath, 3, x, y) == b"same"
     assert pmtiles.get_tile(dpath, 3, 8, 0) is None
+
+
+def test_directory_codec_hypothesis_roundtrip():
+    """Property fuzz: any sorted entry list with positive lengths and
+    arbitrary (clustered or not) offsets round-trips the column-varint
+    directory codec exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    entry = st.tuples(
+        st.integers(min_value=0, max_value=1 << 40),   # id gap
+        st.integers(min_value=0, max_value=1 << 30),   # offset
+        st.integers(min_value=1, max_value=1 << 20),   # length
+        st.integers(min_value=1, max_value=100))       # run length
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(entry, min_size=1, max_size=60), st.randoms())
+    def run(raw, rnd):
+        tid = 0
+        entries = []
+        prev = None
+        for gap, off, ln, rl in raw:
+            tid += gap + 1
+            if prev is not None and rnd.random() < 0.5:
+                off = prev[1] + prev[2]  # exercise the 0-shorthand
+            e = (tid, off, ln, rl)
+            entries.append(e)
+            prev = e
+        buf = pmtiles._serialize_dir(entries)
+        assert pmtiles._parse_dir(buf) == entries
+
+    run()
