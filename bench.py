@@ -110,7 +110,12 @@ def _geojson_tiles_query(spark, sf_dir):
     from vtzero_spark.engine import geojson as gjmod
     from vtzero_spark.engine.synth import EXTENT, ZOOM
 
-    img = synth.images(spark, sf_dir)
+    # file-split width for the synthesized text source (a real
+    # .geojsonl scan arrives split; without this the AQE-coalesced
+    # iid-dedup hands the whole JVM parse/fan-out chain 1-2
+    # partitions — the session-8 scaling diagnosis in BENCH.md)
+    img = synth.images(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism * 2)
     lines = img.select(F.format_string(
         '{"type":"Feature","id":%d,"properties":{},'
         '"geometry":{"type":"Polygon","coordinates":'

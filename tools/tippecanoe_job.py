@@ -37,7 +37,12 @@ if _REPO not in sys.path:
 def synth_lines(spark: SparkSession, sf_dir: str):
     from vtzero_spark.engine import synth
 
-    img = synth.images(spark, sf_dir)
+    # a real .geojsonl source arrives in file splits; give the
+    # synthesized twin the same width (AQE coalesces the iid-dedup
+    # shuffle to 1-2 byte-small partitions otherwise, and every
+    # downstream stage would inherit that width)
+    img = synth.images(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism * 2)
     return img.select(F.format_string(
         '{"type":"Feature","id":%d,"properties":{},'
         '"geometry":{"type":"Polygon","coordinates":'
