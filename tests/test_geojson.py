@@ -380,3 +380,21 @@ def test_tippecanoe_job_text_files_to_archives(spark, sf_dir, tmp_path):
               for r in geojson.geojson_to_tiles(
                   lines, zoom=4, extent=EXTENT, buffer=64).collect()}
     assert a == direct
+
+
+def test_geojson_to_tiles_single_exchange(spark):
+    """The whole text->tile pipeline is ONE shuffle: the explicit
+    tile-keyed repartition directly under the encode groupBy (Python
+    map nodes report UnknownPartitioning, so it must sit AFTER the
+    kernels to be reused; AQE cannot coalesce a user repartition)."""
+    import re
+
+    lines = spark.createDataFrame(
+        [('{"type":"Feature","id":1,"properties":{},"geometry":'
+          '{"type":"Polygon","coordinates":'
+          '[[[10,10],[60,10],[60,60],[10,60],[10,10]]]}}',)],
+        "geojson string")
+    plan = geojson.geojson_to_tiles(
+        lines, zoom=4, extent=4096, buffer=64) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"\bExchange ", plan)) == 1

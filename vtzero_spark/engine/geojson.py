@@ -303,19 +303,21 @@ def geojson_to_tiles(lines: DataFrame, zoom: int, extent: int,
         F.col("fid").alias("feature_id"),
         gt.cast("int").alias("geom_type"),
         loc.alias("parts"))
-    # Explicit (AQE-immune) tile partitioning BEFORE the Python
-    # kernels: the clip/cmds/encode chain otherwise inherits the
-    # SOURCE's width, and AQE's coalescePartitions can hand it 1-2
-    # partitions when the upstream shuffle is byte-small (measured:
-    # the whole sf0.1 ingest pinned at ~9.5 s from 2 to 32 cores
-    # before this, ~6 s once the stages keep their width — BENCH.md
-    # session 8). Keying the repartition on the tile ALSO satisfies
-    # the encode groupBy's ClusteredDistribution, so the pipeline
-    # still has exactly ONE shuffle.
+    # Width discipline (the session-8 flat-scaling diagnosis,
+    # BENCH.md): the parse/fan-out/clip/cmds stages inherit the
+    # SOURCE's width — a real .geojsonl scan arrives in file splits,
+    # so that is the caller's lever (the synth twins repartition).
+    # The ENCODE's own exchange is the one AQE would coalesce to 1-2
+    # byte-small partitions, so pin it explicitly: the tile-keyed
+    # user repartition sits directly under the groupBy (Python map
+    # nodes report UnknownPartitioning, so it must come AFTER the
+    # kernels to be reused), satisfies its ClusteredDistribution, and
+    # keeps the pipeline at exactly ONE shuffle (plan-audited).
+    feats = clip_features(feats, extent=extent, buffer=buffer)
+    feats = cmds_from_parts(feats)
     sc = feats.sparkSession.sparkContext
     feats = feats.repartition(sc.defaultParallelism * 2, "x", "y")
-    feats = clip_features(feats, extent=extent, buffer=buffer)
-    return assemble.encode_geom_tiles(cmds_from_parts(feats))
+    return assemble.encode_geom_tiles(feats)
 
 
 def vertices(parsed: DataFrame) -> DataFrame:
