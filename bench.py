@@ -106,6 +106,27 @@ def _nearest_fence_query(spark, sf_dir):
     ).select("image_id", "pid", "d2x2")
 
 
+def _polylabel_query(spark, sf_dir):
+    from vtzero_spark.engine import polylabel as PL
+
+    img = synth.images(spark, sf_dir)
+    ring = F.array(
+        F.struct(F.col("wx").alias("x"), F.col("wy").alias("y")),
+        F.struct((F.col("wx") + F.col("w")).alias("x"),
+                 F.col("wy").alias("y")),
+        F.struct((F.col("wx") + F.col("w")).alias("x"),
+                 (F.col("wy") + F.col("h")).alias("y")),
+        F.struct(F.col("wx").alias("x"),
+                 (F.col("wy") + F.col("h")).alias("y")),
+        F.struct(F.col("wx").alias("x"), F.col("wy").alias("y")))
+    feats = img.select(
+        F.col("iid").alias("feature_id"),
+        F.lit(3).alias("geom_type"),
+        F.array(ring).alias("parts"))
+    return PL.label_points(feats, precision=1.0) \
+        .select("feature_id", "label_x", "label_y", "label_dist")
+
+
 def _geojson_tiles_query(spark, sf_dir):
     from vtzero_spark.engine import geojson as gjmod
     from vtzero_spark.engine.synth import EXTENT, ZOOM
@@ -180,6 +201,11 @@ BENCH_ONLY = {
     # plan-side twin stays pytest-pinned in test_enrich.py) — its
     # HEADLINE timing history continues here
     "streets_filter": entrymod.q_streets_filter,
+    # round-5 session-9: pole-of-inaccessibility label placement over
+    # every image footprint (shuffle-free mapInArrow; clearance-
+    # within-precision guarantee brute-force-pinned in
+    # tests/test_polylabel.py, so no SQL oracle)
+    "label_points": _polylabel_query,
 }
 # pip_hex moved INTO queries() in round-5 session 3 (oracle-bearing:
 # join rows + cross-engine hex cell ids); its bench timing continues
