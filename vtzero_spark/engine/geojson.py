@@ -233,7 +233,8 @@ def to_features(parsed: DataFrame) -> DataFrame:
 
 def geojson_to_tiles(lines: DataFrame, zoom: int, extent: int,
                      buffer: int = 0, layer: str = "features",
-                     col: str = "geojson") -> DataFrame:
+                     col: str = "geojson",
+                     coalesce_lines: bool = False) -> DataFrame:
     """The full tippecanoe front door: GeoJSON Feature lines in WORLD
     integer coordinates -> encoded MVT tiles at ``zoom``.
 
@@ -314,8 +315,22 @@ def geojson_to_tiles(lines: DataFrame, zoom: int, extent: int,
     # kernels to be reused), satisfies its ClusteredDistribution, and
     # keeps the pipeline at exactly ONE shuffle (plan-audited).
     feats = clip_features(feats, extent=extent, buffer=buffer)
-    feats = cmds_from_parts(feats)
     sc = feats.sparkSession.sparkContext
+    if coalesce_lines:
+        # tippecanoe --coalesce: merge chained linestrings per tile
+        # BEFORE the encode. The merge's groupBy(z,x,y,layer_name) is
+        # clustered-compatible with the (x,y) repartition, so it
+        # REUSES that exchange; the encode then pays its own (second)
+        # exchange — but over the post-merge, shrunken rows, which is
+        # the right order of costs (the whole point of coalescing is
+        # that the encode sees fewer, bigger features).
+        from .linemerge import merge_lines
+
+        feats = feats.repartition(sc.defaultParallelism * 2, "x", "y")
+        feats = merge_lines(feats)
+        feats = cmds_from_parts(feats)
+        return assemble.encode_geom_tiles(feats)
+    feats = cmds_from_parts(feats)
     feats = feats.repartition(sc.defaultParallelism * 2, "x", "y")
     return assemble.encode_geom_tiles(feats)
 

@@ -1,0 +1,193 @@
+"""Per-tile linestring merge — PostGIS ST_LineMerge / tippecanoe
+``--coalesce`` semantics as a tile-group operator.
+
+Cartographic tiles arrive with roads chopped into many short
+linestring features (one per source segment); merging collinear-chain
+segments that share endpoints into maximal polylines cuts feature
+count and encoded bytes (every merged join deletes one MoveTo + one
+feature header + one duplicated vertex) before the encode pass.
+
+Semantics (the ST_LineMerge contract):
+- parts join ONLY at nodes of endpoint-degree exactly 2 — junctions
+  (degree >= 3) and dangles (degree 1) terminate chains;
+- orientation flips as needed so chains read continuously;
+- a set of parts forming a closed degree-2 cycle merges into one
+  closed linestring;
+- already-closed parts (first point == last point) never merge;
+- merging never crosses the group key: callers put the tile key plus
+  any property columns in ``keys``, so features with different
+  attributes keep their identity (tippecanoe's rule that coalesce
+  requires identical properties).
+
+Spark shape: ONE groupBy shuffle on the caller's keys (for the
+pre-encode features table that is the SAME (z,x,y,layer_name)
+partitioning the encode consumes, so under an explicit repartition the
+merge rides the encode's exchange). Per-task state is one tile group's
+segment graph — bounded by exactly the feature count merging shrinks.
+The chain walk is per-part Python over dictionary-sized endpoint
+tables (parts per tile-group, not vertices; vertex arrays move only
+through O(1) numpy concatenations per chain).
+
+Determinism: chains emit ordered by the smallest input part ordinal
+they contain; open chains start from the terminal end of that lowest
+part, cycles start at that part's stored orientation. Output rows
+carry min(feature_ordinal) / min non-null feature_id of the merged
+features, so re-running the job reproduces identical tiles.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["merge_group_parts", "merge_lines"]
+
+_LINESTRING = 2
+
+
+def _pack(pts: np.ndarray) -> int:
+    """Endpoint coordinate -> hashable node key (exact integers)."""
+    return (int(pts[0]), int(pts[1]))
+
+
+def merge_group_parts(parts: list[np.ndarray]) -> list[list[int]]:
+    """Core chain walk over one group's line parts.
+
+    ``parts``: list of (n_i, 2) integer arrays (each a polyline).
+    Returns the merged chains as lists of SIGNED 1-based part slots:
+    +k = part k-1 forward, -k = part k-1 reversed — the caller
+    materializes coordinates. Degenerate (<2 point) and closed parts
+    each come back as their own singleton chain.
+    """
+    n = len(parts)
+    open_idx: list[int] = []
+    singleton: list[int] = []
+    for i, p in enumerate(parts):
+        if len(p) < 2 or _pack(p[0]) == _pack(p[-1]):
+            singleton.append(i)
+        else:
+            open_idx.append(i)
+
+    # node -> incident (part, end) list; degree counts part-ENDS
+    incident: dict[tuple[int, int], list[tuple[int, int]]] = {}
+    for i in open_idx:
+        p = parts[i]
+        for end, pt in ((0, p[0]), (1, p[-1])):
+            incident.setdefault(_pack(pt), []).append((i, end))
+
+    used = np.zeros(n, dtype=bool)
+    chains: list[list[int]] = []
+
+    def walk(start_part: int, start_end: int) -> list[int]:
+        """Extend from start_part, LEAVING via the end opposite
+        start_end, through degree-2 nodes until a junction/dangle."""
+        chain = [start_part + 1 if start_end == 0 else -(start_part + 1)]
+        used[start_part] = True
+        cur_part, cur_out = start_part, 1 - start_end
+        while True:
+            p = parts[cur_part]
+            node = _pack(p[-1] if cur_out == 1 else p[0])
+            inc = incident[node]
+            if len(inc) != 2:
+                return chain  # junction or dangle terminates
+            (a_part, a_end), (b_part, b_end) = inc
+            nxt_part, nxt_end = (b_part, b_end) \
+                if a_part == cur_part and a_end == cur_out else (a_part, a_end)
+            if used[nxt_part]:
+                return chain  # closed the loop (cycle case)
+            used[nxt_part] = True
+            chain.append(nxt_part + 1 if nxt_end == 0 else -(nxt_part + 1))
+            cur_part, cur_out = nxt_part, 1 - nxt_end
+
+    # pass 1: open chains — start at every terminal (non-degree-2) end,
+    # ascending part order for determinism
+    for i in open_idx:
+        if used[i]:
+            continue
+        p = parts[i]
+        start_end = None
+        for end, pt in ((0, p[0]), (1, p[-1])):
+            if len(incident[_pack(pt)]) != 2:
+                start_end = end
+                break
+        if start_end is not None:
+            chains.append(walk(i, start_end))
+
+    # pass 2: remaining parts sit on pure degree-2 cycles
+    for i in open_idx:
+        if not used[i]:
+            chains.append(walk(i, 0))
+
+    for i in singleton:
+        chains.append([i + 1])
+
+    # deterministic emission order: by smallest part index in the chain
+    chains.sort(key=lambda ch: min(abs(s) for s in ch))
+    return chains
+
+
+def _materialize(parts: list[np.ndarray],
+                 chains: list[list[int]]) -> list[np.ndarray]:
+    out = []
+    for ch in chains:
+        segs = []
+        for k, slot in enumerate(ch):
+            p = parts[abs(slot) - 1]
+            if slot < 0:
+                p = p[::-1]
+            segs.append(p if k == 0 else p[1:])  # drop shared vertex
+        out.append(np.concatenate(segs) if len(segs) > 1 else segs[0])
+    return out
+
+
+def merge_lines(features: DataFrame,
+                keys: Sequence[str] = ("z", "x", "y", "layer_name"),
+                ) -> DataFrame:
+    """Merge linestring features per group into maximal chains.
+
+    Input/output schema: the pre-encode features table
+    (z,x,y,layer_name,feature_ordinal,feature_id,geom_type,parts)
+    with parts: array<array<struct<x,y>>>. Non-linestring rows pass
+    through untouched. Each group of linestring features becomes ONE
+    feature whose parts are the merged chains (a MultiLineString),
+    carrying min(feature_ordinal) and the min non-null feature_id.
+    Put property columns in ``keys`` to forbid merging across
+    attribute boundaries.
+    """
+    keys = list(keys)
+    cols = [c for c in features.columns]
+    lines = features.filter(F.col("geom_type") == _LINESTRING)
+    rest = features.filter(F.col("geom_type") != _LINESTRING)
+
+    out_schema = features.schema
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("feature_ordinal", kind="stable")
+        parts: list[np.ndarray] = []
+        for row_parts in pdf["parts"]:
+            for part in row_parts:
+                parts.append(np.array(
+                    [[pt["x"], pt["y"]] for pt in part], dtype=np.int64
+                ).reshape(-1, 2))
+        chains = merge_group_parts(parts)
+        merged = _materialize(parts, chains)
+        ids = pdf["feature_id"]
+        fid = int(ids.dropna().min()) if ids.notna().any() else None
+        row = {k: pdf.iloc[0][k] for k in keys}
+        row["feature_ordinal"] = pdf["feature_ordinal"].min()
+        row["feature_id"] = fid
+        row["geom_type"] = _LINESTRING
+        row["parts"] = [[{"x": int(x), "y": int(y)} for x, y in ch]
+                        for ch in merged]
+        for c in cols:
+            if c not in row:
+                row[c] = pdf.iloc[0][c]
+        return pd.DataFrame([row], columns=cols)
+
+    merged = lines.groupBy(*keys).applyInPandas(fn, schema=out_schema)
+    return merged.unionByName(rest)

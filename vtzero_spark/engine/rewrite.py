@@ -113,6 +113,32 @@ def _vartag_features_bytes(ids: np.ndarray, has_id: np.ndarray,
     return encode_varint_array(flat)
 
 
+def feature_tag_streams(
+        fs: list) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Flatten a layer's per-feature tag arrays into one stream:
+    (tlens, toff, tflat) with toff the element offsets (pairs are
+    tflat[0::2] keys / tflat[1::2] values, per-feature pair offsets
+    toff[:-1] // 2)."""
+    nf = len(fs)
+    tlens = np.fromiter((f.tags.size for f in fs), np.int64, nf)
+    toff = np.zeros(nf + 1, np.int64)
+    np.cumsum(tlens, out=toff[1:])
+    tflat = (np.concatenate([f.tags for f in fs]).astype(np.int64)
+             if toff[-1] else np.zeros(0, np.int64))
+    return tlens, toff, tflat
+
+
+def seg_any(pair_bool: np.ndarray, toff: np.ndarray,
+            tlens: np.ndarray) -> np.ndarray:
+    """Per-feature ANY over a boolean evaluated on the flat tag-pair
+    stream. Empty segments (tag-less features) are masked out rather
+    than trusting reduceat's repeated-index value."""
+    poff = toff[:-1] // 2
+    hits = np.add.reduceat(
+        np.append(pair_bool, False).astype(np.int64), poff)
+    return (hits > 0) & (tlens > 0)
+
+
 def _rewrite_layer(layer: T.Layer, kidx: int,
                    vidxs: np.ndarray) -> bytes | None:
     """One layer's vtzero-streets pass: keep features carrying a tag
@@ -124,19 +150,21 @@ def _rewrite_layer(layer: T.Layer, kidx: int,
     fs = layer.features
     if not fs:
         return None
-    nf = len(fs)
-    tlens = np.fromiter((f.tags.size for f in fs), np.int64, nf)
-    toff = np.zeros(nf + 1, np.int64)
-    np.cumsum(tlens, out=toff[1:])
-    tflat = (np.concatenate([f.tags for f in fs]).astype(np.int64)
-             if toff[-1] else np.zeros(0, np.int64))
+    tlens, toff, tflat = feature_tag_streams(fs)
     pair_hit = (tflat[0::2] == kidx) & np.isin(tflat[1::2], vidxs)
-    poff = toff[:-1] // 2
-    hits = np.add.reduceat(np.append(pair_hit, False).astype(np.int64), poff)
-    keep = (hits > 0) & (tlens > 0)
-    sel = np.flatnonzero(keep)
+    keep = seg_any(pair_hit, toff, tlens)
+    return rebuild_layer(layer, np.flatnonzero(keep))
+
+
+def rebuild_layer(layer: T.Layer, sel: np.ndarray) -> bytes | None:
+    """Rebuild a layer keeping exactly the feature ordinals in ``sel``
+    (any predicate's survivor set): both dictionaries rebuilt in
+    first-appearance order over the survivors (property_mapper.hpp
+    semantics), None when empty (tile_builder drops empty layers)."""
+    fs = layer.features
     if not sel.size:
         return None
+    tlens, _, _ = feature_tag_streams(fs)
 
     # survivor tag streams, feature-major — factorize IS the
     # first-appearance rebuild a sequential add_property loop performs
