@@ -287,3 +287,33 @@ def test_spark_surface(spark):
     # malformed FILTER fails on the driver at compile time
     with pytest.raises(ValueError):
         X.filter_tiles_expr(tiles, ["bogus", "k", 1])
+
+
+def test_zoom_leaf(spark):
+    """$zoom — tippecanoe's -j evaluation context: one filter tree
+    expresses zoom-dependent dropping; the leaf is per-TILE scalar."""
+    buf = _battery_tile()
+    # scalar surface: explicit zoom argument
+    ast = X.compile_filter([">=", "$zoom", 10])
+    assert X.filter_tile_bytes_expr(buf, ast, zoom=9) == b""
+    kept = X.filter_tile_bytes_expr(buf, ast, zoom=10)
+    assert [ly.name for ly in T.parse_tile(kept)] == ["roads", "water"]
+    # unknown zoom behaves as a missing property
+    assert X.filter_tile_bytes_expr(buf, ast) == b""
+    assert X.filter_tile_bytes_expr(
+        buf, X.compile_filter(["!has", "$zoom"])) != b""
+
+    # composed: low zooms keep only fmt=png, high zooms keep all
+    filt = ["any", [">=", "$zoom", 10], ["==", "fmt", "png"]]
+    tiles = spark.createDataFrame(
+        [(4, 0, 0, bytearray(buf)), (10, 0, 0, bytearray(buf))],
+        "z long, x long, y long, tile_bytes binary")
+    out = X.filter_tiles_expr(tiles, filt).toPandas().set_index("z")
+    low = T.parse_tile(bytes(out.loc[4]["tile_bytes"]))
+    high = T.parse_tile(bytes(out.loc[10]["tile_bytes"]))
+    assert [f.id for ly in low for f in ly.features] == [1]
+    assert sum(len(ly.features) for ly in high) == 7
+
+    # $zoom literal must be an integer
+    with pytest.raises(ValueError):
+        X.compile_filter(["==", "$zoom", "ten"])

@@ -11,9 +11,12 @@ Grammar (public Mapbox Style Spec, legacy "other/filter" form):
     ["all", f, ...]  ["any", f, ...]  ["none", f, ...]
 
 Special keys: ``"$type"`` (values Point | LineString | Polygon |
-Unknown, vtzero's GeomType enum) and ``"$id"`` (the optional feature
+Unknown, vtzero's GeomType enum), ``"$id"`` (the optional feature
 id; a feature without an id fails every positive ``$id`` test and
-passes every negated one, mirroring the missing-property rule).
+passes every negated one, mirroring the missing-property rule), and
+``"$zoom"`` (the tile's z — tippecanoe's ``-j`` evaluation context,
+which lets one filter tree express zoom-dependent feature dropping:
+``["any", [">=", "$zoom", 10], ["==", "class", "motorway"]]``).
 
 Missing-property semantics follow the spec exactly: ``==``, ``in`` and
 the orderings evaluate FALSE for a feature lacking the key; ``!=`` and
@@ -102,9 +105,9 @@ def _check_literal(op: str, key: str, v):
             raise ValueError(f"$type literal must be one of "
                              f"{sorted(_GEOM_NAMES)}: {v!r}")
         return v
-    if key == "$id":
+    if key in ("$id", "$zoom"):
         if isinstance(v, bool) or not isinstance(v, numbers.Integral):
-            raise ValueError(f"$id literal must be an integer: {v!r}")
+            raise ValueError(f"{key} literal must be an integer: {v!r}")
         return int(v)
     if isinstance(v, (str, bool)) or isinstance(v, numbers.Real):
         if op in {"<", "<=", ">", ">="} and isinstance(v, bool):
@@ -155,6 +158,25 @@ def _leaf_feature_mask(layer_ctx: dict, op: str, key: str,
     """Per-feature verdict for one positive-form leaf (negation is
     applied by the caller): has / == / < / <= / > / >= / in."""
     nf = layer_ctx["nf"]
+    if key == "$zoom":
+        zv = layer_ctx["zoom"]
+        if zv is None:
+            return np.zeros(nf, dtype=bool)  # unknown zoom: missing key
+        if op == "has":
+            hit = True
+        elif op == "in":
+            hit = zv in payload
+        elif op == "==":
+            hit = zv == payload
+        elif op == "<":
+            hit = zv < payload
+        elif op == "<=":
+            hit = zv <= payload
+        elif op == ">":
+            hit = zv > payload
+        else:
+            hit = zv >= payload
+        return np.full(nf, hit, dtype=bool)
     if key == "$type":
         g = layer_ctx["gtypes"]
         if op == "has":
@@ -224,7 +246,7 @@ def _eval_ast(layer_ctx: dict, ast: tuple) -> np.ndarray:
     return ~_leaf_feature_mask(layer_ctx, "in", ast[1], ast[2])
 
 
-def _layer_ctx(layer: T.Layer) -> dict:
+def _layer_ctx(layer: T.Layer, zoom: int | None = None) -> dict:
     fs = layer.features
     nf = len(fs)
     tlens, toff, tflat = feature_tag_streams(fs)
@@ -236,6 +258,7 @@ def _layer_ctx(layer: T.Layer) -> dict:
             decoded.append(None)
     return {
         "nf": nf,
+        "zoom": zoom,
         "keys": layer.keys,
         "decoded": decoded,
         "tlens": tlens,
@@ -249,11 +272,13 @@ def _layer_ctx(layer: T.Layer) -> dict:
 
 
 def filter_tile_bytes_expr(buf: bytes, ast: tuple,
-                           layer_sel: str | None = None) -> bytes:
+                           layer_sel: str | None = None,
+                           zoom: int | None = None) -> bytes:
     """One tile's expression-filter pass: evaluate the compiled AST per
     layer (optional vtzero-filter layer selector: digits -> ordinal,
     else name), rebuild survivor layers first-appearance, drop empty
-    layers. Malformed tile -> empty tile (errors-as-data)."""
+    layers. ``zoom`` feeds ``$zoom`` leaves (None = every positive
+    $zoom test fails). Malformed tile -> empty tile (errors-as-data)."""
     by_ordinal = layer_sel is not None and layer_sel.isdigit()
     want_ord = int(layer_sel) if by_ordinal else -1
     blobs: list[bytes] = []
@@ -268,7 +293,7 @@ def filter_tile_bytes_expr(buf: bytes, ast: tuple,
             layer = T.parse_layer(lv)
             if not layer.features:
                 continue
-            keep = _eval_ast(_layer_ctx(layer), ast)
+            keep = _eval_ast(_layer_ctx(layer, zoom=zoom), ast)
             lb = rebuild_layer(layer, np.flatnonzero(keep))
             if lb is not None:
                 blobs.append(lb)
@@ -288,8 +313,10 @@ def filter_tiles_expr(tiles: DataFrame, filt,
 
     def fn(batches):
         for pdf in batches:
-            outs = [filter_tile_bytes_expr(bytes(b), ast, layer_sel)
-                    for b in pdf["tile_bytes"].to_numpy()]
+            zs = pdf["z"].to_numpy()
+            outs = [filter_tile_bytes_expr(bytes(b), ast, layer_sel,
+                                           zoom=int(zv))
+                    for b, zv in zip(pdf["tile_bytes"].to_numpy(), zs)]
             yield pd.DataFrame({
                 "z": pdf["z"].to_numpy(),
                 "x": pdf["x"].to_numpy(),
