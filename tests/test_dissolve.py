@@ -136,3 +136,21 @@ def test_extent_grid_guard(spark):
             "parts array<array<struct<x: long, y: long>>>")
     with pytest.raises(ValueError):
         D.dissolve_tiles(feats, size=48, extent=100)
+
+
+def test_accumulate_attributes(spark):
+    r1 = _rect(8, 8, 60, 60)
+    r2 = _rect(40, 40, 100, 88)
+    rows = [
+        (1, 0, 0, "admin", 0, 1, 3,
+         [[{"x": int(x), "y": int(y)} for x, y in r1]], 1000),
+        (1, 0, 0, "admin", 1, 2, 3,
+         [[{"x": int(x), "y": int(y)} for x, y in r2]], 250),
+    ]
+    schema = ("z long, x long, y long, layer_name string, "
+              "feature_ordinal long, feature_id long, geom_type int, "
+              "parts array<array<struct<x: long, y: long>>>, pop long")
+    feats = spark.createDataFrame(rows, schema)
+    out = D.dissolve_tiles(feats, size=SIZE, extent=EXTENT,
+                           accumulate={"pop": "sum"}).toPandas()
+    assert len(out) == 1 and out.iloc[0]["pop"] == 1250

@@ -251,3 +251,32 @@ def test_geojson_to_tiles_coalesce_option(spark):
     nf_m, segs_m = feats_segs(mb)
     assert nf_p == 6 and nf_m == 1
     assert segs_p == segs_m
+
+
+def test_accumulate_attributes(spark):
+    """tippecanoe --accumulate-attribute: merged features carry
+    sum/min/max/count of their inputs' columns."""
+    import pytest
+
+    rows = [
+        (1, 0, 0, "roads", 0, 1, 2,
+         [[{"x": 0, "y": 0}, {"x": 5, "y": 0}]], 10, 3),
+        (1, 0, 0, "roads", 1, 2, 2,
+         [[{"x": 5, "y": 0}, {"x": 9, "y": 0}]], 32, 7),
+    ]
+    schema = ("z long, x long, y long, layer_name string, "
+              "feature_ordinal long, feature_id long, geom_type int, "
+              "parts array<array<struct<x: long, y: long>>>, "
+              "weight long, rank long")
+    feats = spark.createDataFrame(rows, schema)
+    out = LM.merge_lines(
+        feats, accumulate={"weight": "sum", "rank": "max"}).toPandas()
+    assert len(out) == 1
+    assert out.iloc[0]["weight"] == 42 and out.iloc[0]["rank"] == 7
+
+    with pytest.raises(ValueError):
+        LM.merge_lines(feats, accumulate={"weight": "avg"})
+    with pytest.raises(ValueError):
+        LM.merge_lines(feats, accumulate={"nope": "sum"})
+    with pytest.raises(ValueError):
+        LM.merge_lines(feats, accumulate={"parts": "count"})

@@ -78,6 +78,7 @@ def dissolve_tiles(features: DataFrame,
                    size: int = 256,
                    extent: int = 4096,
                    keys: Sequence[str] = ("z", "x", "y", "layer_name"),
+                   accumulate: dict | None = None,
                    ) -> DataFrame:
     """Dissolve polygon features per group into one multipolygon
     feature at raster resolution.
@@ -88,12 +89,18 @@ def dissolve_tiles(features: DataFrame,
     becomes ONE feature whose parts are the union's boundary rings,
     carrying min(feature_ordinal) / min non-null feature_id. Property
     columns named in ``keys`` survive and scope the dissolve
-    (features with different attributes never merge)."""
+    (features with different attributes never merge); ``accumulate``
+    maps other columns to sum/min/max/count (tippecanoe
+    --accumulate-attribute: dissolve 3,000 counties into a state and
+    keep the population sum)."""
+    from .linemerge import _accumulated, _check_accumulate
+
     if extent % size:
         raise ValueError(f"extent {extent} must be a multiple of "
                          f"size {size} (integer grid snap)")
     keys = list(keys)
     cols = list(features.columns)
+    acc = _check_accumulate(accumulate, cols, keys)
     polys = features.filter(F.col("geom_type") == G.GEOM_POLYGON)
     rest = features.filter(F.col("geom_type") != G.GEOM_POLYGON)
     out_schema = features.schema
@@ -116,6 +123,7 @@ def dissolve_tiles(features: DataFrame,
         row["geom_type"] = G.GEOM_POLYGON
         row["parts"] = [[{"x": int(x), "y": int(y)} for x, y in ring]
                         for ring in rings]
+        row.update(_accumulated(pdf, acc))
         for c in cols:
             if c not in row:
                 row[c] = pdf.iloc[0][c]

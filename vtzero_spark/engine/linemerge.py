@@ -145,8 +145,34 @@ def _materialize(parts: list[np.ndarray],
     return out
 
 
+def _check_accumulate(accumulate, cols, keys) -> dict:
+    """Validate an --accumulate-attribute spec driver-side."""
+    acc = dict(accumulate or {})
+    core = {"feature_ordinal", "feature_id", "geom_type", "parts"}
+    for col, how in acc.items():
+        if how not in ("sum", "min", "max", "count"):
+            raise ValueError(f"accumulate op must be sum/min/max/count,"
+                             f" got {how!r} for {col!r}")
+        if col not in cols:
+            raise ValueError(f"accumulate column {col!r} not in input")
+        if col in keys or col in core:
+            raise ValueError(f"cannot accumulate key/core column {col!r}")
+    return acc
+
+
+def _accumulated(pdf, acc: dict) -> dict:
+    out = {}
+    for col, how in acc.items():
+        s = pdf[col]
+        out[col] = len(pdf) if how == "count" else \
+            s.sum() if how == "sum" else \
+            s.min() if how == "min" else s.max()
+    return out
+
+
 def merge_lines(features: DataFrame,
                 keys: Sequence[str] = ("z", "x", "y", "layer_name"),
+                accumulate: dict | None = None,
                 ) -> DataFrame:
     """Merge linestring features per group into maximal chains.
 
@@ -157,10 +183,13 @@ def merge_lines(features: DataFrame,
     feature whose parts are the merged chains (a MultiLineString),
     carrying min(feature_ordinal) and the min non-null feature_id.
     Put property columns in ``keys`` to forbid merging across
-    attribute boundaries.
+    attribute boundaries; ``accumulate`` maps other columns to
+    sum/min/max/count (tippecanoe --accumulate-attribute) — columns
+    neither in ``keys`` nor accumulated carry the group-first value.
     """
     keys = list(keys)
     cols = [c for c in features.columns]
+    acc = _check_accumulate(accumulate, cols, keys)
     lines = features.filter(F.col("geom_type") == _LINESTRING)
     rest = features.filter(F.col("geom_type") != _LINESTRING)
 
@@ -184,6 +213,7 @@ def merge_lines(features: DataFrame,
         row["geom_type"] = _LINESTRING
         row["parts"] = [[{"x": int(x), "y": int(y)} for x, y in ch]
                         for ch in merged]
+        row.update(_accumulated(pdf, acc))
         for c in cols:
             if c not in row:
                 row[c] = pdf.iloc[0][c]
