@@ -449,3 +449,26 @@ def stream_mbtiles_shards(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def transform_stream(tile_stream: DataFrame,
+                     filt=None, layer=None,
+                     keep=None, drop=None, rename=None) -> DataFrame:
+    """Continuous tileset transform: the GL-legacy feature filter
+    (engine/exprfilter) and property keep/drop/rename
+    (engine/propmap) are stateless per-tile rewrites, so they attach
+    to a streaming DataFrame unchanged — each micro-batch emits its
+    transformed tiles (append mode, no state, no watermark). The
+    streaming twin of tools/transform_job.py's batch pipeline;
+    filter/projection config is validated HERE at plan-build time,
+    before the query ever starts."""
+    from . import exprfilter, propmap
+
+    df = tile_stream.select("z", "x", "y", "tile_bytes")
+    if filt is not None or layer is not None:
+        df = exprfilter.filter_tiles_expr(
+            df, filt if filt is not None else ["all"], layer=layer)
+    if keep or drop or rename:
+        df = propmap.remap_properties(
+            df, keep=keep, drop=drop, rename=rename)
+    return df
