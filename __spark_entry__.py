@@ -23,6 +23,7 @@ from vtzero_spark.engine import (
     assemble, cells, composite, enrich, geomops, joins, knn, lint,
     rewrite, sessions, simsearch, synth, textops, thin, tiling,
 )
+from vtzero_spark.engine import exif as _exif
 from vtzero_spark.engine import geojson as _geojson
 from vtzero_spark.engine import hilbert as _hilbert
 from vtzero_spark.engine import hexcells as _hexcells
@@ -1122,6 +1123,21 @@ def q_payload_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exif_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geotagged-image ingest (engine/exif.py): real JPEG/PNG payloads
+    get a planted Exif APP1 / eXIf blob (GPS DMS rationals from the
+    world grid, byte order alternating II/MM), then the tile
+    assignment is recovered FROM THE BYTES — container segment walk,
+    TIFF IFD parse, rational DMS -> integer world coordinate -> zoom-4
+    tile. The DuckDB twin is the closed form of the planted metadata,
+    so a hash match proves the whole codec chain round-trips every
+    field on both endians (the image->geo loop of the graft)."""
+    from vtzero_spark.engine import exif as _exif
+
+    img = synth.images(spark, sf_dir, with_bytes=True)
+    return _exif.exif_tiles(_exif.attach_exif(img))
+
+
 def q_tile_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tileset version diff (engine/diff.py): per (tile, image), is
     the feature added / removed / moved / retagged between the corpus
@@ -1257,7 +1273,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     made room for hilbert_index — the Hilbert-curve cell ordering
     (engine/hilbert.py, S2's real ordering / PMTiles' tile-id space),
     hash-matched against a chained-CTE DuckDB twin of the unrolled
-    rotate-and-accumulate walk."""
+    rotate-and-accumulate walk. Round-5 session 10 swapped pip (the
+    broadcast twin of the still-present pip_salted — their oracle SQL
+    is literally identical, and test_pip_salted_equals_broadcast /
+    test_pip_two_tier_salting_row_identical pin the two strategies
+    row-identical; pip's HEADLINE timing continues via BENCH_ONLY and
+    its broadcast plan stays asserted in test_plans.py) for
+    exif_tiles — geotagged-image ingest (engine/exif.py): tile
+    assignment recovered from real Exif APP1 / eXIf METADATA BYTES
+    (TIFF IFD walk, GPS DMS rationals, both byte orders), hash-matched
+    against the closed form of the planted metadata."""
     return {
         "tile_assign": q_tile_assign,
         "tilestats": q_tilestats,
@@ -1274,7 +1299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layer_lookup": q_layer_lookup,
         "tile_check": q_tile_check,
         "cell_index": q_cell_index,
-        "pip": q_pip,
+        "exif_tiles": q_exif_tiles,
         "pip_salted": q_pip_salted,
         "knn": q_knn,
         "pyramid": q_pyramid,
@@ -1513,10 +1538,9 @@ SELECT image_id, cell6, CAST(cell6 >> 4 AS BIGINT) AS cell4,
        CAST({CELL_LEVEL + 2} AS INT) AS level
 FROM c
 """,
-        "pip": f"""
-WITH {images},
-{polys}
-{joins.pip_join_sql('images', 'polys')}
+        "exif_tiles": f"""
+WITH {images}
+{_exif.exif_tiles_sql('images')}
 """,
         "pip_salted": f"""
 WITH {images},

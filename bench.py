@@ -86,6 +86,9 @@ EXTENDED = [
     # round-5 session-8 composed tippecanoe front door: text ->
     # bbox fan-out -> clip -> encode (JVM parse throughput surface)
     "geojson_tiles",
+    # round-5 session-10 geotagged-image ingest: Exif bytes -> GPS ->
+    # tile (both byte orders under the oracle gate)
+    "exif_tiles",
 ]
 
 # minhash_lsh / simhash_neardup left the 50-entry queries() window in
@@ -201,6 +204,12 @@ BENCH_ONLY = {
     # plan-side twin stays pytest-pinned in test_enrich.py) — its
     # HEADLINE timing history continues here
     "streets_filter": entrymod.q_streets_filter,
+    # round-5 session-10 window swap: pip's slot carries the new
+    # oracle-bearing exif_tiles (pip and pip_salted shared literally
+    # identical oracle SQL and are pytest-pinned row-identical); the
+    # broadcast strategy keeps its HEADLINE timing history here and
+    # its broadcast plan stays asserted in test_plans.py
+    "pip": entrymod.q_pip,
     # round-5 session-9: pole-of-inaccessibility label placement over
     # every image footprint (shuffle-free mapInArrow; clearance-
     # within-precision guarantee brute-force-pinned in

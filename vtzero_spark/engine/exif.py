@@ -1,0 +1,570 @@
+"""EXIF metadata codec + GPS -> tile assignment (the geotagged-image path).
+
+Every real geotagged-image pipeline starts here: the camera wrote GPS
+into an Exif APP1 segment (JPEG) or an eXIf chunk (PNG), and tile
+assignment has to come FROM THE BYTES — there is no (wx, wy) column
+until the metadata is parsed. This module implements that boundary
+from the public specs, pure numpy + stdlib:
+
+* Exif 2.3 / TIFF 6.0 structure: byte-order mark (II/LE or MM/BE),
+  IFD walk, the 0x8769 Exif and 0x8825 GPS sub-IFD pointers, ASCII /
+  SHORT / LONG / RATIONAL value types, out-of-line value areas.
+* JPEG carrier: APP1 (FF E1) segment with the "Exif\\0\\0" preamble,
+  inserted right after SOI per spec; parse walks the marker stream
+  and stops at SOS (ISO/IEC 10918-1 segment grammar, same walk as
+  jpeg.py's parser).
+* PNG carrier: the standardized eXIf chunk (PNG extension, 2017),
+  CRC-checked, inserted after IHDR.
+* GPS coordinates as the spec's 3x RATIONAL degrees/minutes/seconds
+  with N/S / E/W refs. Planted DMS values are exact rationals of the
+  integer world grid, so parse -> rational arithmetic -> world
+  coordinate is INTEGER-EXACT and the whole chain (template encode ->
+  container splice -> segment walk -> TIFF parse -> DMS -> tile) sits
+  under the driver's DuckDB hash gate (q_exif_tiles).
+
+Scale notes (the 10^12-image shape):
+* ENCODE is fully vectorized: all planted blobs share one 214-byte
+  TIFF template per byte order, built once per batch as an (n, 214)
+  uint8 matrix with numpy column patches — no per-row struct packing.
+* PARSE is per-image Python over Arrow batches (mapInPandas), like
+  the JPEG entropy decode: the TIFF IFD walk is inherently
+  per-stream, but it touches only the first ~300 bytes of each
+  payload (the walk stops at SOS / IDAT), never the image data.
+* Corrupt metadata is DATA, not an exception: parse_exif raises
+  ValueError("corrupt EXIF: ...") on any malformed structure
+  (bounds-checked offsets, truncated segments), and the Spark
+  operator surfaces that as a status row — one garbage payload must
+  not fail a 10^12-image job (same errors-as-data contract as
+  jpeg.py:10).
+
+Reference parity: vtzero itself has no metadata layer; this feeds its
+tile-assignment semantics (reference include/vtzero/geometry.hpp tile
+grid via tiling.py) from the image axis of the graft
+(BASELINE.json graft_cell: pyspark x image, axes A+B).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from fractions import Fraction
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .synth import EXTENT, WORLD, ZOOM
+
+# TIFF value types used here
+_ASCII, _SHORT, _LONG, _RATIONAL = 2, 3, 4, 5
+
+# fixed template layout (offsets relative to TIFF header start)
+_OFF_IFD0 = 8
+_OFF_EXIF = 50     # IFD0: 2 + 3*12 + 4 = 42 bytes
+_OFF_GPS = 92      # Exif IFD: 2 + 3*12 + 4 = 42 bytes
+_OFF_DT = 146      # GPS IFD: 2 + 4*12 + 4 = 54 bytes
+_OFF_LAT = 166     # DateTime ASCII: 20 bytes
+_OFF_LON = 190     # each RATIONAL x3: 24 bytes
+_TIFF_LEN = 214
+
+
+def _e(order: str) -> str:
+    return "<" if order == "II" else ">"
+
+
+def build_exif_tiff(orientation: int, datetime_str: str, px_w: int,
+                    px_h: int, lat_ref: str, lat_dms, lon_ref: str,
+                    lon_dms, byte_order: str = "II") -> bytes:
+    """One Exif TIFF blob (scalar reference path; the Spark encode uses
+    the vectorized template below, pinned byte-identical in tests).
+
+    lat_dms / lon_dms: three (numerator, denominator) uint32 pairs —
+    degrees, minutes, seconds per the GPS IFD spec (tags 0x0002/0x0004,
+    type RATIONAL, count 3)."""
+    if byte_order not in ("II", "MM"):
+        raise ValueError(f"byte_order must be II or MM, got {byte_order!r}")
+    e = _e(byte_order)
+    dt = datetime_str.encode("ascii")
+    if len(dt) != 19:
+        raise ValueError("datetime must be 19 chars YYYY:MM:DD HH:MM:SS")
+    out = bytearray(_TIFF_LEN)
+    out[0:2] = byte_order.encode("ascii")
+    struct.pack_into(e + "HI", out, 2, 42, _OFF_IFD0)
+
+    def entry(buf_off, tag, typ, count, value_bytes):
+        struct.pack_into(e + "HHI", out, buf_off, tag, typ, count)
+        out[buf_off + 8:buf_off + 12] = value_bytes.ljust(4, b"\x00")
+
+    # IFD0: Orientation, ExifIFD ptr, GPSIFD ptr
+    struct.pack_into(e + "H", out, _OFF_IFD0, 3)
+    entry(_OFF_IFD0 + 2, 0x0112, _SHORT, 1, struct.pack(e + "H", orientation))
+    entry(_OFF_IFD0 + 14, 0x8769, _LONG, 1, struct.pack(e + "I", _OFF_EXIF))
+    entry(_OFF_IFD0 + 26, 0x8825, _LONG, 1, struct.pack(e + "I", _OFF_GPS))
+    # Exif IFD: DateTimeOriginal (out-of-line), PixelXDimension, PixelYDimension
+    struct.pack_into(e + "H", out, _OFF_EXIF, 3)
+    entry(_OFF_EXIF + 2, 0x9003, _ASCII, 20, struct.pack(e + "I", _OFF_DT))
+    entry(_OFF_EXIF + 14, 0xA002, _LONG, 1, struct.pack(e + "I", px_w))
+    entry(_OFF_EXIF + 26, 0xA003, _LONG, 1, struct.pack(e + "I", px_h))
+    # GPS IFD: LatRef, Lat, LonRef, Lon
+    struct.pack_into(e + "H", out, _OFF_GPS, 4)
+    entry(_OFF_GPS + 2, 0x0001, _ASCII, 2, lat_ref.encode("ascii") + b"\x00")
+    entry(_OFF_GPS + 14, 0x0002, _RATIONAL, 3, struct.pack(e + "I", _OFF_LAT))
+    entry(_OFF_GPS + 26, 0x0003, _ASCII, 2, lon_ref.encode("ascii") + b"\x00")
+    entry(_OFF_GPS + 38, 0x0004, _RATIONAL, 3, struct.pack(e + "I", _OFF_LON))
+    # value areas
+    out[_OFF_DT:_OFF_DT + 19] = dt
+    for base, dms in ((_OFF_LAT, lat_dms), (_OFF_LON, lon_dms)):
+        for k, (num, den) in enumerate(dms):
+            struct.pack_into(e + "II", out, base + 8 * k, num, den)
+    return bytes(out)
+
+
+# ------------------------------------------------------------- carriers
+
+def wrap_app1(tiff: bytes) -> bytes:
+    body = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+
+
+def insert_exif(payload: bytes, tiff: bytes, fmt: str) -> bytes:
+    """Splice an Exif blob into a real container: APP1 right after SOI
+    (JPEG, 10918-1 segment grammar) or an eXIf chunk right after IHDR
+    (PNG extension). The image data bytes are untouched."""
+    if fmt == "jpeg":
+        if payload[:2] != b"\xff\xd8":
+            raise ValueError("corrupt EXIF: not a JPEG (no SOI)")
+        return payload[:2] + wrap_app1(tiff) + payload[2:]
+    if fmt == "png":
+        if payload[:8] != b"\x89PNG\r\n\x1a\n":
+            raise ValueError("corrupt EXIF: not a PNG (bad signature)")
+        ihdr_end = 8 + 8 + 13 + 4
+        chunk = (struct.pack(">I", len(tiff)) + b"eXIf" + tiff
+                 + struct.pack(">I", zlib.crc32(b"eXIf" + tiff) & 0xFFFFFFFF))
+        return payload[:ihdr_end] + chunk + payload[ihdr_end:]
+    raise ValueError(f"unknown fmt {fmt}")
+
+
+def find_exif(payload: bytes) -> bytes | None:
+    """Locate the Exif TIFF blob in a JPEG (APP1 walk, stops at SOS) or
+    PNG (chunk walk, CRC-checked). None when absent; ValueError on a
+    structurally corrupt container."""
+    n = len(payload)
+    if payload[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= n:
+            if payload[i] != 0xFF:
+                raise ValueError("corrupt EXIF: JPEG marker desync")
+            m = payload[i + 1]
+            if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+                i += 2
+                continue
+            if m == 0xD9:
+                return None
+            seg_len = struct.unpack(">H", payload[i + 2:i + 4])[0]
+            if seg_len < 2 or i + 2 + seg_len > n:
+                raise ValueError("corrupt EXIF: JPEG segment overruns buffer")
+            if m == 0xE1 and payload[i + 4:i + 10] == b"Exif\x00\x00":
+                return payload[i + 10:i + 2 + seg_len]
+            if m == 0xDA:
+                return None
+            i += 2 + seg_len
+        return None
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        i = 8
+        while i + 8 <= n:
+            clen = struct.unpack(">I", payload[i:i + 4])[0]
+            ctyp = payload[i + 4:i + 8]
+            if i + 12 + clen > n:
+                raise ValueError("corrupt EXIF: PNG chunk overruns buffer")
+            if ctyp == b"eXIf":
+                data = payload[i + 8:i + 8 + clen]
+                crc = struct.unpack(">I", payload[i + 8 + clen:i + 12 + clen])[0]
+                if crc != (zlib.crc32(ctyp + data) & 0xFFFFFFFF):
+                    raise ValueError("corrupt EXIF: eXIf CRC mismatch")
+                return data
+            if ctyp == b"IEND":
+                return None
+            i += 12 + clen
+        return None
+    raise ValueError("corrupt EXIF: unknown container")
+
+
+def strip_exif(payload: bytes) -> bytes:
+    """Privacy scrub (`exiftool -all=` semantics): remove the Exif
+    APP1 segment / eXIf chunk entirely. Image data bytes are
+    untouched; idempotent; pixels decode identically (pinned in
+    tests/test_exif.py)."""
+    n = len(payload)
+    if payload[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= n:
+            if payload[i] != 0xFF:
+                raise ValueError("corrupt EXIF: JPEG marker desync")
+            m = payload[i + 1]
+            if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+                i += 2
+                continue
+            if m in (0xD9, 0xDA):
+                return payload
+            seg_len = struct.unpack(">H", payload[i + 2:i + 4])[0]
+            if seg_len < 2 or i + 2 + seg_len > n:
+                raise ValueError("corrupt EXIF: JPEG segment overruns buffer")
+            if m == 0xE1 and payload[i + 4:i + 10] == b"Exif\x00\x00":
+                return payload[:i] + payload[i + 2 + seg_len:]
+            i += 2 + seg_len
+        return payload
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        i = 8
+        while i + 8 <= n:
+            clen = struct.unpack(">I", payload[i:i + 4])[0]
+            ctyp = payload[i + 4:i + 8]
+            if i + 12 + clen > n:
+                raise ValueError("corrupt EXIF: PNG chunk overruns buffer")
+            if ctyp == b"eXIf":
+                return payload[:i] + payload[i + 12 + clen:]
+            if ctyp == b"IEND":
+                return payload
+            i += 12 + clen
+        return payload
+    raise ValueError("corrupt EXIF: unknown container")
+
+
+# ------------------------------------------------------------- TIFF parse
+
+def _read_ifd(tiff: bytes, e: str, off: int) -> dict[int, tuple]:
+    n = len(tiff)
+    if off + 2 > n:
+        raise ValueError("corrupt EXIF: IFD offset out of range")
+    count = struct.unpack_from(e + "H", tiff, off)[0]
+    if off + 2 + 12 * count + 4 > n:
+        raise ValueError("corrupt EXIF: IFD entries overrun buffer")
+    out: dict[int, tuple] = {}
+    for k in range(count):
+        base = off + 2 + 12 * k
+        tag, typ, cnt = struct.unpack_from(e + "HHI", tiff, base)
+        out[tag] = (typ, cnt, base + 8)
+    return out
+
+
+_TYPE_SIZE = {_ASCII: 1, _SHORT: 2, _LONG: 4, _RATIONAL: 8}
+
+
+def _value(tiff: bytes, e: str, typ: int, cnt: int, voff: int):
+    size = _TYPE_SIZE.get(typ)
+    if size is None:
+        raise ValueError(f"corrupt EXIF: unsupported TIFF type {typ}")
+    total = size * cnt
+    if total > 4:
+        off = struct.unpack_from(e + "I", tiff, voff)[0]
+        if off + total > len(tiff):
+            raise ValueError("corrupt EXIF: value offset out of range")
+    else:
+        off = voff
+    if typ == _ASCII:
+        raw = tiff[off:off + cnt]
+        return raw.split(b"\x00", 1)[0].decode("ascii", "replace")
+    if typ == _SHORT:
+        return list(struct.unpack_from(e + f"{cnt}H", tiff, off))
+    if typ == _LONG:
+        return list(struct.unpack_from(e + f"{cnt}I", tiff, off))
+    vals = struct.unpack_from(e + f"{2 * cnt}I", tiff, off)
+    return [(vals[2 * k], vals[2 * k + 1]) for k in range(cnt)]
+
+
+def parse_exif_tiff(tiff: bytes) -> dict:
+    """General TIFF/Exif parse (not template-bound): IFD0 -> Exif IFD
+    -> GPS IFD, any byte order, any entry ordering, in-line or
+    out-of-line values. ValueError('corrupt EXIF: ...') on anything
+    structurally invalid."""
+    if len(tiff) < 8:
+        raise ValueError("corrupt EXIF: TIFF header truncated")
+    bo = tiff[0:2]
+    if bo == b"II":
+        e = "<"
+    elif bo == b"MM":
+        e = ">"
+    else:
+        raise ValueError("corrupt EXIF: bad byte-order mark")
+    magic, ifd0 = struct.unpack_from(e + "HI", tiff, 2)
+    if magic != 42:
+        raise ValueError("corrupt EXIF: TIFF magic != 42")
+    try:
+        tags0 = _read_ifd(tiff, e, ifd0)
+        out: dict = {"byte_order": bo.decode()}
+        if 0x0112 in tags0:
+            out["orientation"] = _value(tiff, e, *tags0[0x0112])[0]
+        if 0x8769 in tags0:
+            exif_off = _value(tiff, e, *tags0[0x8769])[0]
+            tags_e = _read_ifd(tiff, e, exif_off)
+            if 0x9003 in tags_e:
+                out["datetime_original"] = _value(tiff, e, *tags_e[0x9003])
+            if 0xA002 in tags_e:
+                out["pixel_w"] = _value(tiff, e, *tags_e[0xA002])[0]
+            if 0xA003 in tags_e:
+                out["pixel_h"] = _value(tiff, e, *tags_e[0xA003])[0]
+        if 0x8825 in tags0:
+            gps_off = _value(tiff, e, *tags0[0x8825])[0]
+            tags_g = _read_ifd(tiff, e, gps_off)
+            if 0x0001 in tags_g and 0x0002 in tags_g:
+                out["lat_ref"] = _value(tiff, e, *tags_g[0x0001])
+                out["lat_dms"] = _value(tiff, e, *tags_g[0x0002])
+            if 0x0003 in tags_g and 0x0004 in tags_g:
+                out["lon_ref"] = _value(tiff, e, *tags_g[0x0003])
+                out["lon_dms"] = _value(tiff, e, *tags_g[0x0004])
+        return out
+    except struct.error as exc:
+        raise ValueError(f"corrupt EXIF: {exc}") from exc
+
+
+def parse_exif(payload: bytes) -> dict | None:
+    """Container walk + TIFF parse. None when the payload carries no
+    Exif; ValueError('corrupt EXIF: ...') when it carries garbage."""
+    tiff = find_exif(payload)
+    if tiff is None:
+        return None
+    return parse_exif_tiff(tiff)
+
+
+# --------------------------------------------------- GPS <-> world grid
+
+def dms_to_degrees(dms) -> Fraction:
+    """Exact rational degrees from the spec's 3x RATIONAL DMS."""
+    (dn, dd), (mn, md), (sn, sd) = dms
+    if dd == 0 or md == 0 or sd == 0:
+        raise ValueError("corrupt EXIF: zero denominator in GPS rational")
+    return Fraction(dn, dd) + Fraction(mn, 60 * md) + Fraction(sn, 3600 * sd)
+
+
+def gps_to_world(lat_ref: str, lat_dms, lon_ref: str, lon_dms,
+                 world: int = WORLD) -> tuple[int, int]:
+    """Inverse of the planted equirectangular grid mapping: longitude
+    [-180, 180) -> wx in [0, world), latitude [+90 .. -90] -> wy.
+    Integer-exact for on-grid rationals; ValueError for coordinates
+    that do not land on the integer grid (off-grid GPS is data quality
+    signal at ingest, not an approximation to hide)."""
+    lat = dms_to_degrees(lat_dms) * (1 if lat_ref == "N" else -1)
+    lon = dms_to_degrees(lon_dms) * (1 if lon_ref == "E" else -1)
+    wx = (lon + 180) * world / Fraction(360)
+    wy = (Fraction(90) - lat) * world / Fraction(180)
+    if wx.denominator != 1 or wy.denominator != 1:
+        raise ValueError("corrupt EXIF: GPS coordinate off the integer grid")
+    return int(wx), int(wy)
+
+
+def world_to_dms(wx: int, wy: int, world: int = WORLD):
+    """Forward planting: world grid -> (lat_ref, lat_dms, lon_ref,
+    lon_dms), exact rationals with denominator `world`. The DMS split
+    is the euclidean base-60 cascade, so every planted value is a
+    legal deg/min/sec triple and the sum reconstructs exactly."""
+    def split(abs_num: int):
+        d, rem = divmod(abs_num, world)
+        m, rem2 = divmod(rem * 60, world)
+        return ((d, 1), (m, 1), (rem2 * 60, world))
+
+    lon_num = 360 * wx - 180 * world
+    lat_num = 90 * world - 180 * wy
+    lon_ref = "E" if lon_num >= 0 else "W"
+    lat_ref = "N" if lat_num >= 0 else "S"
+    return lat_ref, split(abs(lat_num)), lon_ref, split(abs(lon_num))
+
+
+# ------------------------------------------------------ vectorized encode
+
+def _template(byte_order: str) -> np.ndarray:
+    t = build_exif_tiff(1, "0000:00:00 00:00:00", 0, 0,
+                        "N", ((0, 1), (0, 1), (0, 1)),
+                        "E", ((0, 1), (0, 1), (0, 1)), byte_order)
+    return np.frombuffer(t, dtype=np.uint8).copy()
+
+
+def build_exif_batch(orient: np.ndarray, dt: list[str], px_w: np.ndarray,
+                     px_h: np.ndarray, wx: np.ndarray, wy: np.ndarray,
+                     byte_order: np.ndarray, world: int = WORLD) -> list[bytes]:
+    """All n TIFF blobs at once: one (n, 214) uint8 matrix per byte
+    order, numeric fields patched as numpy column writes. Byte-identical
+    to the scalar build_exif_tiff (pinned in tests)."""
+    n = len(orient)
+    out = np.empty((n, _TIFF_LEN), dtype=np.uint8)
+    lon_num = 360 * wx.astype(np.int64) - 180 * world
+    lat_num = 90 * world - 180 * wy.astype(np.int64)
+
+    def patch_u(mat, off, vals, width, big):
+        v = vals.astype(np.uint64)
+        for b in range(width):
+            shift = (width - 1 - b) * 8 if big else b * 8
+            mat[:, off + b] = ((v >> shift) & 0xFF).astype(np.uint8)
+
+    for bo in ("II", "MM"):
+        mask = byte_order == bo
+        if not mask.any():
+            continue
+        m = int(mask.sum())
+        sub = np.tile(_template(bo), (m, 1))
+        big = bo == "MM"
+        patch_u(sub, _OFF_IFD0 + 2 + 8, orient[mask], 2, big)
+        patch_u(sub, _OFF_EXIF + 14 + 8, px_w[mask], 4, big)
+        patch_u(sub, _OFF_EXIF + 26 + 8, px_h[mask], 4, big)
+        # refs (inline ASCII, endian-invariant)
+        sub[:, _OFF_GPS + 2 + 8] = np.where(lat_num[mask] >= 0,
+                                            ord("N"), ord("S")).astype(np.uint8)
+        sub[:, _OFF_GPS + 26 + 8] = np.where(lon_num[mask] >= 0,
+                                             ord("E"), ord("W")).astype(np.uint8)
+        for base, num in ((_OFF_LAT, np.abs(lat_num[mask])),
+                          (_OFF_LON, np.abs(lon_num[mask]))):
+            d, rem = np.divmod(num, world)
+            mi, rem2 = np.divmod(rem * 60, world)
+            patch_u(sub, base + 0, d, 4, big)
+            patch_u(sub, base + 4, np.full(m, 1), 4, big)
+            patch_u(sub, base + 8, mi, 4, big)
+            patch_u(sub, base + 12, np.full(m, 1), 4, big)
+            patch_u(sub, base + 16, rem2 * 60, 4, big)
+            patch_u(sub, base + 20, np.full(m, world), 4, big)
+        dt_mat = np.frombuffer(
+            "".join(s for s, keep in zip(dt, mask) if keep).encode("ascii"),
+            dtype=np.uint8).reshape(m, 19)
+        sub[:, _OFF_DT:_OFF_DT + 19] = dt_mat
+        out[mask] = sub
+    buf = out.tobytes()
+    return [buf[i * _TIFF_LEN:(i + 1) * _TIFF_LEN] for i in range(n)]
+
+
+# ----------------------------------------------------- Spark operators
+
+# planted metadata as pure iid functions (DuckDB twins below)
+def _orient_expr(iid):
+    return (iid % 8 + 1).cast("int")
+
+
+def _dt_expr(iid):
+    return F.format_string("2024:01:%02d %02d:00:00",
+                           (iid % 28 + 1).cast("int"), (iid % 24).cast("int"))
+
+
+EXIF_PLANT_SQL = (
+    "printf('2024:01:%02d %02d:00:00', CAST(iid % 28 + 1 AS INT), "
+    "CAST(iid % 24 AS INT))"
+)
+
+
+def attach_exif(df: DataFrame, world: int = WORLD) -> DataFrame:
+    """Splice a planted Exif blob into each real payload (`bytes`
+    column from payload.with_image_bytes): GPS DMS from (wx, wy),
+    orientation/datetime from iid, byte order alternating II/MM by
+    iid parity so BOTH endian paths sit under the oracle gate."""
+    cols = df.columns
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf
+                continue
+            pdf = pdf.copy()
+            iid = pdf["iid"].to_numpy(np.int64)
+            tiffs = build_exif_batch(
+                orient=(iid % 8 + 1),
+                dt=[f"2024:01:{int(i) % 28 + 1:02d} {int(i) % 24:02d}:00:00"
+                    for i in iid],
+                px_w=pdf["w"].to_numpy(np.int64),
+                px_h=pdf["h"].to_numpy(np.int64),
+                wx=pdf["wx"].to_numpy(np.int64),
+                wy=pdf["wy"].to_numpy(np.int64),
+                byte_order=np.where(iid % 2 == 0, "II", "MM"),
+                world=world,
+            )
+            pdf["bytes"] = [
+                insert_exif(bytes(b), t, f)
+                for b, t, f in zip(pdf["bytes"], tiffs, pdf["fmt"])
+            ]
+            yield pdf
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in df.schema.fields)
+    return df.mapInPandas(gen, schema=schema)
+
+
+_INDEX_SCHEMA = ("image_id string, orientation int, dt string, px_w int, "
+                 "px_h int, wx long, wy long, status string")
+
+
+def exif_index(df: DataFrame, world: int = WORLD) -> DataFrame:
+    """Parse Exif FROM THE BYTES and recover the world coordinate:
+    the ingest step of every geotagged-image pipeline. Output is one
+    row per image with the recovered grid position, errors as status
+    rows ('ok' / 'no_exif' / 'no_gps' / 'corrupt: ...')."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples(index=False):
+                rec = {"image_id": t.image_id, "orientation": None,
+                       "dt": None, "px_w": None, "px_h": None,
+                       "wx": None, "wy": None, "status": "ok"}
+                try:
+                    meta = parse_exif(bytes(t.bytes))
+                    if meta is None:
+                        rec["status"] = "no_exif"
+                    else:
+                        rec["orientation"] = meta.get("orientation")
+                        rec["dt"] = meta.get("datetime_original")
+                        rec["px_w"] = meta.get("pixel_w")
+                        rec["px_h"] = meta.get("pixel_h")
+                        if "lat_dms" in meta and "lon_dms" in meta:
+                            wx, wy = gps_to_world(
+                                meta["lat_ref"], meta["lat_dms"],
+                                meta["lon_ref"], meta["lon_dms"], world)
+                            rec["wx"], rec["wy"] = wx, wy
+                        else:
+                            rec["status"] = "no_gps"
+                except ValueError as exc:
+                    rec["status"] = f"corrupt: {exc}"
+                rows.append(rec)
+            yield pd.DataFrame(
+                rows, columns=["image_id", "orientation", "dt", "px_w",
+                               "px_h", "wx", "wy", "status"]
+            ).astype({"orientation": "Int32", "px_w": "Int32",
+                      "px_h": "Int32", "wx": "Int64", "wy": "Int64"})
+
+    return df.select("image_id", "bytes").mapInPandas(gen, schema=_INDEX_SCHEMA)
+
+
+def exif_tiles(df_with_exif: DataFrame, zoom: int = ZOOM,
+               extent: int = EXTENT, world: int = WORLD) -> DataFrame:
+    """bytes -> Exif parse -> GPS -> tile assignment. The tile cell is
+    the same zoom-`zoom` grid the MVT side uses (tiling.py); here the
+    position comes from the METADATA, closing the image->geo loop of
+    the graft. Columns aliased for the DuckDB twin."""
+    idx = exif_index(df_with_exif, world)
+    return (
+        idx.filter(F.col("status") == "ok")
+        .select(
+            "image_id",
+            (F.col("wx") / extent).cast("long").alias("tx"),
+            (F.col("wy") / extent).cast("long").alias("ty"),
+            "orientation",
+            F.col("dt"),
+            F.col("px_w"), F.col("px_h"),
+            "wx", "wy",
+        )
+    )
+
+
+def exif_tiles_sql(images: str = "images", zoom: int = ZOOM,
+                   extent: int = EXTENT) -> str:
+    """DuckDB twin: the planted metadata is a pure iid function, so the
+    whole bytes->parse->GPS->tile chain collapses to closed-form
+    integer math — a hash match proves the codec round-trips every
+    field and both byte orders exactly."""
+    return f"""
+SELECT image_id,
+       CAST(wx // {extent} AS BIGINT) AS tx,
+       CAST(wy // {extent} AS BIGINT) AS ty,
+       CAST(iid % 8 + 1 AS INT) AS orientation,
+       {EXIF_PLANT_SQL} AS dt,
+       CAST(w AS INT) AS px_w,
+       CAST(h AS INT) AS px_h,
+       CAST(wx AS BIGINT) AS wx,
+       CAST(wy AS BIGINT) AS wy
+FROM {images}
+"""
