@@ -89,6 +89,9 @@ EXTENDED = [
     # round-5 session-10 geotagged-image ingest: Exif bytes -> GPS ->
     # tile (both byte orders under the oracle gate)
     "exif_tiles",
+    # round-5 session-10 OGC WKB interchange boundary (round-trip law
+    # + spec goldens in tests/test_wkb.py; bytes out, no SQL oracle)
+    "wkb_roundtrip",
 ]
 
 # minhash_lsh / simhash_neardup left the 50-entry queries() window in
@@ -128,6 +131,27 @@ def _polylabel_query(spark, sf_dir):
         F.array(ring).alias("parts"))
     return PL.label_points(feats, precision=1.0) \
         .select("feature_id", "label_x", "label_y", "label_dist")
+
+
+def _wkb_roundtrip_query(spark, sf_dir):
+    """WKB interchange throughput: every image footprint -> OGC WKB
+    bytes -> parsed back -> per-status vertex rollup. Round-trip
+    exactness is pinned in tests/test_wkb.py; this measures the
+    boundary's cost at corpus scale (the GeoParquet ingest/export
+    path)."""
+    from vtzero_spark.engine import tiling, wkb as wkbmod
+    from vtzero_spark.engine import geomops
+    from vtzero_spark.engine.synth import EXTENT, ZOOM
+
+    img = synth.images(spark, sf_dir)
+    feats = geomops.rect_footprint_features(
+        tiling.assign_tiles(img, zoom=ZOOM, extent=EXTENT, buffer=0))
+    enc = wkbmod.to_wkb(feats.select("feature_id", "geom_type", "parts"))
+    dec = wkbmod.from_wkb(enc.select("feature_id", "wkb"))
+    return dec.groupBy("wkb_status").agg(
+        F.count("*").alias("n"),
+        F.sum(F.size(F.flatten("parts"))).alias("n_points"),
+    )
 
 
 def _geojson_tiles_query(spark, sf_dir):
@@ -215,6 +239,8 @@ BENCH_ONLY = {
     # within-precision guarantee brute-force-pinned in
     # tests/test_polylabel.py, so no SQL oracle)
     "label_points": _polylabel_query,
+    # round-5 session-10: OGC WKB encode+decode over every footprint
+    "wkb_roundtrip": _wkb_roundtrip_query,
 }
 # pip_hex moved INTO queries() in round-5 session 3 (oracle-bearing:
 # join rows + cross-engine hex cell ids); its bench timing continues
