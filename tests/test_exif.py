@@ -159,3 +159,78 @@ def test_spark_exif_index_errors_as_data(spark, sf_dir):
     assert len(ok) > 0 and len(bad) > 0
     assert all(s.startswith("corrupt:") or s in ("no_exif", "no_gps")
                for s in bad.status)
+
+
+# ---------------------------------------------- orientation group laws
+
+def test_orientation_group_laws():
+    rng = np.random.default_rng(3)
+    P = rng.integers(0, 256, size=(24, 40, 3), dtype=np.uint8)
+    stored_forms = []
+    for o in range(1, 9):
+        s = exif.store_orientation(P, o)
+        np.testing.assert_array_equal(exif.apply_orientation(s, o), P)
+        stored_forms.append(s.tobytes() + str(s.shape).encode())
+    # all 8 stored forms of an asymmetric image are distinct
+    assert len(set(stored_forms)) == 8
+    with pytest.raises(ValueError):
+        exif.apply_orientation(P, 0)
+    with pytest.raises(ValueError):
+        exif.apply_orientation(P, 9)
+
+
+def test_orientation_dims_swap():
+    P = np.zeros((10, 20, 3), dtype=np.uint8)
+    for o in (5, 6, 7, 8):
+        assert exif.store_orientation(P, o).shape == (20, 10, 3)
+    for o in (1, 2, 3, 4):
+        assert exif.store_orientation(P, o).shape == (10, 20, 3)
+
+
+def test_spark_oriented_phash_bridges_rotated_reuploads(spark):
+    """The planted re-upload matrix: 3 base images x all 8 Exif
+    orientations. After upright normalization every variant of a base
+    hashes IDENTICALLY (exact 256-bit + ctag + phash64 equality);
+    without it the rotated forms do NOT collapse."""
+    from vtzero_spark.engine.imagehash import image_phash
+    from vtzero_spark.engine.payload import encode_png, synth_pixels
+
+    rows = []
+    for b, seed in enumerate([11, 222, 3333]):
+        P = synth_pixels(seed, 64, 32)
+        for o in range(1, 9):
+            stored = np.ascontiguousarray(exif.store_orientation(P, o))
+            png = encode_png(stored)
+            lat_ref, lat_dms, lon_ref, lon_dms = exif.world_to_dms(b, o)
+            tiff = exif.build_exif_tiff(o, "2024:01:02 03:00:00",
+                                        stored.shape[1], stored.shape[0],
+                                        lat_ref, lat_dms, lon_ref, lon_dms,
+                                        "II" if o % 2 else "MM")
+            rows.append((f"img{b}_{o}", b, bytearray(
+                exif.insert_exif(png, tiff, "png")), "png"))
+    df = spark.createDataFrame(
+        rows, "image_id string, base int, bytes binary, fmt string")
+
+    up = exif.oriented_phash(df).toPandas()
+    assert (up.status == "ok").all()
+    key = up.set_index("image_id")[["b0", "b1", "b2", "b3",
+                                    "ctag", "phash64"]]
+    sigs = {}
+    for b in range(3):
+        s = {tuple(key.loc[f"img{b}_{o}"]) for o in range(1, 9)}
+        assert len(s) == 1, f"base {b} variants did not collapse: {s}"
+        sigs[b] = next(iter(s))
+    assert len(set(sigs.values())) == 3  # distinct bases stay distinct
+
+    raw = image_phash(df).toPandas().set_index("image_id")
+    raw_sigs = {tuple(raw.loc[f"img0_{o}"][["b0", "b1", "b2", "b3"]])
+                for o in range(1, 9)}
+    assert len(raw_sigs) > 1  # the gap upright= closes
+
+
+def test_upright_pixels_no_exif_defaults_identity(spark):
+    from vtzero_spark.engine.payload import encode_png, synth_pixels
+
+    P = synth_pixels(77, 32, 16)
+    np.testing.assert_array_equal(
+        exif.upright_pixels(encode_png(P), "png"), P)

@@ -550,6 +550,72 @@ def exif_tiles(df_with_exif: DataFrame, zoom: int = ZOOM,
     )
 
 
+def apply_orientation(arr: np.ndarray, o: int) -> np.ndarray:
+    """Stored pixels -> upright display pixels per the Exif 2.3
+    Orientation tag (the D4 dihedral group; tag semantics are the
+    spec's row0/col0 placements):
+    1 identity, 2 mirror-H, 3 rotate 180, 4 mirror-V, 5 transpose,
+    6 rotate 90 CW, 7 transverse, 8 rotate 90 CCW. Pure numpy views —
+    no copy until a downstream kernel needs contiguity."""
+    if o == 1:
+        return arr
+    if o == 2:
+        return arr[:, ::-1]
+    if o == 3:
+        return arr[::-1, ::-1]
+    if o == 4:
+        return arr[::-1, :]
+    if o == 5:
+        return arr.swapaxes(0, 1)
+    if o == 6:
+        return arr.swapaxes(0, 1)[:, ::-1]
+    if o == 7:
+        return arr.swapaxes(0, 1)[::-1, ::-1]
+    if o == 8:
+        return arr.swapaxes(0, 1)[::-1, :]
+    raise ValueError(f"corrupt EXIF: orientation {o} out of range 1..8")
+
+
+_INVERSE_ORIENT = {1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 8, 7: 7, 8: 6}
+
+
+def store_orientation(arr: np.ndarray, o: int) -> np.ndarray:
+    """Upright pixels -> the stored form a camera writing Orientation
+    tag `o` would produce: apply_orientation(store_orientation(P, o),
+    o) == P for every tag (group-law-pinned in tests)."""
+    return apply_orientation(arr, _INVERSE_ORIENT[o])
+
+
+def upright_pixels(payload: bytes, fmt: str) -> np.ndarray:
+    """Decode + normalize to display orientation in one step: the
+    canonical form every perceptual-hash / feature stage should see.
+    Orientation defaults to 1 when the payload carries no Exif."""
+    from .payload import decode_payload
+
+    meta = parse_exif(payload)
+    o = (meta or {}).get("orientation") or 1
+    if not 1 <= o <= 8:
+        raise ValueError(f"corrupt EXIF: orientation {o} out of range 1..8")
+    return np.ascontiguousarray(
+        apply_orientation(decode_payload(payload, fmt), o))
+
+
+def oriented_phash(df: DataFrame, id_col: str = "image_id",
+                   passthrough: tuple[str, ...] = ()) -> DataFrame:
+    """Orientation-INVARIANT perceptual hashing: image_phash with the
+    pixels uprighted per the Exif Orientation tag before hashing. A
+    rotated or mirrored re-upload of the same image hashes
+    IDENTICALLY after normalization — the missing near-dup tier for
+    the commonest real-world transform (phone rotation), which the
+    raw pHash band scheme cannot bridge. Composes with every
+    downstream imagehash stage (band blocking, components,
+    representative dedup) unchanged."""
+    from .imagehash import image_phash
+
+    return image_phash(df, id_col=id_col, passthrough=passthrough,
+                       upright=True)
+
+
 def exif_tiles_sql(images: str = "images", zoom: int = ZOOM,
                    extent: int = EXTENT) -> str:
     """DuckDB twin: the planted metadata is a pure iid function, so the

@@ -134,7 +134,8 @@ _HASH_COLS = ["b0", "b1", "b2", "b3", "ctag"]
 
 
 def image_phash(df: DataFrame, id_col: str = "image_id",
-                passthrough: tuple[str, ...] = ()) -> DataFrame:
+                passthrough: tuple[str, ...] = (),
+                upright: bool = False) -> DataFrame:
     """(id, [passthrough...], bytes, fmt) -> (id, [passthrough...],
     b0..b3, ctag, phash64, status). Errors-as-data: an undecodable
     payload yields NULL hashes + the error status instead of failing
@@ -142,7 +143,12 @@ def image_phash(df: DataFrame, id_col: str = "image_id",
     rows). ``passthrough`` columns ride through verbatim (types from
     the input schema) — e.g. an event-time column for the streaming
     near-dup operator; mapInPandas is stateless so the operator also
-    attaches to streaming DataFrames unchanged."""
+    attaches to streaming DataFrames unchanged. ``upright=True``
+    normalizes pixels to display orientation per the Exif Orientation
+    tag before hashing (exif.upright_pixels), making the hash
+    invariant to the whole D4 rotation/mirror group — corrupt
+    metadata routes to the same errors-as-data status path."""
+    from .exif import upright_pixels
     from .payload import decode_payload
     from .textops import _spread
 
@@ -164,7 +170,10 @@ def image_phash(df: DataFrame, id_col: str = "image_id",
             status = []
             for i in range(len(pdf)):
                 try:
-                    px = decode_payload(bufs[i], fmts[i])
+                    if upright:
+                        px = upright_pixels(bytes(bufs[i]), fmts[i])
+                    else:
+                        px = decode_payload(bufs[i], fmts[i])
                     b0, b1, b2, b3, ctag = blockhash(px)
                     for c, v in zip(hash_cols,
                                     (b0, b1, b2, b3, ctag, phash64(px))):
