@@ -87,8 +87,10 @@ EXTENDED = [
     # bbox fan-out -> clip -> encode (JVM parse throughput surface)
     "geojson_tiles",
     # round-5 session-10 geotagged-image ingest: Exif bytes -> GPS ->
-    # tile (both byte orders under the oracle gate)
-    "exif_tiles",
+    # tile (both byte orders; isolates the metadata path — the
+    # oracle-gated exif_tiles twin runs under the driver at sf0.01,
+    # where its wall is payload synthesis, not the EXIF codec)
+    "exif_ingest",
     # round-5 session-10 OGC WKB interchange boundary (round-trip law
     # + spec goldens in tests/test_wkb.py; bytes out, no SQL oracle)
     "wkb_roundtrip",
@@ -133,6 +135,31 @@ def _polylabel_query(spark, sf_dir):
         .select("feature_id", "label_x", "label_y", "label_dist")
 
 
+def _exif_ingest_query(spark, sf_dir):
+    """EXIF boundary throughput, isolated from payload synthesis: the
+    oracle-gated exif_tiles (window, sf0.01) spends >90% of its wall
+    encoding ~480k real JPEG/PNGs at sf0.1 — that measures the image
+    synthesizer, not the metadata path. Here each row splices its OWN
+    planted Exif blob (vectorized template encode, both byte orders)
+    into a real container shared per format, then the full per-row
+    walk runs: segment scan -> TIFF IFD parse -> GPS rationals ->
+    tile. Same code path as the window query from attach_exif onward."""
+    from vtzero_spark.engine import exif as exifmod
+    from vtzero_spark.engine.payload import encode_payload
+
+    tmpl = {fmt: encode_payload(424242, 16, 16, fmt)
+            for fmt in ("jpeg", "png")}
+    img = synth.images(spark, sf_dir).withColumn(
+        "bytes",
+        F.when(F.col("fmt") == "jpeg",
+               F.lit(bytearray(tmpl["jpeg"])))
+        .otherwise(F.lit(bytearray(tmpl["png"]))))
+    tiles = exifmod.exif_tiles(exifmod.attach_exif(img))
+    return tiles.groupBy("tx", "ty").agg(
+        F.count("*").alias("n"),
+        F.sum("orientation").alias("sum_orient"))
+
+
 def _wkb_roundtrip_query(spark, sf_dir):
     """WKB interchange throughput: every image footprint -> OGC WKB
     bytes -> parsed back -> per-status vertex rollup. Round-trip
@@ -143,7 +170,10 @@ def _wkb_roundtrip_query(spark, sf_dir):
     from vtzero_spark.engine import geomops
     from vtzero_spark.engine.synth import EXTENT, ZOOM
 
-    img = synth.images(spark, sf_dir)
+    # spread before the Python codec stages: the iid-dedup upstream
+    # AQE-coalesces to 1-2 partitions (session-8 GeoJSON diagnosis)
+    img = synth.images(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism)
     feats = geomops.rect_footprint_features(
         tiling.assign_tiles(img, zoom=ZOOM, extent=EXTENT, buffer=0))
     enc = wkbmod.to_wkb(feats.select("feature_id", "geom_type", "parts"))
@@ -241,6 +271,9 @@ BENCH_ONLY = {
     "label_points": _polylabel_query,
     # round-5 session-10: OGC WKB encode+decode over every footprint
     "wkb_roundtrip": _wkb_roundtrip_query,
+    # round-5 session-10: EXIF metadata path isolated from payload
+    # synthesis (see _exif_ingest_query docstring)
+    "exif_ingest": _exif_ingest_query,
 }
 # pip_hex moved INTO queries() in round-5 session 3 (oracle-bearing:
 # join rows + cross-engine hex cell ids); its bench timing continues
