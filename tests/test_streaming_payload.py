@@ -560,3 +560,48 @@ def test_image_neardup_band_stream(spark, tmp_path):
                streaming.neardup_first_owners(
                    allrows, n_bands=16, id_col="image_id").collect())
     assert kept == {"a", "b", "c"}
+
+
+def test_exif_ingest_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Continuous geotagged-image ingest: the streaming Exif parse
+    emits exactly the batch exif_index rows for the same payloads,
+    including a corrupt payload's status row and a GPS-less payload
+    (no Exif planted) surfacing as 'no_exif' rather than a crash."""
+    import pandas as pd
+
+    from vtzero_spark.engine import exif
+
+    src = str(tmp_path / "exif_in")
+    base = synth.images(spark, sf_dir, with_bytes=True) \
+        .orderBy("iid").limit(100)
+    tagged = exif.attach_exif(base).select("image_id", "bytes")
+    # one corrupt payload + one that never got Exif
+    victim = tagged.select(F.min("image_id")).collect()[0][0]
+    tagged = tagged.withColumn(
+        "bytes",
+        F.when(F.col("image_id") == victim,
+               F.lit(bytes(b"\xFF\xD8\xFF\xE1garbage")))
+        .otherwise(F.col("bytes")))
+    plain = base.orderBy(F.desc("iid")).limit(1) \
+        .select(F.concat(F.lit("bare_"), "image_id").alias("image_id"),
+                "bytes")
+    tagged.unionByName(plain).write.parquet(src)
+
+    want = exif.exif_index(spark.read.parquet(src)).toPandas() \
+        .sort_values("image_id").reset_index(drop=True)
+    assert (want["status"].str.startswith("corrupt")).sum() == 1
+    assert (want["status"] == "no_exif").sum() >= 1
+    assert (want["status"] == "ok").sum() == 99
+
+    sdf = spark.readStream.schema(spark.read.parquet(src).schema) \
+        .parquet(src)
+    q = (streaming.exif_ingest_stream(sdf)
+         .writeStream.format("memory").queryName("exif_out")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = spark.table("exif_out").toPandas() \
+            .sort_values("image_id").reset_index(drop=True)
+    finally:
+        q.stop()
+    pd.testing.assert_frame_equal(got, want)

@@ -349,6 +349,19 @@ def verify_payload_stream(image_stream: DataFrame) -> DataFrame:
         "image_id", "bytes", "phash", "w", "h", "fmt", "caption"))
 
 
+def exif_ingest_stream(image_stream: DataFrame) -> DataFrame:
+    """Continuous geotagged-image ingest: parse each landing payload's
+    Exif and recover its world position FROM THE BYTES (exif.exif_index
+    — container walk, TIFF IFD parse, GPS rationals), corrupt or
+    GPS-less payloads emitted as status rows. Stateless mapInPandas,
+    so the batch operator attaches unchanged; compose with the
+    plan-side tile-assignment arithmetic (tools/geotag_job.py stage 2)
+    and stream_encode_tiles for a camera-to-archive streaming path."""
+    from . import exif
+
+    return exif.exif_index(image_stream.select("image_id", "bytes"))
+
+
 def lint_stream(tile_stream: DataFrame) -> DataFrame:
     """Continuous vtzero-check: lint every tile of a STREAM of
     (z, x, y, tile_bytes) rows with the same per-tile pass as the
