@@ -1,0 +1,217 @@
+"""Point-density heatmap tiles — the server-side analog of the
+Mapbox GL ``heatmap`` layer, and the KDE prep step of every density
+analysis ("where are the photos taken?") over the geotagged corpus.
+
+Kernel density with EXACT integer arithmetic so an independent engine
+can verify every pixel: each point of weight ``w`` splats the integer
+Epanechnikov kernel
+
+    k(dr, dc) = R^2 - (dr^2 + dc^2)          (kept where k > 0)
+
+onto the GLOBAL pixel grid around its own pixel, densities sum per
+pixel, and tiles are carved from the global grid afterwards — so a
+point near a tile edge contributes to its neighbor tiles and the
+rendered mosaic is SEAMLESS by construction (no per-tile halo logic;
+the ownership derives from the SCATTERED pixel, not the point).
+
+Spark shape (all JVM, whole-stage codegen, no Python in the plan):
+
+    points x broadcast(offset table)  ->  scatter rows
+      groupBy (px, py) sum            ->  one shuffle, map-side combine
+      groupBy (tile) agg / render     ->  second (tiny) shuffle
+
+The offset table is (2R+1)^2 rows (R default 8 -> 289) and is
+explicitly broadcast; the scatter inflates rows by ~piR^2 BEFORE the
+exchange but partial aggregation collapses them map-side, so shuffle
+volume is bounded by min(points * piR^2, occupied pixels) per
+partition — at 10^12 points the exchange carries the DENSITY GRID
+(<= 4^zoom * size^2 rows), not the corpus. DuckDB twin: the identical
+scatter-then-group formulation (heatmap_tiles_sql), integer-exact.
+
+Scale note: zoom and size set the grid; at high zoom the grid itself
+is the 100 TB-safe representation (sparse — only touched pixels
+materialize). Skewed hot pixels are additive sums, so AQE skew splits
+apply cleanly; no per-point state anywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .synth import WORLD, ZOOM
+
+__all__ = ["heatmap_pixels", "heatmap_tiles", "heatmap_png_tiles",
+           "heatmap_tiles_sql"]
+
+RADIUS = 8          # kernel radius, pixels
+TILE_PX = 256       # pixels per tile edge
+
+
+def _shifts(zoom: int, size: int, world: int) -> tuple[int, int]:
+    """world-units -> global pixel shift, and pixel -> tile shift."""
+    sbits = size.bit_length() - 1
+    if 1 << sbits != size:
+        raise ValueError(f"size {size} must be a power of two")
+    wbits = world.bit_length() - 1
+    if 1 << wbits != world:
+        raise ValueError(f"world {world} must be a power of two")
+    pshift = wbits - zoom - sbits  # wx >> pshift == global pixel
+    if pshift < 0:
+        raise ValueError(
+            f"zoom {zoom} with size {size} exceeds the {wbits}-bit "
+            f"world grid (pixel finer than a world unit)")
+    return pshift, sbits
+
+
+def _offsets(spark: SparkSession, radius: int) -> DataFrame:
+    """The (dr, dc, k) kernel table, k = R^2 - dr^2 - dc^2 > 0."""
+    n = 2 * radius + 1
+    return (
+        spark.range(n * n)
+        .select((F.col("id") / n).cast("long").alias("dr"),
+                (F.col("id") % n).alias("dc"))
+        .select((F.col("dr") - radius).alias("dr"),
+                (F.col("dc") - radius).alias("dc"))
+        .withColumn("k", F.lit(radius * radius)
+                    - F.col("dr") * F.col("dr")
+                    - F.col("dc") * F.col("dc"))
+        .filter(F.col("k") > 0)
+    )
+
+
+def heatmap_pixels(points: DataFrame, zoom: int = ZOOM,
+                   size: int = TILE_PX, radius: int = RADIUS,
+                   weight_col: str | None = None,
+                   world: int = WORLD) -> DataFrame:
+    """(wx, wy[, weight]) points -> sparse global density grid
+    (px, py, density), density = sum over points of w * k(dr, dc).
+    Pixels outside the world grid are dropped (world edge, not
+    wrapped)."""
+    spark = points.sparkSession
+    pshift, _ = _shifts(zoom, size, world)
+    npx = (world >> pshift)  # global grid edge in pixels
+    w = (F.col(weight_col).cast("long") if weight_col
+         else F.lit(1).cast("long"))
+    pts = points.select(
+        F.shiftright("wx", pshift).alias("gx"),
+        F.shiftright("wy", pshift).alias("gy"),
+        w.alias("wt"))
+    offs = F.broadcast(_offsets(spark, radius))
+    return (
+        pts.crossJoin(offs)
+        .select((F.col("gx") + F.col("dc")).alias("px"),
+                (F.col("gy") + F.col("dr")).alias("py"),
+                (F.col("wt") * F.col("k")).alias("mass"))
+        .filter((F.col("px") >= 0) & (F.col("px") < npx)
+                & (F.col("py") >= 0) & (F.col("py") < npx))
+        .groupBy("px", "py")
+        .agg(F.sum("mass").alias("density"))
+    )
+
+
+def heatmap_tiles(points: DataFrame, zoom: int = ZOOM,
+                  size: int = TILE_PX, radius: int = RADIUS,
+                  weight_col: str | None = None,
+                  world: int = WORLD) -> DataFrame:
+    """Per-tile density summary over the seamless global grid: tile
+    ownership derives from each SCATTERED pixel, so edge points count
+    toward every tile they touch. Columns aliased for the DuckDB
+    twin; peak ties break on (py, px) — deterministic cross-engine."""
+    _, sbits = _shifts(zoom, size, world)
+    pix = heatmap_pixels(points, zoom, size, radius, weight_col, world)
+    return (
+        pix.groupBy(
+            F.shiftright("px", sbits).cast("int").alias("x"),
+            F.shiftright("py", sbits).cast("int").alias("y"))
+        .agg(F.count("*").alias("n_pixels"),
+             F.sum("density").alias("total_mass"),
+             F.max("density").alias("peak_density"),
+             F.max(F.struct("density", "py", "px")).alias("_pk"))
+        .select(F.lit(zoom).cast("int").alias("z"),
+                "x", "y", "n_pixels", "total_mass", "peak_density",
+                F.col("_pk.px").alias("peak_px"),
+                F.col("_pk.py").alias("peak_py"))
+    )
+
+
+def heatmap_tiles_sql(src: str = "images", zoom: int = ZOOM,
+                      size: int = TILE_PX, radius: int = RADIUS,
+                      weight_col: str | None = None,
+                      world: int = WORLD) -> str:
+    """DuckDB twin of heatmap_tiles over a (wx, wy[, weight]) CTE:
+    the same scatter-then-group formulation (a range self-join via
+    BETWEEN is ~65x slower in DuckDB — measured for the kNN oracle)."""
+    pshift, sbits = _shifts(zoom, size, world)
+    npx = world >> pshift
+    n = 2 * radius + 1
+    wexpr = f"CAST(p.{weight_col} AS BIGINT)" if weight_col else "1"
+    return f"""
+offs AS (
+  SELECT (i // {n}) - {radius} AS dr, (i % {n}) - {radius} AS dc,
+         {radius * radius} - ((i // {n}) - {radius}) * ((i // {n}) - {radius})
+           - ((i % {n}) - {radius}) * ((i % {n}) - {radius}) AS k
+  FROM range({n * n}) t(i)
+  WHERE {radius * radius} - ((i // {n}) - {radius}) * ((i // {n}) - {radius})
+           - ((i % {n}) - {radius}) * ((i % {n}) - {radius}) > 0
+),
+hm_pixels AS (
+  SELECT (p.wx // {1 << pshift}) + o.dc AS px,
+         (p.wy // {1 << pshift}) + o.dr AS py,
+         CAST(SUM({wexpr} * o.k) AS BIGINT) AS density
+  FROM {src} p CROSS JOIN offs o
+  WHERE (p.wx // {1 << pshift}) + o.dc BETWEEN 0 AND {npx - 1}
+    AND (p.wy // {1 << pshift}) + o.dr BETWEEN 0 AND {npx - 1}
+  GROUP BY 1, 2
+),
+hm_tiles AS (
+  SELECT CAST({zoom} AS INT) AS z,
+         CAST(px // {size} AS INT) AS x, CAST(py // {size} AS INT) AS y,
+         CAST(COUNT(*) AS BIGINT) AS n_pixels,
+         CAST(SUM(density) AS BIGINT) AS total_mass,
+         CAST(MAX(density) AS BIGINT) AS peak_density,
+         CAST((MAX(struct_pack(density := density, py := py,
+                               px := px))).px AS BIGINT) AS peak_px,
+         CAST((MAX(struct_pack(density := density, py := py,
+                               px := px))).py AS BIGINT) AS peak_py
+  FROM hm_pixels GROUP BY 2, 3
+)"""
+
+
+def heatmap_png_tiles(points: DataFrame, zoom: int = ZOOM,
+                      size: int = TILE_PX, radius: int = RADIUS,
+                      weight_col: str | None = None,
+                      world: int = WORLD) -> DataFrame:
+    """Render the density grid into grayscale PNG raster tiles
+    (z, x, y, png bytes): the servable form. Intensity is normalized
+    PER TILE (255 at the tile's own peak — deterministic, no global
+    pass; a styling choice, documented, like GL's per-view ramp).
+    Only touched tiles materialize."""
+    from . import png as P
+
+    _, sbits = _shifts(zoom, size, world)
+    pix = heatmap_pixels(points, zoom, size, radius, weight_col, world)
+    keyed = pix.select(
+        F.shiftright("px", sbits).cast("int").alias("x"),
+        F.shiftright("py", sbits).cast("int").alias("y"),
+        (F.col("px") - (F.shiftright("px", sbits) * size)).alias("lx"),
+        (F.col("py") - (F.shiftright("py", sbits) * size)).alias("ly"),
+        "density")
+
+    def render(pdf: pd.DataFrame) -> pd.DataFrame:
+        img = np.zeros((size, size), np.int64)
+        img[pdf["ly"].to_numpy(), pdf["lx"].to_numpy()] = \
+            pdf["density"].to_numpy()
+        peak = img.max()
+        gray = (img * 255 // peak).astype(np.uint8) if peak else \
+            img.astype(np.uint8)
+        return pd.DataFrame([{
+            "z": zoom, "x": int(pdf["x"].iloc[0]),
+            "y": int(pdf["y"].iloc[0]),
+            "png": P.encode(gray)}])
+
+    return keyed.groupBy("x", "y").applyInPandas(
+        render, schema="z int, x int, y int, png binary")
