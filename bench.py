@@ -94,6 +94,9 @@ EXTENDED = [
     # round-5 session-10 OGC WKB interchange boundary (round-trip law
     # + spec goldens in tests/test_wkb.py; bytes out, no SQL oracle)
     "wkb_roundtrip",
+    # round-5 session-11 oracle-bearing point-density heatmap tiles
+    # (integer-Epanechnikov scatter-then-group, all-JVM plan)
+    "heatmap",
 ]
 
 # minhash_lsh / simhash_neardup left the 50-entry queries() window in
@@ -274,6 +277,13 @@ BENCH_ONLY = {
     # round-5 session-10: EXIF metadata path isolated from payload
     # synthesis (see _exif_ingest_query docstring)
     "exif_ingest": _exif_ingest_query,
+    # round-5 session-11 window swap: ivf_topk's slot carries the new
+    # oracle-bearing heatmap (IVF is approximate by design, so never
+    # oracle-matchable; recall floor + train-once cache stay pinned in
+    # test_streaming_payload.py and ivfpq_topk remains in the window
+    # as the ANN-scale representative); its HEADLINE timing history
+    # continues here
+    "ivf_topk": entrymod.q_ivf_topk,
 }
 # pip_hex moved INTO queries() in round-5 session 3 (oracle-bearing:
 # join rows + cross-engine hex cell ids); its bench timing continues
