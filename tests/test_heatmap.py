@@ -127,10 +127,15 @@ def test_png_render_round_trip(spark, points):
     np.testing.assert_array_equal(got, want)
 
 
-def test_plan_is_jvm_only_and_broadcast(spark, points):
+def test_plan_is_jvm_only_and_join_free(spark, points):
+    """The kernel scatter is a Generate over a literal array — no join
+    node of any kind (the earlier broadcast-crossJoin form planned as
+    BroadcastNestedLoopJoin and tripped the headline no-cartesian
+    gate) and no Python in the plan."""
     plan = heatmap.heatmap_tiles(points, radius=RADIUS) \
         ._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
-    for bad in ("ArrowEvalPython", "BatchEvalPython", "FlatMapsInPandas",
+    assert "Generate explode" in plan
+    for bad in ("BroadcastNestedLoopJoin", "CartesianProduct", "Join",
+                "ArrowEvalPython", "BatchEvalPython", "FlatMapsInPandas",
                 "MapInPandas"):
         assert bad not in plan

@@ -16,16 +16,20 @@ the ownership derives from the SCATTERED pixel, not the point).
 
 Spark shape (all JVM, whole-stage codegen, no Python in the plan):
 
-    points x broadcast(offset table)  ->  scatter rows
+    explode(literal kernel array)     ->  scatter rows, JOIN-FREE
       groupBy (px, py) sum            ->  one shuffle, map-side combine
       groupBy (tile) agg / render     ->  second (tiny) shuffle
 
-The offset table is (2R+1)^2 rows (R default 8 -> 289) and is
-explicitly broadcast; the scatter inflates rows by ~piR^2 BEFORE the
-exchange but partial aggregation collapses them map-side, so shuffle
-volume is bounded by min(points * piR^2, occupied pixels) per
-partition — at 10^12 points the exchange carries the DENSITY GRID
-(<= 4^zoom * size^2 rows), not the corpus. DuckDB twin: the identical
+The kernel is known at PLAN time (~piR^2 in-disk offsets, R default
+8 -> 197 entries), so the scatter is a Generate over a literal
+array-of-structs — no join node of any kind (an earlier broadcast
+crossJoin form planned as BroadcastNestedLoopJoin; the explode is
+the same row inflation without the join machinery or the broadcast
+exchange). The scatter inflates rows by ~piR^2 BEFORE the exchange
+but partial aggregation collapses them map-side, so shuffle volume
+is bounded by min(points * piR^2, occupied pixels) per partition —
+at 10^12 points the exchange carries the DENSITY GRID (<= 4^zoom *
+size^2 rows), not the corpus. DuckDB twin: the identical
 scatter-then-group formulation (heatmap_tiles_sql), integer-exact.
 
 Scale note: zoom and size set the grid; at high zoom the grid itself
@@ -67,20 +71,20 @@ def _shifts(zoom: int, size: int, world: int) -> tuple[int, int]:
     return pshift, sbits
 
 
-def _offsets(spark: SparkSession, radius: int) -> DataFrame:
-    """The (dr, dc, k) kernel table, k = R^2 - dr^2 - dc^2 > 0."""
-    n = 2 * radius + 1
-    return (
-        spark.range(n * n)
-        .select((F.col("id") / n).cast("long").alias("dr"),
-                (F.col("id") % n).alias("dc"))
-        .select((F.col("dr") - radius).alias("dr"),
-                (F.col("dc") - radius).alias("dc"))
-        .withColumn("k", F.lit(radius * radius)
-                    - F.col("dr") * F.col("dr")
-                    - F.col("dc") * F.col("dc"))
-        .filter(F.col("k") > 0)
-    )
+def _kernel_array(radius: int):
+    """The (dr, dc, k) kernel as ONE literal array-of-structs column,
+    k = R^2 - dr^2 - dc^2 > 0 (the in-disk offsets only). Known at
+    plan time, so the scatter explodes it — no join in the plan."""
+    entries = []
+    for dr in range(-radius, radius + 1):
+        for dc in range(-radius, radius + 1):
+            k = radius * radius - dr * dr - dc * dc
+            if k > 0:
+                entries.append(F.struct(
+                    F.lit(dr).cast("long").alias("dr"),
+                    F.lit(dc).cast("long").alias("dc"),
+                    F.lit(k).cast("long").alias("k")))
+    return F.array(*entries)
 
 
 def heatmap_pixels(points: DataFrame, zoom: int = ZOOM,
@@ -91,7 +95,6 @@ def heatmap_pixels(points: DataFrame, zoom: int = ZOOM,
     (px, py, density), density = sum over points of w * k(dr, dc).
     Pixels outside the world grid are dropped (world edge, not
     wrapped)."""
-    spark = points.sparkSession
     pshift, _ = _shifts(zoom, size, world)
     npx = (world >> pshift)  # global grid edge in pixels
     w = (F.col(weight_col).cast("long") if weight_col
@@ -100,12 +103,12 @@ def heatmap_pixels(points: DataFrame, zoom: int = ZOOM,
         F.shiftright("wx", pshift).alias("gx"),
         F.shiftright("wy", pshift).alias("gy"),
         w.alias("wt"))
-    offs = F.broadcast(_offsets(spark, radius))
     return (
-        pts.crossJoin(offs)
-        .select((F.col("gx") + F.col("dc")).alias("px"),
-                (F.col("gy") + F.col("dr")).alias("py"),
-                (F.col("wt") * F.col("k")).alias("mass"))
+        pts.select("gx", "gy", "wt",
+                   F.explode(_kernel_array(radius)).alias("o"))
+        .select((F.col("gx") + F.col("o.dc")).alias("px"),
+                (F.col("gy") + F.col("o.dr")).alias("py"),
+                (F.col("wt") * F.col("o.k")).alias("mass"))
         .filter((F.col("px") >= 0) & (F.col("px") < npx)
                 & (F.col("py") >= 0) & (F.col("py") < npx))
         .groupBy("px", "py")
