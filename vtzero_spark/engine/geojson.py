@@ -259,12 +259,26 @@ def geojson_to_tiles(lines: DataFrame, zoom: int, extent: int,
     Rows whose JSON failed to parse are dropped (upstream keeps them
     as status rows via parse_geojson on the same input).
     """
+    p = parse_geojson(lines, col=col).where(F.col("parts").isNotNull())
+    return world_features_to_tiles(p, zoom, extent, buffer=buffer,
+                                   layer=layer,
+                                   coalesce_lines=coalesce_lines)
+
+
+def world_features_to_tiles(p: DataFrame, zoom: int, extent: int,
+                            buffer: int = 0, layer: str = "features",
+                            coalesce_lines: bool = False) -> DataFrame:
+    """Stages 2-5 of geojson_to_tiles (bbox fan-out -> localize ->
+    clip -> vectorized encode) over NATIVE feature rows — the shared
+    tail for every world-coordinate ingest (GeoJSON text, trajectory
+    tracks, WKB imports). ``p`` columns: fid (long), gj_type (the
+    GeoJSON type string) and parts (array<array<array<long>>> of
+    [x, y] vertex pairs in WORLD integer coordinates)."""
     from . import assemble
     from .clip import clip_features
     from .geomops import cmds_from_parts
 
     n_tiles = 1 << zoom
-    p = parse_geojson(lines, col=col).where(F.col("parts").isNotNull())
     flat = F.flatten("parts")
     xs = F.transform(flat, lambda q: F.element_at(q, 1))
     ys = F.transform(flat, lambda q: F.element_at(q, 2))
