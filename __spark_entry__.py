@@ -24,6 +24,8 @@ from vtzero_spark.engine import (
     rewrite, sessions, simsearch, synth, textops, thin, tiling,
 )
 from vtzero_spark.engine import exif as _exif
+from vtzero_spark.engine import hull as _hull
+from vtzero_spark.engine import trajectory as _trajectory
 from vtzero_spark.engine import geojson as _geojson
 from vtzero_spark.engine import hilbert as _hilbert
 from vtzero_spark.engine import hexcells as _hexcells
@@ -237,6 +239,50 @@ def q_donut_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sum_y").alias("sum_y"),
         F.sum("area2").alias("area2"),
     )
+
+
+def q_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ST_Centroid through the wire format: the donut polygons
+    (outer ring + opposite-wound hole) are encoded, decoded back, and
+    each feature's shoelace centroid numerators (cxn = 6*A*Cx,
+    cyn = 6*A*Cy, signed int64 — the hole SUBTRACTS via its winding,
+    geometry.hpp:161-169 ring classification) roll up per tile-layer.
+    The oracle computes the same integers in closed form from the
+    planted rectangles, so a single flipped ring or off-by-one in the
+    decoded coordinates breaks the hash."""
+    img = synth.images(spark, sf_dir)
+    assigned = tiling.assign_tiles(img, zoom=ZOOM, extent=EXTENT, buffer=0)
+    feats = geomops.donut_stream_features(assigned)
+    tiles = assemble.encode_geom_tiles(feats)
+    stats = geomops.tile_geometry_stats(tiles)
+    return stats.where(F.col("decode_status") == "ok").groupBy(
+        "z", "x", "y", "layer_name"
+    ).agg(
+        F.count("*").alias("n_features"),
+        F.sum("cxn").alias("cxn"),
+        F.sum("cyn").alias("cyn"),
+        F.sum("area2").alias("area2"),
+    )
+
+
+def q_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user track statistics (engine/trajectory.py): events planted
+    at deterministic world positions -> time-ordered leg walk -> exact
+    int64 path/bbox/displacement metrics. ONE shuffle: the analytic
+    window's user_id exchange is reused by the final groupBy."""
+    ev = synth.load(spark, sf_dir, "events")
+    return _trajectory.track_stats(_trajectory.event_points(ev))
+
+
+def q_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed convex hull per user track (engine/hull.py,
+    ST_ConvexHull aggregate): two-level salted monotone-chain
+    reduction (hull is a monoid), every output column exact int64.
+    The oracle re-derives hull membership edge-by-edge in pure SQL
+    (maximal-edge characterization), so vertex set, vertex sums AND
+    the shoelace area of the hull ring are all hash-gated."""
+    ev = synth.load(spark, sf_dir, "events")
+    return _hull.hull_stats(_trajectory.event_points(ev))
 
 
 def q_geojson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1304,12 +1350,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     timing continues via BENCH_ONLY) for heatmap — ORACLE-BEARING
     point-density tiles (engine/heatmap.py): integer-Epanechnikov
     scatter onto the global pixel grid, per-tile rollup hash-matched
-    against the identical scatter-then-group DuckDB formulation."""
+    against the identical scatter-then-group DuckDB formulation.
+    Round-5 session 12 swapped roundtrip_counts (its decoded
+    coordinate-sum law is pinned by the richer donut_roundtrip /
+    centroid polygon path through the SAME encode->decode->stats
+    machinery, the point-decode path stays in the window via
+    tile_check, and a DuckDB-parity pin remains in
+    tests/test_trajectory.py::test_roundtrip_counts_oracle_pin) for
+    centroid — exact ST_Centroid numerators through the wire format
+    (signed shoelace 6*A*C terms, hole-subtracting, hash-matched
+    against the closed form of the planted donuts); and ngram_jaccard
+    (the exact-Jaccard law stays as the MinHash recall baseline in
+    tests/test_scale_sketches.py plus a DuckDB-parity pin in
+    tests/test_trajectory.py::test_ngram_jaccard_oracle_pin; its
+    HEADLINE timing continues via BENCH_ONLY) for trajectory — the
+    ST_MakeLine/track-statistics surface (engine/trajectory.py):
+    per-user time-ordered leg walk reduced to exact-int64 path
+    length / bbox / longest-leg / net-displacement metrics,
+    hash-matched against the identical DuckDB window formulation.
+    The same session swapped dedup_hashed (rows pytest-pinned equal
+    to the raw-text dedup groups in test_scale_sketches.py:109, the
+    keep-first dedup law stays driver-gated inside curation's oracle,
+    and the fixed-width-key plan shape stays asserted in
+    test_plans.py; timing continues via BENCH_ONLY) for hull — the
+    distributed ST_ConvexHull aggregate (engine/hull.py): two-level
+    salted monotone-chain reduction, hash-matched against a pure-SQL
+    maximal-edge hull oracle (vertex count, vertex sums, exact
+    shoelace area)."""
     return {
         "tile_assign": q_tile_assign,
         "tilestats": q_tilestats,
         "mvt_layer_stats": q_mvt_layer_stats,
-        "roundtrip_counts": q_roundtrip_counts,
+        "centroid": q_centroid,
         "feature_lookup": q_feature_lookup,
         "dict_encode": q_dict_encode,
         "overzoom_counts": q_overzoom_counts,
@@ -1333,8 +1405,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay": q_overlay,
         "cell_compact": q_cell_compact,
         "raster_stencil": q_raster_stencil,
-        "dedup_hashed": q_dedup_hashed,
-        "ngram_jaccard": q_ngram_jaccard,
+        "hull": q_hull,
+        "trajectory": q_trajectory,
         "decontaminate": q_decontaminate,
         "neardup_md5": q_neardup_md5,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
@@ -1399,13 +1471,26 @@ SELECT z, x, y, layer_name, count(*) AS num_features,
          + count(DISTINCT caption) AS value_table_size
 FROM assigned GROUP BY z, x, y, layer_name
 """,
-        "roundtrip_counts": f"""
+        # exact centroid numerators of the planted donuts: outer rect
+        # contributes 6*A*C = 3wh(2*loc+edge); the reverse-wound hole
+        # (size w//2 x h//2, inset w//4, h//4) subtracts its own term
+        "centroid": f"""
 WITH {images},
-{assigned}
+{assigned0}
 SELECT z, x, y, layer_name, count(*) AS n_features,
-       CAST(sum(loc_x) AS BIGINT) AS sum_x, CAST(sum(loc_y) AS BIGINT) AS sum_y
-FROM assigned GROUP BY z, x, y, layer_name
+       CAST(sum(3 * w * h * (2 * loc_x + w)
+            - 3 * (w // 2) * (h // 2) * (2 * (loc_x + w // 4) + (w // 2)))
+            AS BIGINT) AS cxn,
+       CAST(sum(3 * w * h * (2 * loc_y + h)
+            - 3 * (w // 2) * (h // 2) * (2 * (loc_y + h // 4) + (h // 2)))
+            AS BIGINT) AS cyn,
+       CAST(sum(2 * w * h - 2 * (w // 2) * (h // 2)) AS BIGINT) AS area2
+FROM assigned0 GROUP BY z, x, y, layer_name
 """,
+        "trajectory": (
+            f"WITH pts AS ({_trajectory.event_points_sql('events')})\n"
+            + _trajectory.track_stats_sql("pts")
+        ),
         "feature_lookup": f"""
 WITH {images},
 {assigned}
@@ -1662,8 +1747,10 @@ cells0 AS (
 {cells.compact_cells_sql('cells0', 8)}
 SELECT cell, CAST(FLOOR(LOG2(cell)) / 2 AS INT) AS level FROM compacted
 """,
-        "dedup_hashed": textops.DEDUP_EXACT_SQL,
-        "ngram_jaccard": textops.ngram_jaccard_adjacent_sql(),
+        "hull": _hull.hull_stats_sql(
+            "pts",
+            pre=(f"p0 AS ({_trajectory.event_points_sql('events')}), "
+                 "pts AS (SELECT user_id, wx AS px, wy AS py FROM p0)")),
         "decontaminate": textops.decontaminate_sql(),
         "neardup_md5": textops.neardup_md5_pairs_sql(),
         "decontaminate_fuzzy": textops.decontaminate_fuzzy_md5_sql(),

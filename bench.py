@@ -97,6 +97,15 @@ EXTENDED = [
     # round-5 session-11 oracle-bearing point-density heatmap tiles
     # (integer-Epanechnikov scatter-then-group, all-JVM plan)
     "heatmap",
+    # round-5 session-12 oracle-bearing pair: exact ST_Centroid
+    # numerators through the encode->decode path, and per-user
+    # trajectory statistics (one-shuffle window+group plan)
+    "centroid",
+    "trajectory",
+    # round-5 session-12 composed GPS-trace tiles (BENCH_ONLY)
+    "track_tiles",
+    # round-5 session-12 distributed convex hull aggregate
+    "hull",
 ]
 
 # minhash_lsh / simhash_neardup left the 50-entry queries() window in
@@ -185,6 +194,14 @@ def _wkb_roundtrip_query(spark, sf_dir):
         F.count("*").alias("n"),
         F.sum(F.size(F.flatten("parts"))).alias("n_points"),
     )
+
+
+def _track_tiles_query(spark, sf_dir):
+    # composed GPS-trace pipeline: events -> planted positions ->
+    # per-user ST_MakeLine -> bbox fan-out -> clip -> encode
+    from vtzero_spark.engine import trajectory as trajmod
+
+    return trajmod.track_tiles(synth.load(spark, sf_dir, "events"))
 
 
 def _geojson_tiles_query(spark, sf_dir):
@@ -284,6 +301,22 @@ BENCH_ONLY = {
     # as the ANN-scale representative); its HEADLINE timing history
     # continues here
     "ivf_topk": entrymod.q_ivf_topk,
+    # round-5 session-12 window swap: ngram_jaccard's slot carries the
+    # new oracle-bearing trajectory (exact-Jaccard stays the MinHash
+    # recall baseline in test_scale_sketches.py + a DuckDB-parity pin
+    # in test_trajectory.py); its HEADLINE timing history continues
+    # here
+    "ngram_jaccard": entrymod.q_ngram_jaccard,
+    # round-5 session-12: composed GPS-trace tiles (events -> per-user
+    # track assembly -> fan-out/clip/encode through the shared
+    # world-features tail; tile bytes out, laws in test_trajectory.py)
+    "track_tiles": _track_tiles_query,
+    # round-5 session-12 window swap: dedup_hashed's slot carries the
+    # new oracle-bearing hull (rows pytest-pinned equal to the
+    # raw-text dedup groups; keep-first law driver-gated via
+    # curation's oracle; fixed-width-key plan assert kept); its
+    # EXTENDED timing history continues here
+    "dedup_hashed": entrymod.q_dedup_hashed,
 }
 # pip_hex moved INTO queries() in round-5 session 3 (oracle-bearing:
 # join rows + cross-engine hex cell ids); its bench timing continues

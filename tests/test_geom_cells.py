@@ -65,7 +65,8 @@ def test_uniform_stats_matches_scalar_decode(spark, sf_dir):
     M = np.array(rows, dtype=np.int64)
     stats = _uniform_batch_stats(M, G.GEOM_POLYGON)
     assert stats is not None
-    n_parts, n_points, sum_x, sum_y, area2 = stats
+    n_parts, n_points, sum_x, sum_y, area2, cxn, cyn = stats
+    from vtzero_spark.engine.geomops import _ring_centroid_terms
     for i, cmds in enumerate(rows):
         parts, rtypes = G.decode_geometry(G.GEOM_POLYGON, np.array(cmds))
         pts = np.concatenate(parts)
@@ -73,6 +74,9 @@ def test_uniform_stats_matches_scalar_decode(spark, sf_dir):
         assert n_points[i] == pts.shape[0]
         assert sum_x[i] == pts[:, 0].sum() and sum_y[i] == pts[:, 1].sum()
         assert area2[i] == sum(G.ring_signed_area2(r) for r in parts)
+        terms = [_ring_centroid_terms(r) for r in parts]
+        assert cxn[i] == sum(t[1] for t in terms)
+        assert cyn[i] == sum(t[2] for t in terms)
 
 
 def test_rect_footprint_roundtrip(spark, sf_dir):

@@ -32,7 +32,7 @@ from ..mvt.errors import MVTError
 GEOM_STATS_SCHEMA = (
     "z long, x long, y long, layer_name string, feature_id long, "
     "geom_type int, n_parts int, n_points long, sum_x long, sum_y long, "
-    "area2 long, decode_status string"
+    "area2 long, cxn long, cyn long, decode_status string"
 )
 
 
@@ -250,24 +250,48 @@ def _uniform_batch_stats(M: np.ndarray, gtype: int):
     sum_y = coords[:, :, 1].sum(axis=1)
     n_points = np.full(n, m, dtype=np.int64)
     area2 = np.zeros(n, dtype=np.int64)
+    cxn = np.zeros(n, dtype=np.int64)
+    cyn = np.zeros(n, dtype=np.int64)
     if gtype == G.GEOM_POLYGON:
         for start, cnt in parts:
             ring = coords[:, start:start + cnt]
             xs, ys = ring[:, :, 0], ring[:, :, 1]
-            a = (xs[:, :-1] * ys[:, 1:] - xs[:, 1:] * ys[:, :-1]).sum(axis=1)
-            a += xs[:, -1] * ys[:, 0] - xs[:, 0] * ys[:, -1]
-            area2 += a
+            # wrap-closed edge walk shared by shoelace area and the
+            # exact centroid numerators (cxn = 6*A*Cx, cyn = 6*A*Cy
+            # as signed int64 — holes subtract via their winding)
+            xn = np.roll(xs, -1, axis=1)
+            yn = np.roll(ys, -1, axis=1)
+            cross = xs * yn - xn * ys
+            area2 += cross.sum(axis=1)
+            cxn += ((xs + xn) * cross).sum(axis=1)
+            cyn += ((ys + yn) * cross).sum(axis=1)
             # closing point re-emitted in the decoded stream
             n_points += 1
             sum_x += xs[:, 0]
             sum_y += ys[:, 0]
     return (np.full(n, len(parts), dtype=np.int64), n_points,
-            sum_x, sum_y, area2)
+            sum_x, sum_y, area2, cxn, cyn)
+
+
+def _ring_centroid_terms(ring: np.ndarray) -> tuple[int, int, int]:
+    """Exact shoelace terms for one decoded ring: (area2, cxn, cyn)
+    where cxn = 6*A*Cx, cyn = 6*A*Cy as signed int64. Handles both a
+    closed ring (decoded polygons re-emit the closing point — the
+    wrap edge is then degenerate and contributes zero) and an open
+    one (the wrap edge closes it)."""
+    xs = ring[:, 0].astype(np.int64)
+    ys = ring[:, 1].astype(np.int64)
+    xn = np.roll(xs, -1)
+    yn = np.roll(ys, -1)
+    cross = xs * yn - xn * ys
+    return (int(cross.sum()), int(((xs + xn) * cross).sum()),
+            int(((ys + yn) * cross).sum()))
 
 
 def _geom_stats_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     cols = ["z", "x", "y", "layer_name", "feature_id", "geom_type",
-            "n_parts", "n_points", "sum_x", "sum_y", "area2", "decode_status"]
+            "n_parts", "n_points", "sum_x", "sum_y", "area2", "cxn", "cyn",
+            "decode_status"]
     for pdf in batches:
         yield _stats_from_pdf(pdf, cols)
 
@@ -288,7 +312,7 @@ def _stats_from_pdf(pdf: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
             if stats is None:
                 rest_idx.extend(sub.index)
                 continue
-            n_parts, n_points, sum_x, sum_y, area2 = stats
+            n_parts, n_points, sum_x, sum_y, area2, cxn, cyn = stats
             outs.append(pd.DataFrame({
                 "z": sub["z"].astype(np.int64), "x": sub["x"].astype(np.int64),
                 "y": sub["y"].astype(np.int64),
@@ -300,6 +324,7 @@ def _stats_from_pdf(pdf: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
                 "geom_type": int(gtype),
                 "n_parts": n_parts.astype(np.int32), "n_points": n_points,
                 "sum_x": sum_x, "sum_y": sum_y, "area2": area2,
+                "cxn": cxn, "cyn": cyn,
                 "decode_status": "ok",
             }))
         if not rest_idx:
@@ -329,9 +354,13 @@ def _stats_from_pdf(pdf: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
                 nbytes = int(a_nb[i]) if a_nb is not None else None
                 parts, ring_types = G.decode_geometry(int(a_gt[i]), cmds, nbytes)
                 pts = np.concatenate(parts, axis=0) if parts else np.empty((0, 2), np.int64)
-                area2 = 0
+                area2 = cxn = cyn = 0
                 if ring_types is not None:
-                    area2 = sum(G.ring_signed_area2(ring) for ring in parts)
+                    for ring in parts:
+                        a2, cx6, cy6 = _ring_centroid_terms(ring)
+                        area2 += a2
+                        cxn += cx6
+                        cyn += cy6
                 rows.append({
                     **base,
                     "n_parts": len(parts),
@@ -339,12 +368,13 @@ def _stats_from_pdf(pdf: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
                     "sum_x": int(pts[:, 0].sum()) if pts.size else 0,
                     "sum_y": int(pts[:, 1].sum()) if pts.size else 0,
                     "area2": int(area2),
+                    "cxn": int(cxn), "cyn": int(cyn),
                     "decode_status": "ok",
                 })
             except MVTError as e:
                 rows.append({
                     **base, "n_parts": 0, "n_points": 0, "sum_x": 0,
-                    "sum_y": 0, "area2": 0,
+                    "sum_y": 0, "area2": 0, "cxn": 0, "cyn": 0,
                     "decode_status": f"{type(e).__name__}: {e}",
                 })
         outs.append(pd.DataFrame(rows, columns=cols))
@@ -359,7 +389,8 @@ def tile_geometry_stats(tiles: DataFrame) -> DataFrame:
     from ..mvt import tile as T
 
     cols = ["z", "x", "y", "layer_name", "feature_id", "geom_type",
-            "n_parts", "n_points", "sum_x", "sum_y", "area2", "decode_status"]
+            "n_parts", "n_points", "sum_x", "sum_y", "area2", "cxn", "cyn",
+            "decode_status"]
 
     in_cols = ["z", "x", "y", "layer_name", "feature_id", "geom_type",
                "geometry", "geometry_nbytes"]
@@ -381,7 +412,7 @@ def tile_geometry_stats(tiles: DataFrame) -> DataFrame:
                     err_rows.append({
                         "z": z, "x": x, "y": y, "layer_name": None,
                         "feature_id": None, "geom_type": 0, "n_parts": 0,
-                        "n_points": 0, "sum_x": 0, "sum_y": 0, "area2": 0,
+                        "n_points": 0, "sum_x": 0, "sum_y": 0, "area2": 0, "cxn": 0, "cyn": 0,
                         "decode_status": f"{type(e).__name__}: {e}"})
                     continue
                 for lv in views:
@@ -391,7 +422,7 @@ def tile_geometry_stats(tiles: DataFrame) -> DataFrame:
                         err_rows.append({
                             "z": z, "x": x, "y": y, "layer_name": None,
                             "feature_id": None, "geom_type": 0, "n_parts": 0,
-                            "n_points": 0, "sum_x": 0, "sum_y": 0, "area2": 0,
+                            "n_points": 0, "sum_x": 0, "sum_y": 0, "area2": 0, "cxn": 0, "cyn": 0,
                             "decode_status": f"{type(e).__name__}: {e}"})
                         continue
                     feats = layer.features
