@@ -106,6 +106,9 @@ EXTENDED = [
     "track_tiles",
     # round-5 session-12 distributed convex hull aggregate
     "hull",
+    # round-5 session-12 stay-point detection (DuckDB parity in
+    # tests/test_trajectory.py; window stays at 50)
+    "track_stops",
 ]
 
 # minhash_lsh / simhash_neardup left the 50-entry queries() window in
@@ -194,6 +197,13 @@ def _wkb_roundtrip_query(spark, sf_dir):
         F.count("*").alias("n"),
         F.sum(F.size(F.flatten("parts"))).alias("n_points"),
     )
+
+
+def _track_stops_query(spark, sf_dir):
+    from vtzero_spark.engine import trajectory as trajmod
+
+    pts = trajmod.event_points(synth.load(spark, sf_dir, "events"))
+    return trajmod.track_stops(pts, r2=1_500_000, min_duration_s=600)
 
 
 def _track_tiles_query(spark, sf_dir):
@@ -317,6 +327,9 @@ BENCH_ONLY = {
     # curation's oracle; fixed-width-key plan assert kept); its
     # EXTENDED timing history continues here
     "dedup_hashed": entrymod.q_dedup_hashed,
+    # round-5 session-12: stay-point detection over the planted
+    # tracks (one-shuffle run-split windows; parity in pytest)
+    "track_stops": _track_stops_query,
 }
 # pip_hex moved INTO queries() in round-5 session 3 (oracle-bearing:
 # join rows + cross-engine hex cell ids); its bench timing continues

@@ -188,6 +188,106 @@ def test_track_tiles_world_run(spark, sf_dir):
     assert got_users == want_users
 
 
+def test_track_stops_matches_duckdb(spark, sf_dir):
+    """Stay-point detection parity: identical run-split windows in
+    both engines, exact integers throughout."""
+    r2, dur = 1_500_000, 600
+    pts = trajectory.event_points(synth.load(spark, sf_dir, "events"))
+    sdf = trajectory.track_stops(pts, r2=r2, min_duration_s=dur) \
+        .toPandas()
+    pre = trajectory.event_points_sql("events")
+    odf = _duck(sf_dir).execute(
+        f"WITH pts AS ({pre}) "
+        + trajectory.track_stops_sql("pts", r2=r2, min_duration_s=dur)
+    ).df()
+    cols = sorted(sdf.columns)
+    a = sdf[cols].sort_values(cols).reset_index(drop=True)
+    b = odf[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_track_stops_planted(spark):
+    """A planted dwell: 4 tight points over 40 min between two far
+    jumps -> exactly one stop with those 4 points; shortening the
+    duration floor below the dwell keeps it, raising it kills it."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 0, base, 0, 0),                                  # far start
+        (1, 1, base + dt.timedelta(minutes=60), 5000, 5000),   # jump
+        (1, 2, base + dt.timedelta(minutes=75), 5003, 5004),   # dwell
+        (1, 3, base + dt.timedelta(minutes=90), 5001, 5002),
+        (1, 4, base + dt.timedelta(minutes=100), 5004, 5000),
+        (1, 5, base + dt.timedelta(minutes=160), 9000, 100),   # jump
+    ]
+    pts = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, wx long, wy long")
+    got = trajectory.track_stops(pts, r2=100, min_duration_s=1500) \
+        .toPandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert r["n_points"] == 4 and r["last_ts"] - r["first_ts"] == 2400
+    assert r["sum_x"] == 5000 + 5003 + 5001 + 5004
+    assert r["sum_y"] == 5000 + 5004 + 5002 + 5000
+    none = trajectory.track_stops(pts, r2=100, min_duration_s=3000)
+    assert none.count() == 0
+
+
+def test_track_stats_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming twin folds each micro-batch into per-user state
+    via the chunk-merge monoid; after a TWO-batch time-ordered feed
+    (maxFilesPerTrigger=1) the latest update per user equals batch
+    track_stats exactly — stitching legs across the batch boundary
+    included."""
+    import os
+
+    pts = trajectory.event_points(synth.load(spark, sf_dir, "events"))
+    want = trajectory.track_stats(pts).toPandas() \
+        .sort_values("user_id").reset_index(drop=True)
+
+    med = pts.approxQuantile("event_id", [0.5], 0.0)[0]
+    src = str(tmp_path / "pts_in")
+    os.makedirs(src)
+    pts.where(F.col("event_id") <= med).coalesce(1) \
+        .write.parquet(src + "/h1")
+    pts.where(F.col("event_id") > med).coalesce(1) \
+        .write.parquet(src + "/h2")
+    # one file per half, time-ordered arrival (event_id increases
+    # with ts in the synthetic stream, so half 1 precedes half 2)
+    files = []
+    for half in ("h1", "h2"):
+        for f in os.listdir(f"{src}/{half}"):
+            if f.endswith(".parquet"):
+                files.append(f"{src}/{half}/{f}")
+    assert len(files) == 2
+    now = 1_700_000_000
+    for i, f in enumerate(files):
+        os.utime(f, (now + i * 10, now + i * 10))
+
+    schema = spark.read.parquet(files[0]).schema
+    sdf = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1)
+           .option("latestFirst", "false")
+           .parquet(src + "/*"))
+    q = (trajectory.track_stats_stream(sdf)
+         .writeStream.format("memory").queryName("tracks_out")
+         .outputMode("update").start())
+    try:
+        q.processAllAvailable()
+        got = spark.table("tracks_out").toPandas()
+    finally:
+        q.stop()
+    # latest update per user = the row with the largest n_points
+    got = got.sort_values(["user_id", "n_points"]) \
+        .groupby("user_id").tail(1) \
+        .sort_values("user_id").reset_index(drop=True)
+    cols = list(want.columns)
+    pd.testing.assert_frame_equal(want[cols], got[cols],
+                                  check_dtype=False)
+
+
 def test_roundtrip_counts_oracle_pin(spark, sf_dir):
     """roundtrip_counts left the 50-entry window in round-5 session 12
     (the decoded coordinate-sum law is pinned by donut_roundtrip /

@@ -35,6 +35,11 @@ north_star-side trajectory support over the same integer world model
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -164,6 +169,163 @@ def track_tiles(events: DataFrame, zoom: int | None = None,
     return _geojson.world_features_to_tiles(
         tracks(event_points(events)), zoom, extent,
         buffer=buffer, layer=layer)
+
+
+def track_stops(points: DataFrame, r2: int = 400,
+                min_duration_s: int = 1800) -> DataFrame:
+    """Stay-point (stop) detection — the trajectory-mining step that
+    turns a GPS track into visits: maximal runs of consecutive SLOW
+    legs (leg_d2 <= r2) lasting at least ``min_duration_s``. Exact
+    integer semantics end to end (the run split is the sessionize
+    gap-flag trick: run id = cumulative count of fast legs), so the
+    DuckDB twin hash-matches. ONE shuffle: both analytic windows and
+    the final groupBy share the user_id clustering.
+
+    A stop row carries the run's point count (legs + 1), time span,
+    and the exact coordinate sums of its points (the visit centroid's
+    integer numerators; the leading point of the run is included)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dx = F.col("wx") - F.lag("wx").over(w)
+    dy = F.col("wy") - F.lag("wy").over(w)
+    legs = points.select(
+        "user_id", "ts", "event_id", "wx", "wy",
+        (dx * dx + dy * dy).alias("leg_d2"),
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    fast = F.when(
+        F.col("leg_d2").isNull() | (F.col("leg_d2") > r2), 1).otherwise(0)
+    runs = legs.withColumn("_fast", fast).withColumn(
+        "run_id",
+        F.sum("_fast").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    # a run groups its slow legs PLUS the leg that started it (the
+    # anchor point rides in via the fast row that opened the run)
+    stops = runs.groupBy("user_id", "run_id").agg(
+        F.count("*").alias("n_points"),
+        F.min(F.unix_timestamp("ts")).alias("first_ts"),
+        F.max(F.unix_timestamp("ts")).alias("last_ts"),
+        F.sum("wx").alias("sum_x"),
+        F.sum("wy").alias("sum_y"),
+    )
+    return stops.where(
+        (F.col("n_points") >= 2)
+        & (F.col("last_ts") - F.col("first_ts") >= min_duration_s))
+
+
+def track_stops_sql(points_cte: str = "pts", r2: int = 400,
+                    min_duration_s: int = 1800) -> str:
+    """DuckDB mirror of track_stops (identical run-split windows)."""
+    return f"""
+SELECT user_id, run_id, count(*) AS n_points,
+       CAST(min(floor(epoch(ts))) AS BIGINT) AS first_ts,
+       CAST(max(floor(epoch(ts))) AS BIGINT) AS last_ts,
+       CAST(sum(wx) AS BIGINT) AS sum_x,
+       CAST(sum(wy) AS BIGINT) AS sum_y
+FROM (
+  SELECT user_id, ts, event_id, wx, wy,
+         SUM(CASE WHEN leg_d2 IS NULL OR leg_d2 > {r2} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM (
+    SELECT user_id, ts, event_id, wx, wy,
+           (wx - lag(wx) OVER w) * (wx - lag(wx) OVER w)
+             + (wy - lag(wy) OVER w) * (wy - lag(wy) OVER w) AS leg_d2
+    FROM {points_cte}
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  )
+)
+GROUP BY user_id, run_id
+HAVING count(*) >= 2
+   AND max(floor(epoch(ts))) - min(floor(epoch(ts))) >= {min_duration_s}
+"""
+
+
+_TRACK_STATE_SCHEMA = (
+    "n_points long, path_l1 long, path_d2 long, max_leg_d2 long, "
+    "min_x long, max_x long, min_y long, max_y long, "
+    "first_ts long, last_ts long, first_wx long, first_wy long, "
+    "last_wx long, last_wy long"
+)
+
+_TRACK_OUT_SCHEMA = (
+    "user_id long, n_points long, path_l1 long, path_d2 long, "
+    "max_leg_d2 long, min_x long, max_x long, min_y long, max_y long, "
+    "first_ts long, last_ts long, net_d2 long"
+)
+
+
+def track_stats_stream(points: DataFrame) -> DataFrame:
+    """Streaming twin of track_stats: per-user GroupState IS the
+    chunk-merge monoid tested in test_trajectory.py — it holds the
+    running metrics plus the track's first and LAST points, and each
+    micro-batch folds in as one chunk joined by a single stitching
+    leg. Emits the updated track row per user per batch ("update"
+    mode; the latest row per user is the track so far).
+
+    Ordering contract: rows WITHIN a micro-batch are sorted here
+    before folding; ACROSS batches the source must deliver each
+    user's points in time order (the same contract the chunk merge
+    states — a Kafka key-partitioned feed or time-ordered files).
+    State is 14 int64s per user, independent of track length."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            (n, l1, d2, mx, minx, maxx, miny, maxy,
+             fts, lts, fx, fy, lx, ly) = state.get
+        else:
+            n = 0
+            l1 = d2 = mx = 0
+            minx = maxx = miny = maxy = fx = fy = lx = ly = None
+            fts = lts = None
+        chunks = list(pdfs)
+        if chunks:
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            pdf = pdf.sort_values(["ts", "event_id"], kind="stable")
+            xs = pdf["wx"].to_numpy("int64")
+            ys = pdf["wy"].to_numpy("int64")
+            tss = (pdf["ts"].astype("int64") // 10**9).to_numpy("int64")
+            dxs = np.diff(xs)
+            dys = np.diff(ys)
+            legs = dxs * dxs + dys * dys
+            cl1 = int(np.abs(dxs).sum() + np.abs(dys).sum())
+            cd2 = int(legs.sum())
+            cmx = int(legs.max()) if legs.size else 0
+            if n == 0:
+                n = len(xs)
+                l1, d2, mx = cl1, cd2, cmx
+                minx, maxx = int(xs.min()), int(xs.max())
+                miny, maxy = int(ys.min()), int(ys.max())
+                fts, lts = int(tss[0]), int(tss[-1])
+                fx, fy = int(xs[0]), int(ys[0])
+            else:
+                sdx = int(xs[0]) - lx
+                sdy = int(ys[0]) - ly
+                stitch = sdx * sdx + sdy * sdy
+                n += len(xs)
+                l1 += cl1 + abs(sdx) + abs(sdy)
+                d2 += cd2 + stitch
+                mx = max(mx, cmx, stitch)
+                minx = min(minx, int(xs.min()))
+                maxx = max(maxx, int(xs.max()))
+                miny = min(miny, int(ys.min()))
+                maxy = max(maxy, int(ys.max()))
+                lts = int(tss[-1])
+            lx, ly = int(xs[-1]), int(ys[-1])
+        state.update((n, l1, d2, mx, minx, maxx, miny, maxy,
+                      fts, lts, fx, fy, lx, ly))
+        ndx, ndy = lx - fx, ly - fy
+        yield pd.DataFrame([{
+            "user_id": user_id, "n_points": n, "path_l1": l1,
+            "path_d2": d2, "max_leg_d2": mx, "min_x": minx,
+            "max_x": maxx, "min_y": miny, "max_y": maxy,
+            "first_ts": fts, "last_ts": lts,
+            "net_d2": ndx * ndx + ndy * ndy,
+        }])
+
+    return points.groupBy("user_id").applyInPandasWithState(
+        fn, _TRACK_OUT_SCHEMA, _TRACK_STATE_SCHEMA, "update",
+        GroupStateTimeout.NoTimeout)
 
 
 def track_stats_sql(points_cte: str = "pts") -> str:
