@@ -109,6 +109,10 @@ EXTENDED = [
     # round-5 session-12 stay-point detection (DuckDB parity in
     # tests/test_trajectory.py; window stays at 50)
     "track_stops",
+    # round-5 session-12 OD flow matrix (DuckDB parity in pytest)
+    "tile_flows",
+    # round-5 session-12 hull polygons -> MVT via the shared tail
+    "hull_tiles",
 ]
 
 # minhash_lsh / simhash_neardup left the 50-entry queries() window in
@@ -204,6 +208,21 @@ def _track_stops_query(spark, sf_dir):
 
     pts = trajmod.event_points(synth.load(spark, sf_dir, "events"))
     return trajmod.track_stops(pts, r2=1_500_000, min_duration_s=600)
+
+
+def _tile_flows_query(spark, sf_dir):
+    from vtzero_spark.engine import trajectory as trajmod
+
+    return trajmod.tile_flows(
+        trajmod.event_points(synth.load(spark, sf_dir, "events")))
+
+
+def _hull_tiles_query(spark, sf_dir):
+    from vtzero_spark.engine import hull as hullmod
+    from vtzero_spark.engine import trajectory as trajmod
+
+    pts = trajmod.event_points(synth.load(spark, sf_dir, "events"))
+    return hullmod.hull_tiles(pts, zoom=synth.ZOOM)
 
 
 def _track_tiles_query(spark, sf_dir):
@@ -330,6 +349,10 @@ BENCH_ONLY = {
     # round-5 session-12: stay-point detection over the planted
     # tracks (one-shuffle run-split windows; parity in pytest)
     "track_stops": _track_stops_query,
+    # round-5 session-12: OD flow matrix + hull tiles (parity / laws
+    # in tests/test_trajectory.py and tests/test_hull.py)
+    "tile_flows": _tile_flows_query,
+    "hull_tiles": _hull_tiles_query,
 }
 # pip_hex moved INTO queries() in round-5 session 3 (oracle-bearing:
 # join rows + cross-engine hex cell ids); its bench timing continues

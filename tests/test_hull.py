@@ -106,6 +106,36 @@ def test_hull_two_level_monoid_law(spark, sf_dir):
         pd.testing.assert_frame_equal(base, salted)
 
 
+def test_hull_tiles_roundtrip(spark, sf_dir):
+    """Hull polygons through the shared ingest tail: every tile
+    decodes clean; for groups whose hull fits inside ONE tile the
+    decoded ring reproduces the hull exactly (n_hull + re-emitted
+    closing point, positive area equal to hull_stats area2)."""
+    from vtzero_spark.engine import geomops
+
+    pts = trajectory.event_points(synth.load(spark, sf_dir, "events"))
+    tiles = hull.hull_tiles(pts, zoom=synth.ZOOM)
+    stats = geomops.tile_geometry_stats(tiles).toPandas()
+    assert (stats["decode_status"] == "ok").all()
+    assert (stats["geom_type"] == 3).all()
+    hs = hull.hull_stats(pts).toPandas().set_index("user_id")
+    verts = hull.hull_vertices(pts).toPandas()
+    ext = synth.EXTENT
+    one_tile = {
+        uid: grp for uid, grp in verts.groupby("user_id")
+        if len(grp) >= 3
+        and grp["hx"].min() // ext == grp["hx"].max() // ext
+        and grp["hy"].min() // ext == grp["hy"].max() // ext
+    }
+    assert one_tile  # the wander box makes most hulls tile-local
+    by_fid = stats.set_index("feature_id")
+    for uid, grp in one_tile.items():
+        r = by_fid.loc[uid]
+        assert r["n_parts"] == 1
+        assert r["n_points"] == hs.loc[uid, "n_hull"] + 1
+        assert r["area2"] == hs.loc[uid, "area2"]
+
+
 def test_hull_vertices_ring_is_ccw_and_closed_form(spark, sf_dir):
     """hull_vertices emits the ring in CCW order (positive shoelace)
     and hull_stats' area2 equals the shoelace of that ring."""

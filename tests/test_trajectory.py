@@ -235,6 +235,55 @@ def test_track_stops_planted(spark):
     assert none.count() == 0
 
 
+def test_tile_flows_matches_duckdb(spark, sf_dir):
+    """OD flow matrix parity: identical lag-window + boundary-crossing
+    filter + distinct-user counts in both engines."""
+    pts = trajectory.event_points(synth.load(spark, sf_dir, "events"))
+    sdf = trajectory.tile_flows(pts).toPandas()
+    pre = trajectory.event_points_sql("events")
+    odf = _duck(sf_dir).execute(
+        f"WITH pts AS ({pre}) "
+        + trajectory.tile_flows_sql("pts", zoom=synth.ZOOM,
+                                    world=synth.WORLD)
+    ).df()
+    cols = sorted(sdf.columns)
+    a = sdf[cols].sort_values(cols).reset_index(drop=True)
+    b = odf[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_tile_flows_planted(spark):
+    """Two users shuttling between two known tiles: flows count each
+    crossing leg directionally; the within-tile leg never counts."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    # tile width at zoom 4 over the 65536 world = 4096
+    rows = [
+        (1, 0, base, 100, 100),                              # tile (0,0)
+        (1, 1, base + dt.timedelta(minutes=1), 5000, 100),   # -> (1,0)
+        (1, 2, base + dt.timedelta(minutes=2), 5100, 200),   # stay (1,0)
+        (1, 3, base + dt.timedelta(minutes=3), 100, 100),    # -> (0,0)
+        (2, 0, base, 200, 300),                              # (0,0)
+        (2, 1, base + dt.timedelta(minutes=1), 5000, 4200),  # -> (1,1)
+    ]
+    pts = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, wx long, wy long")
+    got = trajectory.tile_flows(pts).toPandas() \
+        .sort_values(["fx", "fy", "tx", "ty"]).reset_index(drop=True)
+    want = pd.DataFrame([
+        {"z": 4, "fx": 0, "fy": 0, "tx": 1, "ty": 0,
+         "n_legs": 1, "n_users": 1},
+        {"z": 4, "fx": 0, "fy": 0, "tx": 1, "ty": 1,
+         "n_legs": 1, "n_users": 1},
+        {"z": 4, "fx": 1, "fy": 0, "tx": 0, "ty": 0,
+         "n_legs": 1, "n_users": 1},
+    ])
+    pd.testing.assert_frame_equal(got[want.columns], want,
+                                  check_dtype=False)
+
+
 def test_track_stats_stream_matches_batch(spark, sf_dir, tmp_path):
     """The streaming twin folds each micro-batch into per-user state
     via the chunk-merge monoid; after a TWO-batch time-ordered feed

@@ -167,6 +167,35 @@ def hull_stats(points: DataFrame, group_col: str = "user_id",
     return n_pts.join(stats, group_col)
 
 
+def hull_tiles(points: DataFrame, zoom: int, extent: int = 4096,
+               buffer: int = 0, layer: str = "hulls",
+               group_col: str = "user_id", x_col: str = "wx",
+               y_col: str = "wy", salt: int = DEFAULT_SALT) -> DataFrame:
+    """The servable form: each group's hull as an MVT polygon, through
+    the SAME world-features ingest tail every other ingest runs
+    (geojson.world_features_to_tiles: bbox fan-out -> localize ->
+    clip -> vectorized encode). Hull rings arrive CCW-positive from
+    chain_hull — the outer-ring winding the encoder expects — and are
+    closed here (GeoJSON ring convention, first == last). Degenerate
+    hulls (< 3 vertices) drop: a point or segment has no polygon."""
+    from . import geojson as _geojson
+
+    verts = hull_vertices(points, group_col, x_col, y_col, salt)
+    t = verts.groupBy(group_col).agg(
+        F.array_sort(F.collect_list(
+            F.struct("ord", "hx", "hy"))).alias("_vs"))
+    ring = F.transform("_vs", lambda v: F.array(v["hx"], v["hy"]))
+    closed = F.concat(ring, F.slice(ring, 1, 1))
+    p = t.select(
+        F.col(group_col).cast("long").alias("fid"),
+        F.lit("Polygon").alias("gj_type"),
+        F.array(closed).alias("parts"),
+        F.size("_vs").alias("_n"),
+    ).where(F.col("_n") >= 3).drop("_n")
+    return _geojson.world_features_to_tiles(p, zoom, extent,
+                                            buffer=buffer, layer=layer)
+
+
 def hull_stats_sql(points_cte: str = "pts",
                    group_col: str = "user_id", pre: str = "") -> str:
     """DuckDB mirror via the maximal-edge characterization (module

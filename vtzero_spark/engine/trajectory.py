@@ -171,6 +171,57 @@ def track_tiles(events: DataFrame, zoom: int | None = None,
         buffer=buffer, layer=layer)
 
 
+def tile_flows(points: DataFrame, zoom: int | None = None) -> DataFrame:
+    """Origin-destination flow matrix at tile granularity — the flow-map
+    aggregation: every track leg that CROSSES a tile boundary counts as
+    one (from_tile -> to_tile) movement. Pure JVM (div-by-tile-width +
+    lag window + groupBy); the flow groupBy re-shuffles on the flow key
+    after the user_id window, which is inherent (the output key is not
+    the track key) and carries only boundary-crossing legs. n_users is
+    an exact distinct count per flow cell pair."""
+    if zoom is None:
+        zoom = synth.ZOOM
+    tw = synth.WORLD >> zoom
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = points.select(
+        "user_id", "ts", "event_id",
+        (F.col("wx") / tw).cast("long").alias("tx"),
+        (F.col("wy") / tw).cast("long").alias("ty"),
+    ).select(
+        "user_id",
+        F.lag("tx").over(w).alias("fx"),
+        F.lag("ty").over(w).alias("fy"),
+        F.col("tx"), F.col("ty"),
+    ).where(F.col("fx").isNotNull()
+            & ((F.col("fx") != F.col("tx")) | (F.col("fy") != F.col("ty"))))
+    return t.groupBy("fx", "fy", "tx", "ty").agg(
+        F.count("*").alias("n_legs"),
+        F.countDistinct("user_id").alias("n_users"),
+    ).select(F.lit(zoom).cast("long").alias("z"),
+             "fx", "fy", "tx", "ty", "n_legs", "n_users")
+
+
+def tile_flows_sql(points_cte: str = "pts", zoom: int = 4,
+                   world: int = 65536) -> str:
+    """DuckDB mirror of tile_flows."""
+    tw = world >> zoom
+    return f"""
+SELECT CAST({zoom} AS BIGINT) AS z, fx, fy, tx, ty,
+       count(*) AS n_legs,
+       count(DISTINCT user_id) AS n_users
+FROM (
+  SELECT user_id,
+         lag(wx // {tw}) OVER w AS fx,
+         lag(wy // {tw}) OVER w AS fy,
+         wx // {tw} AS tx, wy // {tw} AS ty
+  FROM {points_cte}
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+WHERE fx IS NOT NULL AND (fx != tx OR fy != ty)
+GROUP BY fx, fy, tx, ty
+"""
+
+
 def track_stops(points: DataFrame, r2: int = 400,
                 min_duration_s: int = 1800) -> DataFrame:
     """Stay-point (stop) detection — the trajectory-mining step that
