@@ -106,6 +106,20 @@ def test_hull_two_level_monoid_law(spark, sf_dir):
         pd.testing.assert_frame_equal(base, salted)
 
 
+def test_hull_stats_plan_shape(spark, sf_dir):
+    """Three shuffles (dedupe, salted local hulls, final hulls), ZERO
+    joins — n_points rides the fragment rows instead of a second
+    distinct + join branch."""
+    import re
+
+    import __spark_entry__ as em
+
+    df = em.queries()["hull"](spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 3
+    assert "Join" not in p and "CartesianProduct" not in p
+
+
 def test_hull_tiles_roundtrip(spark, sf_dir):
     """Hull polygons through the shared ingest tail: every tile
     decodes clean; for groups whose hull fits inside ONE tile the

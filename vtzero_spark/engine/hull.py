@@ -106,17 +106,23 @@ def _dedup(points: DataFrame, group_col: str, x_col: str,
 def _two_level(pts: DataFrame, salt: int) -> DataFrame:
     """Salted local hulls -> per-group point set bounded by S * local
     hull sizes. The salt derives from the POINT (xxhash64), never from
-    partition ids, so re-runs are bit-identical."""
+    partition ids, so re-runs are bit-identical. Every vertex row
+    carries its fragment's DISTINCT point count (_fn) and fragment id
+    (_s); since the salt partitions the deduped point set, summing _fn
+    over distinct fragments downstream recovers the group's n_points
+    without a second scan of the raw points."""
 
     def local(pdf: pd.DataFrame) -> pd.DataFrame:
         ring = chain_hull(pdf[["px", "py"]].to_numpy())
         return pd.DataFrame({"g": pdf["g"].iloc[0],
-                             "px": ring[:, 0], "py": ring[:, 1]})
+                             "px": ring[:, 0], "py": ring[:, 1],
+                             "_s": int(pdf["_s"].iloc[0]),
+                             "_fn": len(pdf)})
 
     salted = pts.withColumn(
         "_s", F.pmod(F.xxhash64("px", "py"), F.lit(salt)))
     return salted.groupBy("g", "_s").applyInPandas(
-        local, schema="g long, px long, py long")
+        local, schema="g long, px long, py long, _s long, _fn long")
 
 
 def hull_vertices(points: DataFrame, group_col: str = "user_id",
@@ -126,7 +132,7 @@ def hull_vertices(points: DataFrame, group_col: str = "user_id",
     position: (group, ord, hx, hy)."""
     pts = _dedup(points, group_col, x_col, y_col)
     if salt > 1:
-        pts = _two_level(pts, salt)
+        pts = _two_level(pts, salt).select("g", "px", "py")
 
     def final(pdf: pd.DataFrame) -> pd.DataFrame:
         ring = chain_hull(pdf[["px", "py"]].to_numpy())
@@ -144,27 +150,38 @@ def hull_stats(points: DataFrame, group_col: str = "user_id",
                salt: int = DEFAULT_SALT) -> DataFrame:
     """Per-group hull summary, every column exact int64: distinct
     point count, hull vertex count, hull-vertex coordinate sums, and
-    hull area2 (shoelace; 0 for degenerate point/segment hulls)."""
+    hull area2 (shoelace; 0 for degenerate point/segment hulls).
+    THREE shuffles total, no join: the dedupe, the salted local-hull
+    group, and the final group — n_points rides the fragment rows as
+    per-fragment counts (the salt partitions the deduped set, so
+    summing one count per distinct fragment is exact)."""
     pts = _dedup(points, group_col, x_col, y_col)
-    n_pts = pts.groupBy(F.col("g").alias(group_col)) \
-        .agg(F.count("*").alias("n_points"))
-    reduced = _two_level(pts, salt) if salt > 1 else pts
+    if salt > 1:
+        reduced = _two_level(pts, salt)
+    else:
+        reduced = pts.withColumn("_s", F.lit(0)) \
+            .withColumn("_fn", F.lit(None).cast("long"))
 
     def final(pdf: pd.DataFrame) -> pd.DataFrame:
         ring = chain_hull(pdf[["px", "py"]].to_numpy())
+        if pdf["_fn"].isna().any():          # salt<=1: raw deduped rows
+            n_points = len(pdf)
+        else:
+            n_points = int(pdf.drop_duplicates("_s")["_fn"].sum())
         return pd.DataFrame([{
             "g": int(pdf["g"].iloc[0]),
+            "n_points": n_points,
             "n_hull": len(ring),
             "sum_hx": int(ring[:, 0].sum()),
             "sum_hy": int(ring[:, 1].sum()),
             "area2": _ring_area2(ring),
         }])
 
-    stats = reduced.groupBy("g").applyInPandas(
+    return reduced.groupBy("g").applyInPandas(
         final,
-        schema="g long, n_hull long, sum_hx long, sum_hy long, area2 long"
+        schema=("g long, n_points long, n_hull long, sum_hx long, "
+                "sum_hy long, area2 long")
     ).withColumnRenamed("g", group_col)
-    return n_pts.join(stats, group_col)
 
 
 def hull_tiles(points: DataFrame, zoom: int, extent: int = 4096,
