@@ -56,8 +56,18 @@ def chain_hull(pts: np.ndarray) -> np.ndarray:
     """Andrew's monotone chain over int64 points -> CCW hull ring (no
     repeated closing point), strict turns only. Degenerate inputs:
     one distinct point -> itself; collinear set -> its two endpoints.
-    Input need not be deduplicated (np.unique handles it)."""
-    pts = np.unique(pts.astype(np.int64), axis=0)  # sorts lexicographically
+    Input need not be deduplicated (np.unique handles it).
+
+    Domain guard: coordinates must fit 30 bits so every cross product
+    AND the ring's area sum stay exact int64 (|area2| <= 2^62 for a
+    2^30-bounded bbox). The engine's world grid is 2^16, far inside;
+    an import of raw planet-scale int64s fails loudly instead of
+    silently wrapping."""
+    pts = np.asarray(pts, dtype=np.int64)
+    if pts.size and int(np.abs(pts).max()) >= (1 << 30):
+        raise ValueError("chain_hull requires |coordinates| < 2^30 "
+                         "for exact int64 shoelace arithmetic")
+    pts = np.unique(pts, axis=0)  # sorts lexicographically
     n = len(pts)
     if n <= 2:
         return pts

@@ -329,7 +329,9 @@ def track_stats_stream(points: DataFrame) -> DataFrame:
             l1 = d2 = mx = 0
             minx = maxx = miny = maxy = fx = fy = lx = ly = None
             fts = lts = None
-        chunks = list(pdfs)
+        # guard empty Arrow batches (a key can be invoked with no rows);
+        # folding an empty chunk must be the identity
+        chunks = [c for c in pdfs if len(c)]
         if chunks:
             pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
             pdf = pdf.sort_values(["ts", "event_id"], kind="stable")
@@ -363,6 +365,8 @@ def track_stats_stream(points: DataFrame) -> DataFrame:
                 maxy = max(maxy, int(ys.max()))
                 lts = int(tss[-1])
             lx, ly = int(xs[-1]), int(ys[-1])
+        if n == 0:       # key invoked with no rows and no prior state
+            return
         state.update((n, l1, d2, mx, minx, maxx, miny, maxy,
                       fts, lts, fx, fy, lx, ly))
         ndx, ndy = lx - fx, ly - fy
