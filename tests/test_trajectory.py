@@ -337,6 +337,53 @@ def test_track_stats_stream_matches_batch(spark, sf_dir, tmp_path):
                                   check_dtype=False)
 
 
+def test_flow_legs_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming flow legs over a forced two-batch time-ordered feed
+    reproduce batch tile_flows exactly (n_legs AND n_users), stitch
+    legs across the batch boundary included."""
+    import os
+
+    pts = trajectory.event_points(synth.load(spark, sf_dir, "events"))
+    want = trajectory.tile_flows(pts).toPandas() \
+        .sort_values(["fx", "fy", "tx", "ty"]).reset_index(drop=True)
+
+    med = pts.approxQuantile("event_id", [0.5], 0.0)[0]
+    src = str(tmp_path / "flows_in")
+    os.makedirs(src)
+    pts.where(F.col("event_id") <= med).coalesce(1) \
+        .write.parquet(src + "/h1")
+    pts.where(F.col("event_id") > med).coalesce(1) \
+        .write.parquet(src + "/h2")
+    files = sorted(
+        f"{src}/{h}/{f}" for h in ("h1", "h2")
+        for f in os.listdir(f"{src}/{h}") if f.endswith(".parquet"))
+    assert len(files) == 2
+    now = 1_700_000_000
+    for i, f in enumerate(sorted(files, key=lambda p: "h2" in p)):
+        os.utime(f, (now + i * 10, now + i * 10))
+
+    schema = spark.read.parquet(files[0]).schema
+    sdf = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1)
+           .option("latestFirst", "false")
+           .parquet(src + "/*"))
+    q = (trajectory.flow_legs_stream(sdf)
+         .writeStream.format("memory").queryName("flow_legs_out")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        legs = spark.table("flow_legs_out").toPandas()
+    finally:
+        q.stop()
+    got = legs.groupby(["fx", "fy", "tx", "ty"]).agg(
+        n_legs=("user_id", "size"),
+        n_users=("user_id", "nunique")).reset_index() \
+        .sort_values(["fx", "fy", "tx", "ty"]).reset_index(drop=True)
+    cols = ["fx", "fy", "tx", "ty", "n_legs", "n_users"]
+    pd.testing.assert_frame_equal(want[cols], got[cols],
+                                  check_dtype=False)
+
+
 def test_roundtrip_counts_oracle_pin(spark, sf_dir):
     """roundtrip_counts left the 50-entry window in round-5 session 12
     (the decoded coordinate-sum law is pinned by donut_roundtrip /

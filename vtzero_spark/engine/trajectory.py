@@ -222,6 +222,44 @@ GROUP BY fx, fy, tx, ty
 """
 
 
+def flow_legs_stream(points: DataFrame, zoom: int | None = None) -> DataFrame:
+    """Streaming front half of tile_flows: per-user GroupState holds
+    the last tile visited (2 int64s); each micro-batch emits one row
+    per boundary-crossing leg, INCLUDING the stitch from the stored
+    state to the batch's first point. Compose with a streaming
+    groupBy('fx','fy','tx','ty').count() for live flow totals (exact
+    n_legs; distinct users over a stream needs
+    approx_count_distinct — the batch twin stays the exact form).
+    Same cross-batch ordering contract as track_stats_stream."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if zoom is None:
+        zoom = synth.ZOOM
+    tw = synth.WORLD >> zoom
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (user_id,) = key
+        ltx, lty = state.get if state.exists else (None, None)
+        chunks = [c for c in pdfs if len(c)]
+        rows = []
+        if chunks:
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            pdf = pdf.sort_values(["ts", "event_id"], kind="stable")
+            txs = (pdf["wx"].to_numpy("int64") // tw)
+            tys = (pdf["wy"].to_numpy("int64") // tw)
+            for tx, ty in zip(txs.tolist(), tys.tolist()):
+                if ltx is not None and (tx != ltx or ty != lty):
+                    rows.append((user_id, ltx, lty, tx, ty))
+                ltx, lty = tx, ty
+            state.update((ltx, lty))
+        yield pd.DataFrame(
+            rows, columns=["user_id", "fx", "fy", "tx", "ty"])
+
+    return points.groupBy("user_id").applyInPandasWithState(
+        fn, "user_id long, fx long, fy long, tx long, ty long",
+        "ltx long, lty long", "append", GroupStateTimeout.NoTimeout)
+
+
 def track_stops(points: DataFrame, r2: int = 400,
                 min_duration_s: int = 1800) -> DataFrame:
     """Stay-point (stop) detection — the trajectory-mining step that
