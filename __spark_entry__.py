@@ -276,8 +276,9 @@ def q_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed convex hull per user track (engine/hull.py,
-    ST_ConvexHull aggregate): two-level salted monotone-chain
-    reduction (hull is a monoid), every output column exact int64.
+    ST_ConvexHull aggregate): shuffle-free partition-local partial
+    hulls then one per-group pass (hull is a monoid; map-side combine
+    for geometry), every output column exact int64.
     The oracle re-derives hull membership edge-by-edge in pure SQL
     (maximal-edge characterization), so vertex set, vertex sums AND
     the shoelace area of the hull ring are all hash-gated."""
@@ -1373,8 +1374,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     keep-first dedup law stays driver-gated inside curation's oracle,
     and the fixed-width-key plan shape stays asserted in
     test_plans.py; timing continues via BENCH_ONLY) for hull — the
-    distributed ST_ConvexHull aggregate (engine/hull.py): two-level
-    salted monotone-chain reduction, hash-matched against a pure-SQL
+    distributed ST_ConvexHull aggregate (engine/hull.py):
+    partition-local partial hulls + one per-group reduction
+    (map-side combine), hash-matched against a pure-SQL
     maximal-edge hull oracle (vertex count, vertex sums, exact
     shoelace area)."""
     return {

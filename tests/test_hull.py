@@ -93,30 +93,31 @@ def test_hull_stats_matches_duckdb_oracle(spark, sf_dir):
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
-def test_hull_two_level_monoid_law(spark, sf_dir):
-    """Salted local-hull reduction == direct per-group hull, for any
-    salt — the property that lets a hot group's points reduce in
-    fragments at 10^12 scale."""
+def test_hull_partial_monoid_law(spark, sf_dir):
+    """Partition-local partial hulls == direct per-group hull, for any
+    partitioning — the map-side-combine property that lets a hot
+    group's points reduce in fragments at 10^12 scale."""
     pts = trajectory.event_points(synth.load(spark, sf_dir, "events"))
-    base = hull.hull_stats(pts, salt=1).toPandas() \
+    base = hull.hull_stats(pts, partial=False).toPandas() \
         .sort_values("user_id").reset_index(drop=True)
-    for s in (4, 16):
-        salted = hull.hull_stats(pts, salt=s).toPandas() \
+    for width in (3, 17):
+        part = hull.hull_stats(pts.repartition(width),
+                               partial=True).toPandas() \
             .sort_values("user_id").reset_index(drop=True)
-        pd.testing.assert_frame_equal(base, salted)
+        pd.testing.assert_frame_equal(base, part)
 
 
 def test_hull_stats_plan_shape(spark, sf_dir):
-    """Three shuffles (dedupe, salted local hulls, final hulls), ZERO
-    joins — n_points rides the fragment rows instead of a second
-    distinct + join branch."""
+    """Two shuffles (dedupe, final repartition(g)) and ZERO joins —
+    the partial pass is a shuffle-free mapInPandas and n_points rides
+    its rows instead of a second distinct + join branch."""
     import re
 
     import __spark_entry__ as em
 
     df = em.queries()["hull"](spark, sf_dir)
     p = df._jdf.queryExecution().executedPlan().toString()
-    assert len(re.findall(r"Exchange hashpartitioning", p)) == 3
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 2
     assert "Join" not in p and "CartesianProduct" not in p
 
 

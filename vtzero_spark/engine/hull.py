@@ -1,28 +1,37 @@
 """Distributed per-group convex hull (ST_ConvexHull aggregate).
 
 The region a user's GPS track covers: for each group, the convex hull
-of its planted integer points, reduced DISTRIBUTED-FIRST — hull is a
-monoid (hull(A ∪ B) = hull(hull(A) ∪ hull(B))), so a salted
-local-hull pass bounds every task to a FRAGMENT of a group before the
-per-group pass ever sees it:
+of its planted integer points, reduced MAP-SIDE-FIRST — hull is a
+monoid (hull(A ∪ B) = hull(hull(A) ∪ hull(B))), so a partition-local
+partial pass (one pandas groupby per Arrow batch inside mapInPandas —
+no shuffle, no per-group UDF invocation overhead) collapses every
+partition's points to fragment hulls before anything moves:
 
-    dedupe (group, x, y)                    ->  shuffle 1 (exact)
-    groupBy (group, salt) local chain hull  ->  reuses shuffle 1's
-                                                partitioning (salt is
-                                                a subset-compatible
-                                                derivation, see below)
-    groupBy (group) final chain hull        ->  shuffle 2, but inputs
-                                                are LOCAL HULLS (tiny)
+    dedupe (group, x, y)                   ->  shuffle 1 (exact)
+    mapInPandas partial hulls per batch    ->  NO shuffle (map-side
+                                               combine for geometry)
+    repartition(group) + final chain hull  ->  shuffle 2, carrying
+                                               only fragment hull
+                                               vertices (tiny)
 
-At 10^12 points a hot group's raw points never congregate: the salt
-splits it S ways and only each fragment's hull vertices (O(N^(1/3))
-expected for integer point clouds) shuffle again. The two-level law —
-salted == unsalted, any S — is pinned in tests/test_hull.py.
+At 10^12 points a hot group's raw points never congregate: each
+partition forwards at most its fragment's hull (O(N^(1/3)) expected
+vertices for integer point clouds), and the final task sees
+(#partitions x hull size) rows per group, not the corpus. The
+partial==direct law is pinned in tests/test_hull.py across
+partitionings. n_points rides the partial rows (the fragment's point
+count on its first vertex row, 0 elsewhere — partitions are disjoint
+after the dedupe, so a plain sum is exact).
+
+An earlier form grouped (g, salt-of-point) with applyInPandas; at
+sf0.1 that meant ~24k per-group UDF invocations and a 37 s wall —
+the per-batch groupby form is the same algebra without the
+invocation overhead (BENCH.md session 12).
 
 Hull discipline: Andrew's monotone chain with STRICT turns — collinear
 boundary points are never vertices, a fully-collinear group reduces to
 its two endpoints, a single distinct point to itself. All coordinates
-stay int64; the cross products are exact.
+stay int64; the cross products are exact (domain-guarded to 2^30).
 
 Oracle (hull_stats_sql): the maximal-edge characterization. Over the
 group's DISTINCT points, a directed edge (p, q) is a CCW hull edge iff
@@ -48,8 +57,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["chain_hull", "hull_vertices", "hull_stats", "hull_stats_sql"]
-
-DEFAULT_SALT = 16
 
 
 def chain_hull(pts: np.ndarray) -> np.ndarray:
@@ -113,91 +120,117 @@ def _dedup(points: DataFrame, group_col: str, x_col: str,
     ).distinct()
 
 
-def _two_level(pts: DataFrame, salt: int) -> DataFrame:
-    """Salted local hulls -> per-group point set bounded by S * local
-    hull sizes. The salt derives from the POINT (xxhash64), never from
-    partition ids, so re-runs are bit-identical. Every vertex row
-    carries its fragment's DISTINCT point count (_fn) and fragment id
-    (_s); since the salt partitions the deduped point set, summing _fn
-    over distinct fragments downstream recovers the group's n_points
-    without a second scan of the raw points."""
+def _partial_hulls(pts: DataFrame) -> DataFrame:
+    """Map-side combine for geometry: one pandas groupby per Arrow
+    batch inside mapInPandas — NO shuffle, no per-group UDF invocation
+    overhead. Emits each fragment's hull vertices; the fragment's
+    point count rides the FIRST vertex row (_fn, 0 elsewhere), and
+    since partitions are disjoint after the upstream dedupe a plain
+    downstream sum of _fn is the group's exact n_points."""
 
-    def local(pdf: pd.DataFrame) -> pd.DataFrame:
-        ring = chain_hull(pdf[["px", "py"]].to_numpy())
-        return pd.DataFrame({"g": pdf["g"].iloc[0],
-                             "px": ring[:, 0], "py": ring[:, 1],
-                             "_s": int(pdf["_s"].iloc[0]),
-                             "_fn": len(pdf)})
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            gs, xs, ys, fns = [], [], [], []
+            for g, sub in pdf.groupby("g", sort=False):
+                ring = chain_hull(sub[["px", "py"]].to_numpy())
+                k = len(ring)
+                gs.append(np.full(k, g, np.int64))
+                xs.append(ring[:, 0])
+                ys.append(ring[:, 1])
+                fn_col = np.zeros(k, np.int64)
+                fn_col[0] = len(sub)
+                fns.append(fn_col)
+            yield pd.DataFrame({
+                "g": np.concatenate(gs), "px": np.concatenate(xs),
+                "py": np.concatenate(ys), "_fn": np.concatenate(fns)})
 
-    salted = pts.withColumn(
-        "_s", F.pmod(F.xxhash64("px", "py"), F.lit(salt)))
-    return salted.groupBy("g", "_s").applyInPandas(
-        local, schema="g long, px long, py long, _s long, _fn long")
+    return pts.mapInPandas(fn, "g long, px long, py long, _fn long")
+
+
+def _final_pass(reduced: DataFrame, build_rows):
+    """repartition(g) then accumulate each group ACROSS Arrow batches
+    within the partition (a group's rows may straddle batch borders)
+    and emit via ``build_rows(g, points, n_points)``. Per-partition
+    state holds only fragment-hull vertices — tiny post-reduction."""
+
+    def fn(batches):
+        acc: dict[int, list] = {}
+        counts: dict[int, int] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for g, sub in pdf.groupby("g", sort=False):
+                gi = int(g)
+                acc.setdefault(gi, []).append(
+                    sub[["px", "py"]].to_numpy(np.int64))
+                counts[gi] = counts.get(gi, 0) + int(sub["_fn"].sum())
+        for gi, chunks in acc.items():
+            yield build_rows(gi, np.concatenate(chunks), counts[gi])
+
+    return reduced.repartition("g").mapInPandas(fn, _OUT_SCHEMAS[build_rows])
+
+
+def _vertex_rows(gi: int, pts: np.ndarray, n_points: int) -> pd.DataFrame:
+    ring = chain_hull(pts)
+    return pd.DataFrame({"g": gi,
+                         "ord": np.arange(len(ring), dtype=np.int64),
+                         "hx": ring[:, 0], "hy": ring[:, 1]})
+
+
+def _stats_rows(gi: int, pts: np.ndarray, n_points: int) -> pd.DataFrame:
+    ring = chain_hull(pts)
+    return pd.DataFrame([{
+        "g": gi,
+        "n_points": n_points,
+        "n_hull": len(ring),
+        "sum_hx": int(ring[:, 0].sum()),
+        "sum_hy": int(ring[:, 1].sum()),
+        "area2": _ring_area2(ring),
+    }])
+
+
+_OUT_SCHEMAS = {
+    _vertex_rows: "g long, ord long, hx long, hy long",
+    _stats_rows: ("g long, n_points long, n_hull long, sum_hx long, "
+                  "sum_hy long, area2 long"),
+}
 
 
 def hull_vertices(points: DataFrame, group_col: str = "user_id",
                   x_col: str = "wx", y_col: str = "wy",
-                  salt: int = DEFAULT_SALT) -> DataFrame:
+                  partial: bool = True) -> DataFrame:
     """(group, x, y) -> one row per hull vertex with its CCW ring
-    position: (group, ord, hx, hy)."""
+    position: (group, ord, hx, hy). ``partial=False`` skips the
+    map-side combine (the direct form the monoid law tests against)."""
     pts = _dedup(points, group_col, x_col, y_col)
-    if salt > 1:
-        pts = _two_level(pts, salt).select("g", "px", "py")
-
-    def final(pdf: pd.DataFrame) -> pd.DataFrame:
-        ring = chain_hull(pdf[["px", "py"]].to_numpy())
-        return pd.DataFrame({"g": pdf["g"].iloc[0],
-                             "ord": np.arange(len(ring), dtype=np.int64),
-                             "hx": ring[:, 0], "hy": ring[:, 1]})
-
-    return pts.groupBy("g").applyInPandas(
-        final, schema="g long, ord long, hx long, hy long") \
+    reduced = _partial_hulls(pts) if partial \
+        else pts.withColumn("_fn", F.lit(1).cast("long"))
+    return _final_pass(reduced, _vertex_rows) \
         .withColumnRenamed("g", group_col)
 
 
 def hull_stats(points: DataFrame, group_col: str = "user_id",
                x_col: str = "wx", y_col: str = "wy",
-               salt: int = DEFAULT_SALT) -> DataFrame:
+               partial: bool = True) -> DataFrame:
     """Per-group hull summary, every column exact int64: distinct
     point count, hull vertex count, hull-vertex coordinate sums, and
     hull area2 (shoelace; 0 for degenerate point/segment hulls).
-    THREE shuffles total, no join: the dedupe, the salted local-hull
-    group, and the final group — n_points rides the fragment rows as
-    per-fragment counts (the salt partitions the deduped set, so
-    summing one count per distinct fragment is exact)."""
+    TWO shuffles total, no join: the dedupe and the final
+    repartition(group) — the partial pass is shuffle-free and
+    n_points rides its rows as per-fragment counts."""
     pts = _dedup(points, group_col, x_col, y_col)
-    if salt > 1:
-        reduced = _two_level(pts, salt)
-    else:
-        reduced = pts.withColumn("_s", F.lit(0)) \
-            .withColumn("_fn", F.lit(None).cast("long"))
-
-    def final(pdf: pd.DataFrame) -> pd.DataFrame:
-        ring = chain_hull(pdf[["px", "py"]].to_numpy())
-        if pdf["_fn"].isna().any():          # salt<=1: raw deduped rows
-            n_points = len(pdf)
-        else:
-            n_points = int(pdf.drop_duplicates("_s")["_fn"].sum())
-        return pd.DataFrame([{
-            "g": int(pdf["g"].iloc[0]),
-            "n_points": n_points,
-            "n_hull": len(ring),
-            "sum_hx": int(ring[:, 0].sum()),
-            "sum_hy": int(ring[:, 1].sum()),
-            "area2": _ring_area2(ring),
-        }])
-
-    return reduced.groupBy("g").applyInPandas(
-        final,
-        schema=("g long, n_points long, n_hull long, sum_hx long, "
-                "sum_hy long, area2 long")
-    ).withColumnRenamed("g", group_col)
+    reduced = _partial_hulls(pts) if partial \
+        else pts.withColumn("_fn", F.lit(1).cast("long"))
+    return _final_pass(reduced, _stats_rows) \
+        .withColumnRenamed("g", group_col)
 
 
 def hull_tiles(points: DataFrame, zoom: int, extent: int = 4096,
                buffer: int = 0, layer: str = "hulls",
                group_col: str = "user_id", x_col: str = "wx",
-               y_col: str = "wy", salt: int = DEFAULT_SALT) -> DataFrame:
+               y_col: str = "wy", partial: bool = True) -> DataFrame:
     """The servable form: each group's hull as an MVT polygon, through
     the SAME world-features ingest tail every other ingest runs
     (geojson.world_features_to_tiles: bbox fan-out -> localize ->
@@ -207,7 +240,7 @@ def hull_tiles(points: DataFrame, zoom: int, extent: int = 4096,
     hulls (< 3 vertices) drop: a point or segment has no polygon."""
     from . import geojson as _geojson
 
-    verts = hull_vertices(points, group_col, x_col, y_col, salt)
+    verts = hull_vertices(points, group_col, x_col, y_col, partial)
     t = verts.groupBy(group_col).agg(
         F.array_sort(F.collect_list(
             F.struct("ord", "hx", "hy"))).alias("_vs"))
