@@ -328,6 +328,66 @@ HAVING count(*) >= 2
 """
 
 
+def track_stops_stream(points: DataFrame, r2: int = 400,
+                       min_duration_s: int = 1800) -> DataFrame:
+    """Streaming twin of track_stops — the sessionize of SPACE: the
+    per-user GroupState is the OPEN run (anchor continuation: last
+    point, run counter, open run's count/time-span/coordinate sums —
+    8 int64s). A fast leg closes the run, emitting it iff it
+    qualifies (>= 2 points, >= min_duration_s), and opens the next;
+    run ids match the batch form's cumulative fast-leg count exactly,
+    so closed stops equal batch track_stops minus each user's open
+    (last) run. Same cross-batch ordering contract as the other
+    trajectory streams."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            lx, ly, rid, n, fts, lts, sx, sy = state.get
+        else:
+            lx = ly = None
+            rid, n, fts, lts, sx, sy = 0, 0, 0, 0, 0, 0
+        out = []
+
+        def close():
+            if n >= 2 and lts - fts >= min_duration_s:
+                out.append((user_id, rid, n, fts, lts, sx, sy))
+
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            pdf = pdf.sort_values(["ts", "event_id"], kind="stable")
+            xs = pdf["wx"].to_numpy("int64")
+            ys = pdf["wy"].to_numpy("int64")
+            tss = (pdf["ts"].astype("int64") // 10**9).to_numpy("int64")
+            for x, y, t in zip(xs.tolist(), ys.tolist(), tss.tolist()):
+                dx = None if lx is None else x - lx
+                fast = dx is None or dx * dx + (y - ly) * (y - ly) > r2
+                if fast:
+                    close()
+                    rid += 1
+                    n, fts, lts, sx, sy = 1, t, t, x, y
+                else:
+                    n += 1
+                    lts = t
+                    sx += x
+                    sy += y
+                lx, ly = x, y
+            state.update((lx, ly, rid, n, fts, lts, sx, sy))
+        yield pd.DataFrame(
+            out, columns=["user_id", "run_id", "n_points",
+                          "first_ts", "last_ts", "sum_x", "sum_y"])
+
+    return points.groupBy("user_id").applyInPandasWithState(
+        fn,
+        ("user_id long, run_id long, n_points long, first_ts long, "
+         "last_ts long, sum_x long, sum_y long"),
+        ("lx long, ly long, rid long, n long, fts long, lts long, "
+         "sx long, sy long"),
+        "append", GroupStateTimeout.NoTimeout)
+
+
 _TRACK_STATE_SCHEMA = (
     "n_points long, path_l1 long, path_d2 long, max_leg_d2 long, "
     "min_x long, max_x long, min_y long, max_y long, "
