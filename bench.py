@@ -109,6 +109,11 @@ EXTENDED = [
     # round-5 session-12 stay-point detection (DuckDB parity in
     # tests/test_trajectory.py; window stays at 50)
     "track_stops",
+    # round-5 session-13 map matching: snap-to-nearest-road-segment
+    # (broadcast candidate-cell arrays, zero point-side shuffle) and
+    # the per-road usage rollup
+    "snap_points",
+    "road_usage",
     # round-5 session-12 OD flow matrix (DuckDB parity in pytest)
     "tile_flows",
     # round-5 session-12 hull polygons -> MVT via the shared tail
