@@ -118,6 +118,9 @@ EXTENDED = [
     "tile_flows",
     # round-5 session-12 hull polygons -> MVT via the shared tail
     "hull_tiles",
+    # round-5 session-15 marching-squares density isolines -> MVT
+    # (integer-exact; DuckDB twin parity in tests/test_contour.py)
+    "contour_tiles",
 ]
 
 # minhash_lsh / simhash_neardup left the 50-entry queries() window in
@@ -228,6 +231,18 @@ def _hull_tiles_query(spark, sf_dir):
 
     pts = trajmod.event_points(synth.load(spark, sf_dir, "events"))
     return hullmod.hull_tiles(pts, zoom=synth.ZOOM)
+
+
+def _contour_tiles_query(spark, sf_dir):
+    """Density isolines as servable tiles: heatmap pixel scatter ->
+    marching-squares cells -> per-level segment extraction -> linemerge
+    -> MVT encode. Levels chosen inside the sf0.01..sf0.1 density range
+    (max 35.6k / 281.6k, probed 2026-08; both non-empty at both SFs)."""
+    from vtzero_spark.engine import contour as contourmod
+
+    return contourmod.contour_tiles(
+        synth.images(spark, sf_dir), levels=(2000, 20000),
+        weight_col="w")
 
 
 def _track_tiles_query(spark, sf_dir):
@@ -358,6 +373,11 @@ BENCH_ONLY = {
     # in tests/test_trajectory.py and tests/test_hull.py)
     "tile_flows": _tile_flows_query,
     "hull_tiles": _hull_tiles_query,
+    # round-5 session-15: raster->vector isolines (marching squares
+    # over the heatmap grid; segment-level DuckDB twin + closure/
+    # orientation laws in tests/test_contour.py; tile bytes out, so
+    # no driver oracle — window stays at 50)
+    "contour_tiles": _contour_tiles_query,
 }
 # pip_hex moved INTO queries() in round-5 session 3 (oracle-bearing:
 # join rows + cross-engine hex cell ids); its bench timing continues

@@ -267,13 +267,19 @@ def geojson_to_tiles(lines: DataFrame, zoom: int, extent: int,
 
 def world_features_to_tiles(p: DataFrame, zoom: int, extent: int,
                             buffer: int = 0, layer: str = "features",
-                            coalesce_lines: bool = False) -> DataFrame:
+                            coalesce_lines: bool = False,
+                            layer_col: str | None = None) -> DataFrame:
     """Stages 2-5 of geojson_to_tiles (bbox fan-out -> localize ->
     clip -> vectorized encode) over NATIVE feature rows — the shared
     tail for every world-coordinate ingest (GeoJSON text, trajectory
     tracks, WKB imports). ``p`` columns: fid (long), gj_type (the
     GeoJSON type string) and parts (array<array<array<long>>> of
-    [x, y] vertex pairs in WORLD integer coordinates)."""
+    [x, y] vertex pairs in WORLD integer coordinates).
+
+    ``layer_col`` names a string column of ``p`` that carries each
+    feature's layer (multi-layer ingests, e.g. per-level contours —
+    the coalesce merge and the encode both already key on
+    layer_name); when None every feature lands in ``layer``."""
     from . import assemble
     from .clip import clip_features
     from .geomops import cmds_from_parts
@@ -313,7 +319,9 @@ def world_features_to_tiles(p: DataFrame, zoom: int, extent: int,
                 (F.element_at(q, 2) - F.col("y") * extent)
                 .cast("long").alias("y"))))
     feats = p.select(
-        "z", "x", "y", F.lit(layer).alias("layer_name"),
+        "z", "x", "y",
+        (F.col(layer_col) if layer_col is not None
+         else F.lit(layer)).alias("layer_name"),
         F.col("fid").alias("feature_ordinal"),
         F.col("fid").alias("feature_id"),
         gt.cast("int").alias("geom_type"),
