@@ -1152,6 +1152,24 @@ def q_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth.images(spark, sf_dir), weight_col="w")
 
 
+def q_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marching-squares density isolines (engine/contour.py): the
+    heatmap field's exact-integer contour segments at two levels
+    inside the sf0.01..sf0.1 density range (max 35.6k / 281.6k,
+    probed 2026-08). The oracle composes heatmap_tiles_sql's
+    hm_pixels scatter with the cell pivot / case-table / integer
+    interpolation CTEs, so BOTH the kernel-scatter law and the
+    marching-squares law sit under the driver's hash gate. The
+    default 'direct' tier (one point-sized shuffle, fused per-block
+    kernel+extraction) is pytest-pinned row-identical to the
+    all-JVM tier the SQL mirrors."""
+    from vtzero_spark.engine import contour as _contour
+
+    return _contour.contour_segments(
+        synth.images(spark, sf_dir), levels=(2000, 20000),
+        weight_col="w")
+
+
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode -> thumbnail + feature-vector extraction
     (binary column in, binary + array<double> out; Arrow-batched)."""
@@ -1411,7 +1429,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     and tile_check (extent/warning-band classification — subsumed by
     the composed tile_lint rule table, which oracle-checks the same
     band plus four more finding classes; same pytest gate kept) ->
-    road_usage."""
+    road_usage. Round-5 session 16 swapped heatmap for contour —
+    marching-squares isolines over the SAME density field: contour's
+    oracle textually composes heatmap_tiles_sql's hm_pixels scatter
+    CTEs, so the kernel-scatter law STAYS under the driver hash gate
+    through this slot; only the per-tile rollup tail (hm_tiles)
+    leaves the window, and it keeps its own DuckDB-parity pin in
+    tests/test_heatmap.py::test_duckdb_twin_matches plus its HEADLINE
+    timing via BENCH_ONLY. The contour slot additionally gates the
+    2x2 cell pivot, the saddle center rule and the integer edge
+    interpolation (tests/test_contour.py pins all three tiers
+    row-identical, so the fused 'direct' scale tier is what runs)."""
     return {
         "tile_assign": q_tile_assign,
         "tilestats": q_tilestats,
@@ -1453,7 +1481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "embed_neardup": q_embed_neardup,
         "tile_diff": q_tile_diff,
-        "heatmap": q_heatmap,
+        "contour": q_contour,
         # rows-only (non-SQL-expressible; tested in tests/)
         "mvt_tiles": q_mvt_tiles,
         "mvt_ingest": q_mvt_ingest,
@@ -1469,10 +1497,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # ------------------------------------------------------------- oracles
 
-def _heatmap_sql() -> str:
-    from vtzero_spark.engine import heatmap as _heatmap
+def _contour_sql() -> str:
+    from vtzero_spark.engine import contour as _contour
 
-    return _heatmap.heatmap_tiles_sql("images", weight_col="w")
+    return _contour.contour_segments_sql(
+        "images", levels=(2000, 20000), weight_col="w")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1684,10 +1713,10 @@ FROM c
 WITH {images}
 {_exif.exif_tiles_sql('images')}
 """,
-        "heatmap": f"""
+        "contour": f"""
 WITH {images},
-{_heatmap_sql()}
-SELECT * FROM hm_tiles
+{_contour_sql()}
+SELECT level, cx, cy, seg, x0, y0, x1, y1 FROM cs_segments
 """,
         "pip_salted": f"""
 WITH {images},

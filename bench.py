@@ -275,6 +275,12 @@ def _geojson_tiles_query(spark, sf_dir):
 
 
 BENCH_ONLY = {
+    # round-5 session-16 window swap: heatmap's slot carries the new
+    # oracle-bearing contour (whose SQL composes heatmap's hm_pixels
+    # scatter CTEs, so the kernel law stays driver-gated); the
+    # per-tile rollup keeps its DuckDB pin in tests/test_heatmap.py
+    # and its timing history here
+    "heatmap": entrymod.q_heatmap,
     # round-5 session-8: composed GeoJSON ingest (scalar-clip oracle
     # in tests/test_geojson.py; output is tile bytes, no SQL oracle)
     "geojson_tiles": _geojson_tiles_query,
