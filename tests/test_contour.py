@@ -270,3 +270,76 @@ def test_plan_is_jvm_only_and_join_free(spark, points):
         assert bad not in dplan
     assert dplan.count("Exchange") == 1
     assert "FlatMapGroupsInPandas" in dplan
+
+
+def test_polylines_unit_segment_multiset_matches_segments(spark, points):
+    """The chained tier is the segment tier, regrouped: exploding every
+    contour_polylines chain back into directed unit segments must give
+    EXACTLY contour_segments' (level, x0, y0, x1, y1) multiset — so
+    nothing downstream of the block task can tell the tiers apart
+    except by row count."""
+    levels = [10, 40]
+    segs = contour.contour_segments(points, levels,
+                                    radius=RADIUS).collect()
+    want = sorted((r["level"], r["x0"], r["y0"], r["x1"], r["y1"])
+                  for r in segs)
+    chains = contour.contour_polylines(points, levels,
+                                       radius=RADIUS).collect()
+    got = []
+    for r in chains:
+        xs, ys = r["xs"], r["ys"]
+        assert len(xs) == len(ys) >= 2
+        for i in range(len(xs) - 1):
+            got.append((r["level"], xs[i], ys[i], xs[i + 1], ys[i + 1]))
+    assert sorted(got) == want
+    # genuinely chained: far fewer rows than segments
+    assert 0 < len(chains) < len(segs) / 3
+    # fid law: each chain's fid is one of the unchained per-segment fids
+    span = (1 << (16 - PSHIFT)) + 2
+    lvidx = {t: i for i, t in enumerate(levels)}
+    seg_fids = {(((lvidx[r["level"]] * span + r["cy"] + 1) * span
+                  + r["cx"] + 1) * 2 + r["seg"]) for r in segs}
+    assert {r["fid"] for r in chains} <= seg_fids
+
+
+def test_chained_tiles_match_unchained(spark, points):
+    """contour_tiles(chain=True) and chain=False agree tile by tile:
+    same (z, x, y) set, same layers, same decoded undirected
+    unit-segment multiset. Feature ids are deterministic within each
+    path but may differ between paths at buffer edges (a chain
+    straddling a tile's buffer window carries its whole-chain min fid;
+    the unchained path mins over only in-window segments), so the pin
+    is on geometry, with ids checked for determinism separately in
+    test_contour_tiles_round_trip."""
+    from vtzero_spark.mvt import tile as T
+    from vtzero_spark.mvt.geometry import decode_geometry
+
+    levels = [10, 40]
+
+    def tilemap(chain):
+        out = {}
+        rows = contour.contour_tiles(points, levels, radius=RADIUS,
+                                     buffer=64, chain=chain).collect()
+        for r in rows:
+            layers = {}
+            for ly in T.parse_tile(bytes(r["tile_bytes"])):
+                segs, fids = [], []
+                for f in ly.features:
+                    fids.append(f.id)
+                    parts, _ = decode_geometry(f.geom_type, f.geometry)
+                    for part in parts:
+                        for a, b in zip(part[:-1], part[1:]):
+                            s = (tuple(a), tuple(b))
+                            segs.append(s if s[0] <= s[1]
+                                        else (s[1], s[0]))
+                layers[ly.name] = (len(fids), sorted(segs))
+            out[(r["z"], r["x"], r["y"])] = layers
+        return out
+
+    a, b = tilemap(True), tilemap(False)
+    assert a.keys() == b.keys() and a
+    for k in a:
+        assert a[k].keys() == b[k].keys(), k
+        for name in a[k]:
+            assert a[k][name][0] == b[k][name][0], (k, name, "nfeat")
+            assert a[k][name][1] == b[k][name][1], (k, name, "segs")

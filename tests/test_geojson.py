@@ -398,3 +398,27 @@ def test_geojson_to_tiles_single_exchange(spark):
         lines, zoom=4, extent=4096, buffer=64) \
         ._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"\bExchange ", plan)) == 1
+
+
+def test_fanout_beyond_grid_emits_no_tiles(spark):
+    """A feature wholly past the last tile row/column must produce ZERO
+    tiles, not an out-of-grid address: the clamped fan-out endpoints
+    CROSS there (lo=16 > hi=15 at zoom 4) and F.sequence steps DOWN
+    unless guarded. Found by the contour chained/unchained equivalence
+    law — contour vertices overhang the world edge by half a pixel, and
+    the unchained path was emitting (z=4, y=16) tiles."""
+    world = 1 << 16  # zoom 4, extent 4096
+    schema = ("fid long, gj_type string, "
+              "parts array<array<array<long>>>")
+    beyond = spark.createDataFrame(
+        [(1, "LineString", [[[100, world + 2], [300, world + 8]]])],
+        schema)
+    assert geojson.world_features_to_tiles(
+        beyond, zoom=4, extent=4096).count() == 0
+    # straddling the edge: clipped into the LAST row only, never row 16
+    straddle = spark.createDataFrame(
+        [(1, "LineString", [[[100, world - 50], [300, world + 8]]])],
+        schema)
+    rows = geojson.world_features_to_tiles(
+        straddle, zoom=4, extent=4096).collect()
+    assert [(r["x"], r["y"]) for r in rows] == [(0, 15)]

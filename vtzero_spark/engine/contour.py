@@ -76,8 +76,8 @@ from pyspark.sql import functions as F
 from .heatmap import RADIUS, TILE_PX, _shifts, heatmap_pixels
 from .synth import WORLD, ZOOM
 
-__all__ = ["contour_cells", "contour_segments", "contour_tiles",
-           "contour_segments_sql", "SEG_TABLE"]
+__all__ = ["contour_cells", "contour_segments", "contour_polylines",
+           "contour_tiles", "contour_segments_sql", "SEG_TABLE"]
 
 # Marching-squares segment table, inside-on-left (y-down).
 # Key: case (+16 for saddle with center >= 4T); value: list of
@@ -271,7 +271,9 @@ def _ms_dense(D: "np.ndarray", bx: int, by: int, lv: Sequence[int],
 def _segments_direct(points: DataFrame, levels: Sequence[int],
                      pshift: int, radius: int, npx: int,
                      weight_col: str | None = None,
-                     block_bits: int = 8) -> DataFrame:
+                     block_bits: int = 8,
+                     post=None, out_schema: str | None = None
+                     ) -> DataFrame:
     """The 100 TB tier: fuse kernel accumulation INTO the block task.
     The exchange carries the POINTS (one row each, duplicated only
     into blocks whose pixel window the point's kernel disk touches —
@@ -283,7 +285,12 @@ def _segments_direct(points: DataFrame, levels: Sequence[int],
     squares. ONE shuffle total, and — unlike the pixel tiers — its
     width is the block grid regardless of how narrow AQE leaves the
     upstream source (the session-8 flat-scaling lesson: the pixel
-    aggregation inherited a 2-3-task source width and serialized)."""
+    aggregation inherited a 2-3-task source width and serialized).
+
+    ``post`` (with ``out_schema``) lets a caller transform each
+    block's segment frame inside the SAME task — the chained-polyline
+    tier (contour_tiles) rides this hook, so chaining adds zero
+    shuffles and zero extra passes over the points."""
     import pandas as pd
 
     lv = _check_levels(levels)
@@ -337,9 +344,11 @@ def _segments_direct(points: DataFrame, levels: Sequence[int],
               & (lx + bx >= 0) & (lx + bx < npx)
               & (ly + by >= 0) & (ly + by < npx))
         np.add.at(D, (ly[ok], lx[ok]), val[ok])
-        return _ms_dense(D, bx, by, lv, s, h)
+        seg = _ms_dense(D, bx, by, lv, s, h)
+        return post(seg) if post is not None else seg
 
-    return sc.groupBy("bx", "by").applyInPandas(fn, schema=_SEG_SCHEMA)
+    return sc.groupBy("bx", "by").applyInPandas(
+        fn, schema=out_schema or _SEG_SCHEMA)
 
 
 def _segments_from_blocks(pixels: DataFrame, levels: Sequence[int],
@@ -385,6 +394,110 @@ def _segments_from_blocks(pixels: DataFrame, levels: Sequence[int],
     return sc.groupBy("bx", "by").applyInPandas(fn, schema=_SEG_SCHEMA)
 
 
+_CHAIN_SCHEMA = "level long, fid long, xs array<long>, ys array<long>"
+
+
+def _chain_block(seg: "pd.DataFrame", span: int,
+                 lvidx: dict[int, int]) -> "pd.DataFrame":
+    """Chain one block's oriented segments into maximal block-local
+    polylines, per level. Inside-on-left orientation gives every
+    crossing vertex in-degree <= 1 and out-degree <= 1 within a level
+    (the two cells sharing an edge compute the identical vertex, one
+    as an end and one as a start), so successor is a function and the
+    chain decomposition is unique. Open chains start at vertices with
+    no in-block predecessor (the contour enters from a neighbor
+    block); closed chains (cycles entirely inside the block) start at
+    their member with the smallest (cy, cx, seg) key, so output is
+    schedule-independent. fid = min member fid — the same
+    (level-index, cell, seg) packing the unchained tile path uses, so
+    the per-tile merged feature id is IDENTICAL under both paths
+    (min over equal member sets)."""
+    import pandas as pd
+
+    rows: dict[str, list] = {"level": [], "fid": [], "xs": [], "ys": []}
+    if len(seg):
+        seg = seg.sort_values(["level", "cy", "cx", "seg"],
+                              kind="stable")
+    for t, g in seg.groupby("level", sort=True):
+        x0 = g["x0"].to_numpy()
+        y0 = g["y0"].to_numpy()
+        x1 = g["x1"].to_numpy()
+        y1 = g["y1"].to_numpy()
+        fid = (((lvidx[int(t)] * span + g["cy"].to_numpy() + 1) * span
+                + g["cx"].to_numpy() + 1) * 2
+               + g["seg"].to_numpy().astype(np.int64))
+        n = len(x0)
+        start = {}
+        for i in range(n):
+            start.setdefault((x0[i], y0[i]), i)
+        succ = np.full(n, -1, np.int64)
+        has_pred = np.zeros(n, bool)
+        for i in range(n):
+            j = start.get((x1[i], y1[i]), -1)
+            if j >= 0 and j != i:
+                succ[i] = j
+                has_pred[j] = True
+        seen = np.zeros(n, bool)
+
+        def emit(head: int) -> None:
+            xs = [int(x0[head])]
+            ys = [int(y0[head])]
+            f = int(fid[head])
+            i = head
+            while i >= 0 and not seen[i]:
+                seen[i] = True
+                xs.append(int(x1[i]))
+                ys.append(int(y1[i]))
+                f = min(f, int(fid[i]))
+                i = int(succ[i])
+            rows["level"].append(int(t))
+            rows["fid"].append(f)
+            # np.ndarray cells, not Python lists: Arrow's pandas
+            # converter rejects list-typed object cells here
+            rows["xs"].append(np.asarray(xs, np.int64))
+            rows["ys"].append(np.asarray(ys, np.int64))
+
+        for i in range(n):          # open chains first (no predecessor)
+            if not has_pred[i] and not seen[i]:
+                emit(i)
+        for i in range(n):          # remaining = cycles; i is the
+            if not seen[i]:         # min-(cy,cx,seg) member (sorted)
+                emit(i)
+    # explicit dtypes: an empty block would otherwise infer float64
+    # for xs/ys, which Arrow cannot convert to array<long>
+    return pd.DataFrame({
+        "level": pd.Series(rows["level"], dtype=np.int64),
+        "fid": pd.Series(rows["fid"], dtype=np.int64),
+        "xs": pd.Series(rows["xs"], dtype=object),
+        "ys": pd.Series(rows["ys"], dtype=object),
+    })
+
+
+def contour_polylines(points: DataFrame, levels: Sequence[int],
+                      zoom: int = ZOOM, size: int = TILE_PX,
+                      radius: int = RADIUS,
+                      weight_col: str | None = None,
+                      world: int = WORLD,
+                      block_bits: int = 8) -> DataFrame:
+    """Direct tier + in-task chaining: (level, fid, xs, ys) maximal
+    block-local polylines. Same ONE point-sized shuffle as
+    contour_segments(impl='direct') — chaining happens inside the
+    block task, so the downstream tile fan-out / merge / encode sees
+    ~len(chain) fewer rows (measured 10-60x on the sf0.1 field). The
+    directed unit-segment multiset is EXACTLY contour_segments' rows
+    (pytest law), so nothing downstream can tell them apart except
+    by row count."""
+    lv = _check_levels(levels)
+    pshift, _ = _shifts(zoom, size, world)
+    span = (world >> pshift) + 2
+    lvidx = {int(t): i for i, t in enumerate(lv)}
+    return _segments_direct(
+        points, lv, pshift, radius, world >> pshift, weight_col,
+        block_bits=block_bits,
+        post=lambda seg: _chain_block(seg, span, lvidx),
+        out_schema=_CHAIN_SCHEMA)
+
+
 def contour_segments(points: DataFrame, levels: Sequence[int],
                      zoom: int = ZOOM, size: int = TILE_PX,
                      radius: int = RADIUS,
@@ -421,32 +534,60 @@ def contour_tiles(points: DataFrame, levels: Sequence[int],
                   radius: int = RADIUS,
                   weight_col: str | None = None,
                   world: int = WORLD, extent: int = 4096,
-                  buffer: int = 0) -> DataFrame:
+                  buffer: int = 0, chain: bool = True) -> DataFrame:
     """The servable product: contour segments -> per-level MVT
     linestring layers (``contour_<T>``), chained into maximal
     polylines/rings by the per-tile linemerge (levels can't merge
     across layers) through the shared world-features tail — the same
     bbox fan-out -> clip -> vectorized encode every other ingest in
-    this engine runs. Feature ids are a deterministic function of
-    (level, cell, seg), so re-running reproduces identical bytes."""
+    this engine runs.
+
+    chain=True (default): segments chain into maximal block-local
+    polylines INSIDE the marching-squares block task
+    (contour_polylines), so the fan-out / per-tile merge see one row
+    per chain instead of one per 2-point segment (10-60x fewer; the
+    per-tile linemerge then only stitches cross-block chains). The
+    256-px block grid coincides with the tile grid at the default
+    zoom/size, so chains rarely fan to more than one tile. chain=False
+    keeps the one-row-per-segment path (the A/B and equivalence-law
+    twin). Both paths merge to one feature per (tile, level) and both
+    are deterministic (feature ids are min over member (level, cell,
+    seg) fids, fixed functions of the field), so re-running either
+    reproduces identical bytes; the decoded unit-segment multisets of
+    the two paths are pytest-pinned EQUAL per tile. The one visible
+    difference: a chain straddling a tile's buffer window carries its
+    whole-chain min fid into that tile, where the unchained path mins
+    over only the in-window segments — ids can differ at buffer
+    edges (geometry never does)."""
     from .geojson import world_features_to_tiles
 
     lv = _check_levels(levels)
     pshift, _ = _shifts(zoom, size, world)
     span = (world >> pshift) + 2  # cx in [-1, npx-1] -> cx+1 in [0, npx]
-    seg = contour_segments(points, lv, zoom, size, radius,
-                           weight_col, world)
-    li: Column = F.lit(0)
-    for i, t in enumerate(lv[1:], start=1):
-        li = F.when(F.col("level") == t, F.lit(i)).otherwise(li)
-    fid = (((li.cast("long") * span + F.col("cy") + 1) * span
-            + F.col("cx") + 1) * 2 + F.col("seg"))
-    feats = seg.select(
-        fid.alias("fid"),
-        F.lit("LineString").alias("gj_type"),
-        F.array(F.array(F.array("x0", "y0"),
-                        F.array("x1", "y1"))).alias("parts"),
-        F.concat(F.lit("contour_"), F.col("level")).alias("_layer"))
+    if chain:
+        pl = contour_polylines(points, lv, zoom, size, radius,
+                               weight_col, world)
+        feats = pl.select(
+            F.col("fid"),
+            F.lit("LineString").alias("gj_type"),
+            F.array(F.transform(
+                F.arrays_zip("xs", "ys"),
+                lambda q: F.array(q["xs"], q["ys"]))).alias("parts"),
+            F.concat(F.lit("contour_"), F.col("level")).alias("_layer"))
+    else:
+        seg = contour_segments(points, lv, zoom, size, radius,
+                               weight_col, world)
+        li: Column = F.lit(0)
+        for i, t in enumerate(lv[1:], start=1):
+            li = F.when(F.col("level") == t, F.lit(i)).otherwise(li)
+        fid = (((li.cast("long") * span + F.col("cy") + 1) * span
+                + F.col("cx") + 1) * 2 + F.col("seg"))
+        feats = seg.select(
+            fid.alias("fid"),
+            F.lit("LineString").alias("gj_type"),
+            F.array(F.array(F.array("x0", "y0"),
+                            F.array("x1", "y1"))).alias("parts"),
+            F.concat(F.lit("contour_"), F.col("level")).alias("_layer"))
     return world_features_to_tiles(feats, zoom, extent, buffer=buffer,
                                    layer_col="_layer",
                                    coalesce_lines=True)

@@ -43,7 +43,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..mvt import geometry as G
@@ -292,14 +292,21 @@ def world_features_to_tiles(p: DataFrame, zoom: int, extent: int,
         "_x0": F.array_min(xs), "_x1": F.array_max(xs),
         "_y0": F.array_min(ys), "_y1": F.array_max(ys),
     })
-    tx = F.sequence(
-        F.greatest(F.lit(0), F.expr(f"(_x0 - {buffer}) div {extent}")),
-        F.least(F.lit(n_tiles - 1),
-                F.expr(f"(_x1 + {buffer}) div {extent}")))
-    ty = F.sequence(
-        F.greatest(F.lit(0), F.expr(f"(_y0 - {buffer}) div {extent}")),
-        F.least(F.lit(n_tiles - 1),
-                F.expr(f"(_y1 + {buffer}) div {extent}")))
+    # Clamped endpoints can CROSS for a feature wholly beyond the tile
+    # grid (e.g. contour vertices overhang the world edge by half a
+    # pixel: lo = 16 > hi = 15 at zoom 4) — and F.sequence(16, 15)
+    # steps DOWN, inventing out-of-grid tile addresses. Guard each
+    # axis: no overlap with the grid -> empty fan-out, feature dropped.
+    def _rng(lo: Column, hi: Column) -> Column:
+        lo = F.greatest(F.lit(0), lo)
+        hi = F.least(F.lit(n_tiles - 1), hi)
+        return F.when(lo <= hi, F.sequence(lo, hi)) \
+            .otherwise(F.array().cast("array<long>"))
+
+    tx = _rng(F.expr(f"(_x0 - {buffer}) div {extent}"),
+              F.expr(f"(_x1 + {buffer}) div {extent}"))
+    ty = _rng(F.expr(f"(_y0 - {buffer}) div {extent}"),
+              F.expr(f"(_y1 + {buffer}) div {extent}"))
     p = (p.withColumn("x", F.explode(tx))
          .withColumn("y", F.explode(ty))
          .withColumn("z", F.lit(zoom).cast("long")))

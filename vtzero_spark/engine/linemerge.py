@@ -195,8 +195,22 @@ def merge_lines(features: DataFrame,
 
     out_schema = features.schema
 
+    # One part per row before the pandas kernel: Spark's arrow->pandas
+    # INPUT conversion materializes each parts cell as an ndarray, and
+    # a multi-part cell whose parts differ in length is ragged and
+    # raises (the repair.py mapInArrow lesson — here the cheap fix is
+    # to never hand the converter a multi-part cell). _pos keeps the
+    # within-feature part order, so the chain materialization stays
+    # deterministic; per-feature accumulation dedups on
+    # feature_ordinal so exploding never double-counts.
+    lines = (lines
+             .select(*[c for c in cols if c != "parts"],
+                     F.posexplode("parts").alias("_pos", "_part"))
+             .withColumn("parts", F.array("_part"))
+             .drop("_part"))
+
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("feature_ordinal", kind="stable")
+        pdf = pdf.sort_values(["feature_ordinal", "_pos"], kind="stable")
         parts: list[np.ndarray] = []
         for row_parts in pdf["parts"]:
             for part in row_parts:
@@ -205,7 +219,8 @@ def merge_lines(features: DataFrame,
                 ).reshape(-1, 2))
         chains = merge_group_parts(parts)
         merged = _materialize(parts, chains)
-        ids = pdf["feature_id"]
+        per_feat = pdf.drop_duplicates(subset=["feature_ordinal"])
+        ids = per_feat["feature_id"]
         fid = int(ids.dropna().min()) if ids.notna().any() else None
         row = {k: pdf.iloc[0][k] for k in keys}
         row["feature_ordinal"] = pdf["feature_ordinal"].min()
@@ -213,7 +228,7 @@ def merge_lines(features: DataFrame,
         row["geom_type"] = _LINESTRING
         row["parts"] = [[{"x": int(x), "y": int(y)} for x, y in ch]
                         for ch in merged]
-        row.update(_accumulated(pdf, acc))
+        row.update(_accumulated(per_feat, acc))
         for c in cols:
             if c not in row:
                 row[c] = pdf.iloc[0][c]
