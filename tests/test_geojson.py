@@ -422,3 +422,57 @@ def test_fanout_beyond_grid_emits_no_tiles(spark):
     rows = geojson.world_features_to_tiles(
         straddle, zoom=4, extent=4096).collect()
     assert [(r["x"], r["y"]) for r in rows] == [(0, 15)]
+
+
+def test_fanout_boundary_property_sweep(spark):
+    """Property sweep of the fan-out window law around the grid
+    boundary (the class of the sequence-steps-down bug): linestrings
+    planted inside, at, straddling, and beyond every grid edge and
+    corner. Laws: (1) every emitted tile address is inside the zoom
+    grid; (2) a feature wholly inside one tile's interior lands in
+    exactly that tile; (3) re-running emits identical bytes."""
+    world = 1 << 16
+    ext = 4096
+    cases = []
+    fid = 0
+    # deterministic LCG for in-cell jitter
+    st = 12345
+    for anchor in (0, ext - 8, ext, 7 * ext, 15 * ext,
+                   world - 8, world, world + 40):
+        for dx, dy in ((60, 0), (0, 60), (45, 45)):
+            st = (st * 1103515245 + 12345) % (1 << 31)
+            j = st % 50
+            x0, y0 = anchor + j, (anchor * 3 + 2 * j) % (world + 300)
+            cases.append((fid, "LineString",
+                          [[[x0, y0], [x0 + dx, y0 + dy]]]))
+            fid += 1
+    # plus fully-interior controls, one per a few tiles
+    interior = []
+    for t in (0, 3, 9, 15):
+        x = t * ext + ext // 2
+        interior.append((fid, "LineString",
+                         [[[x, x], [x + 10, x + 10]]]))
+        cases.append(interior[-1])
+        fid += 1
+    schema = "fid long, gj_type string, parts array<array<array<long>>>"
+    feats = spark.createDataFrame(cases, schema)
+    rows = geojson.world_features_to_tiles(
+        feats, zoom=4, extent=ext, buffer=16).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["x"] < 16 and 0 <= r["y"] < 16, (r["x"], r["y"])
+    # interior controls: present in exactly their own tile
+    present = {(r["x"], r["y"]) for r in rows}
+    from vtzero_spark.mvt import tile as T
+    for f, _, parts in interior:
+        t = parts[0][0][0] // ext
+        assert (t, t) in present
+        owns = [r for r in rows if any(
+            ft.id == f for ly in T.parse_tile(bytes(r["tile_bytes"]))
+            for ft in ly.features)]
+        assert [(r["x"], r["y"]) for r in owns] == [(t, t)], f
+    again = geojson.world_features_to_tiles(
+        feats, zoom=4, extent=ext, buffer=16).collect()
+    key = lambda rs: sorted((r["z"], r["x"], r["y"],
+                             bytes(r["tile_bytes"])) for r in rs)
+    assert key(rows) == key(again)
