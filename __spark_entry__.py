@@ -23,6 +23,7 @@ from vtzero_spark.engine import (
     assemble, cells, composite, enrich, geomops, joins, knn, lint,
     rewrite, sessions, simsearch, synth, textops, thin, tiling,
 )
+from vtzero_spark.engine import dbscan as _dbscan
 from vtzero_spark.engine import exif as _exif
 from vtzero_spark.engine import hull as _hull
 from vtzero_spark.engine import snap as _snap
@@ -663,6 +664,22 @@ def q_dwithin(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = synth.radius_queries(spark, sf_dir)
     return joins.dwithin_join(pts, qs, DW_RADIUS) \
         .select("qid", "image_id", "d2")
+
+
+DBSCAN_EPS = 120      # neighborhood radius (world units)
+DBSCAN_MIN_PTS = 5    # incl. self (sklearn min_samples convention)
+
+
+def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed DBSCAN over the clustered customer points:
+    cell-bucketed neighbor self-join (the dwithin discipline, both
+    sides co-hashed on the cell key), map-side-combined core census,
+    min-label pointer-jumping components over the core graph, border
+    points to the min neighboring core's component, noise = -1
+    (engine/dbscan.py). Hash-matched against a DuckDB recursive-CTE
+    transitive-closure oracle."""
+    pts = synth.cluster_points(spark, sf_dir)
+    return _dbscan.dbscan(pts, eps=DBSCAN_EPS, min_pts=DBSCAN_MIN_PTS)
 
 
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1439,7 +1456,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     timing via BENCH_ONLY. The contour slot additionally gates the
     2x2 cell pivot, the saddle center rule and the integer edge
     interpolation (tests/test_contour.py pins all three tiers
-    row-identical, so the fused 'direct' scale tier is what runs)."""
+    row-identical, so the fused 'direct' scale tier is what runs).
+    Round-5 session 17 swapped dwithin for dbscan — exact distributed
+    density clustering (engine/dbscan.py), hash-matched against a
+    DuckDB recursive-CTE transitive-closure oracle. The retired slot's
+    law stays driver-gated: dbscan's neighbor stage IS the dwithin
+    radius join run as a SELF-join (same 3x3 cell cull, same exact
+    integer d2 refine — the oracle's nbr CTE is the same cross-join
+    text), and dwithin keeps a direct DuckDB-parity pin in
+    tests/test_dwithin_zonal.py::test_dwithin_oracle_pin plus its
+    brute-force/broadcast-plan pytest gates and its HEADLINE timing
+    via BENCH_ONLY."""
     return {
         "tile_assign": q_tile_assign,
         "tilestats": q_tilestats,
@@ -1463,7 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_vector": q_raster_vector,
         "sessionize": q_sessionize,
         "pip_hex": q_pip_hex,
-        "dwithin": q_dwithin,
+        "dbscan": q_dbscan,
         "zonal_stats": q_zonal_stats,
         "overlay": q_overlay,
         "cell_compact": q_cell_compact,
@@ -1757,10 +1784,9 @@ WITH {images},
   FROM images p, polys q
   WHERE abs(p.wx - q.cx) + abs(p.wy - q.cy) <= q.r
 """,
-        "dwithin": f"""
-WITH {images},
-{synth.radius_queries_sql('queries')}
-{joins.dwithin_sql('images', 'queries', DW_RADIUS)}
+        "dbscan": f"""
+WITH RECURSIVE {synth.cluster_points_sql('cpoints')},
+{_dbscan.dbscan_sql('cpoints', DBSCAN_EPS, DBSCAN_MIN_PTS)}
 """,
         "zonal_stats": f"""
 WITH {synth.pixel_grid_sql('pix')},

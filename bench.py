@@ -62,6 +62,8 @@ EXTENDED = [
     "render_png",
     # round-5 session-4 oracle-bearing spatial additions
     "dwithin",
+    # round-5 session-17: exact distributed DBSCAN (recursive-CTE oracle)
+    "dbscan",
     "zonal_stats",
     "overlay",
     "cell_compact",
@@ -291,6 +293,11 @@ BENCH_ONLY = {
     # its HEADLINE timing history here (dedup_hashed stays in the
     # window as the scalable form)
     "dedup_exact": entrymod.q_dedup_exact,
+    # round-5 session-17: dwithin's window slot carries dbscan (whose
+    # neighbor stage runs the same radius join as a self-join and
+    # whose oracle embeds the same cross-join text); dwithin keeps a
+    # direct DuckDB pin in test_dwithin_zonal.py and its timing here
+    "dwithin": entrymod.q_dwithin,
     # round-5 session-4: fused rewrite's window slot carries the new
     # overlay join (its oracle SQL was literally identical to
     # streets_filter's); byte parity + zero-shuffle plan stay pinned

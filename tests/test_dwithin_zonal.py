@@ -3,10 +3,14 @@ analog of the north rule's spatial-join family) and zonal statistics
 (joins.zonal_stats, dense raster aggregated under polygon zones with
 pixel-center sample semantics).
 
-Both are oracle-bearing in __spark_entry__ (DuckDB cross-join mirrors);
-these tests pin the parts the hash gate can't see: brute-force parity
-of the cell-bucketed candidate cull, boundary inclusivity, the 3x3
-neighbor reach at cell edges, and the broadcast plan shape.
+zonal_stats is oracle-bearing in __spark_entry__ (DuckDB cross-join
+mirror); dwithin's window slot was handed to dbscan in round-5
+session 17 (whose neighbor stage runs the identical radius join as a
+self-join), so dwithin keeps a DIRECT DuckDB pin here
+(test_dwithin_oracle_pin) plus the parts no hash gate can see:
+brute-force parity of the cell-bucketed candidate cull, boundary
+inclusivity, the 3x3 neighbor reach at cell edges, and the broadcast
+plan shape.
 """
 
 from __future__ import annotations
@@ -316,3 +320,33 @@ def test_nearest_fence_guards(spark, sf_dir):
     empty = synth.polygons(spark, sf_dir).where("pid < 0")
     with pytest.raises(ValueError, match="at least one"):
         joins.nearest_fence(synth.images(spark, sf_dir), empty)
+
+
+def test_dwithin_oracle_pin(spark, sf_dir):
+    """Direct DuckDB-parity pin for the retired window slot (round-5
+    session 17 swapped dwithin -> dbscan): same CTE text the driver
+    used, so the radius-join law keeps an explicit cross-engine gate
+    alongside dbscan's oracle (whose nbr stage embeds the identical
+    cross-join refine as a self-join)."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    got = entry.q_dwithin(spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    sql = (f"WITH {synth.images_sql('images')},\n"
+           f"{synth.radius_queries_sql('queries')}\n"
+           + joins.dwithin_sql("images", "queries", entry.DW_RADIUS))
+    o = con.execute(sql).df()
+
+    cols = ["qid", "image_id", "d2"]
+
+    def key(df):
+        return df[cols].sort_values(cols).reset_index(drop=True)
+
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(key(got), key(o), check_dtype=False)

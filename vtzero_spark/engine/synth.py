@@ -375,3 +375,67 @@ def polygons_b_sql(alias: str = "polys_b") -> str:
     1000 + (s_suppkey % 7) * 2000 AS r
   FROM supplier
 )"""
+
+
+# --------------------------------------------------- clustered points
+
+# DBSCAN input: customer-keyed points with REAL cluster structure —
+# _CLK LCG-placed centers, members offset uniformly in a +-_CLR
+# square, every 7th customer a world-uniform noise point. All integer
+# column math (products < 2^63 at every SF the driver runs), so
+# cluster_points_sql() derives the identical table in DuckDB.
+_CLK = 25             # cluster centers
+_CLR = 300            # member offset half-width (world units)
+_CLM = 512            # world margin: px/py stay strictly in-world
+_CLNOISE = 7          # every 7th customer is noise
+_CCAX, _CCBX = 1103515245 % WORLD, 12345   # center LCG (glibc mult)
+_CCAY, _CCBY = 69069, 54321
+_COAX, _COBX = 22695477, 3                 # member-offset LCG
+_COAY, _COBY = 134775813 % (1 << 31), 7
+_CNAX, _CNBX = 48271, 331                  # noise-point LCG
+_CNAY, _CNBY = 16807, 733
+
+
+def cluster_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustered point set for density clustering (DBSCAN): columns
+    (pid, px, py). Cluster k's center is LCG-placed inside the world
+    margin; member offsets are uniform on a (2*_CLR+1)^2 square, so
+    in-cluster density scales with SF while noise stays sparse."""
+    c = load(spark, sf_dir, "customer") \
+        .select(F.col("c_custkey").cast("long").alias("pid"))
+    span = WORLD - 2 * _CLM
+    k = F.col("pid") % _CLK
+    ccx = (k * _CCAX + _CCBX) % span + _CLM
+    ccy = (k * _CCAY + _CCBY) % span + _CLM
+    ox = (F.col("pid") * _COAX + _COBX) % (2 * _CLR + 1) - _CLR
+    oy = (F.col("pid") * _COAY + _COBY) % (2 * _CLR + 1) - _CLR
+    nx = (F.col("pid") * _CNAX + _CNBX) % span + _CLM
+    ny = (F.col("pid") * _CNAY + _CNBY) % span + _CLM
+    is_noise = F.col("pid") % _CLNOISE == 0
+    return c.select(
+        "pid",
+        F.when(is_noise, nx).otherwise(ccx + ox).cast("long").alias("px"),
+        F.when(is_noise, ny).otherwise(ccy + oy).cast("long").alias("py"),
+    )
+
+
+def cluster_points_sql(alias: str = "cpoints") -> str:
+    """DuckDB CTE reproducing cluster_points() exactly."""
+    span = WORLD - 2 * _CLM
+    w = 2 * _CLR + 1
+    return f"""
+{alias} AS (
+  SELECT
+    CAST(c_custkey AS BIGINT) AS pid,
+    CAST(CASE WHEN c_custkey % {_CLNOISE} = 0
+         THEN (c_custkey * {_CNAX} + {_CNBX}) % {span} + {_CLM}
+         ELSE ((c_custkey % {_CLK}) * {_CCAX} + {_CCBX}) % {span} + {_CLM}
+              + (c_custkey * {_COAX} + {_COBX}) % {w} - {_CLR}
+    END AS BIGINT) AS px,
+    CAST(CASE WHEN c_custkey % {_CLNOISE} = 0
+         THEN (c_custkey * {_CNAY} + {_CNBY}) % {span} + {_CLM}
+         ELSE ((c_custkey % {_CLK}) * {_CCAY} + {_CCBY}) % {span} + {_CLM}
+              + (c_custkey * {_COAY} + {_COBY}) % {w} - {_CLR}
+    END AS BIGINT) AS py
+  FROM customer
+)"""
