@@ -123,6 +123,10 @@ EXTENDED = [
     # round-5 session-15 marching-squares density isolines -> MVT
     # (integer-exact; DuckDB twin parity in tests/test_contour.py)
     "contour_tiles",
+    # round-5 session-17: exact distributed DBSCAN over the clustered
+    # point table is in the window; these two are BENCH_ONLY —
+    # earcut donut meshes (conservation laws in tests/test_earcut.py)
+    "earcut_mesh",
 ]
 
 # minhash_lsh / simhash_neardup left the 50-entry queries() window in
@@ -141,6 +145,36 @@ def _nearest_fence_query(spark, sf_dir):
     return joins.nearest_fence(
         synth.images(spark, sf_dir), synth.polygons(spark, sf_dir)
     ).select("image_id", "pid", "d2x2")
+
+
+def _earcut_query(spark, sf_dir):
+    """Triangulate one donut polygon per image (outer footprint +
+    inset hole, winding per spec): 2 triangles-per-vertex meshes via
+    the exact earcut kernel; aggregate forces full compute. Output is
+    mesh indices — no SQL oracle; conservation/orientation laws are
+    pinned in tests/test_earcut.py."""
+    from vtzero_spark.engine import earcut as EC
+    from vtzero_spark.engine.geomops import _pt, rect_ring
+
+    # spread before the Python kernel stage: the iid-dedup upstream
+    # AQE-coalesces to 1-2 partitions (session-8 GeoJSON diagnosis)
+    img = synth.images(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism)
+    x0, y0 = F.col("wx").cast("long"), F.col("wy").cast("long")
+    w, h = F.col("w").cast("long"), F.col("h").cast("long")
+    qw, qh = w.cast("long") / 4, h.cast("long") / 4
+    hx0, hy0 = (x0 + qw).cast("long"), (y0 + qh).cast("long")
+    hx1, hy1 = (x0 + 3 * qw).cast("long"), (y0 + 3 * qh).cast("long")
+    hole = F.array(  # reversed winding: negative area (interior ring)
+        _pt(hx0, hy0), _pt(hx0, hy1), _pt(hx1, hy1),
+        _pt(hx1, hy0), _pt(hx0, hy0))
+    feats = img.select(
+        F.col("iid").alias("feature_id"),
+        F.lit(3).alias("geom_type"),
+        F.array(rect_ring(x0, y0, w, h), hole).alias("parts"))
+    return EC.triangulate(feats).groupBy("status").agg(
+        F.count("*").alias("n_features"),
+        F.sum("n_tris").alias("total_tris"))
 
 
 def _polylabel_query(spark, sf_dir):
@@ -351,6 +385,9 @@ BENCH_ONLY = {
     # within-precision guarantee brute-force-pinned in
     # tests/test_polylabel.py, so no SQL oracle)
     "label_points": _polylabel_query,
+    # round-5 session-17: earcut triangulation (mesh indices out;
+    # exact conservation/orientation laws pinned in tests/test_earcut.py)
+    "earcut_mesh": _earcut_query,
     # round-5 session-10: OGC WKB encode+decode over every footprint
     "wkb_roundtrip": _wkb_roundtrip_query,
     # round-5 session-10: EXIF metadata path isolated from payload
