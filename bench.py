@@ -127,6 +127,11 @@ EXTENDED = [
     # point table is in the window; these two are BENCH_ONLY —
     # earcut donut meshes (conservation laws in tests/test_earcut.py)
     "earcut_mesh",
+    # round-5 session-17: SSSP routing over the road network and the
+    # encoded-polyline track export (both BENCH_ONLY; Dijkstra parity
+    # and the round-trip law live in tests/)
+    "route_sssp",
+    "track_polylines",
 ]
 
 # minhash_lsh / simhash_neardup left the 50-entry queries() window in
@@ -175,6 +180,30 @@ def _earcut_query(spark, sf_dir):
     return EC.triangulate(feats).groupBy("status").agg(
         F.count("*").alias("n_features"),
         F.sum("n_tris").alias("total_tris"))
+
+
+def _route_query(spark, sf_dir):
+    """Network shortest paths from 8 sources over the full road
+    network (chain contraction -> footbridge transfers -> two-tier
+    merge -> exact chain interpolation). Scalar-Dijkstra parity and
+    the relaxation fixpoint law are pinned in tests/test_route.py."""
+    from vtzero_spark.engine import route as RT
+    from vtzero_spark.engine import snap as SN
+
+    segs = SN.roads(spark, sf_dir)
+    return RT.sssp(spark, segs, RT.route_sources(spark, sf_dir, 8),
+                   transfer_eps=1024)
+
+
+def _polyline_query(spark, sf_dir):
+    """GPS tracks -> encoded polyline strings (the interchange format
+    every mapping SDK ingests); exact E5-grid round-trip law pinned in
+    tests/test_polyline.py."""
+    from vtzero_spark.engine import polyline as PLN
+    from vtzero_spark.engine import trajectory as TJ
+
+    ev = TJ.event_points(synth.load(spark, sf_dir, "events"))
+    return PLN.encode_tracks(TJ.tracks(ev))
 
 
 def _polylabel_query(spark, sf_dir):
@@ -388,6 +417,9 @@ BENCH_ONLY = {
     # round-5 session-17: earcut triangulation (mesh indices out;
     # exact conservation/orientation laws pinned in tests/test_earcut.py)
     "earcut_mesh": _earcut_query,
+    # round-5 session-17: network shortest paths + polyline export
+    "route_sssp": _route_query,
+    "track_polylines": _polyline_query,
     # round-5 session-10: OGC WKB encode+decode over every footprint
     "wkb_roundtrip": _wkb_roundtrip_query,
     # round-5 session-10: EXIF metadata path isolated from payload

@@ -108,3 +108,15 @@ def project(df: DataFrame, lon_col: str = "lon", lat_col: str = "lat",
     the one-liner between a real GPS table and every engine operator."""
     wx, wy = lonlat_to_world(F.col(lon_col), F.col(lat_col), world)
     return df.withColumns({"wx": wx, "wy": wy})
+
+
+def world_to_lonlat_np(wx, wy, world: int = WORLD):
+    """Vectorized numpy twin of world_to_lonlat_py (same cell-center
+    inverse), for batch kernels (e.g. polyline.encode_tracks)."""
+    import numpy as np
+
+    cx = (np.asarray(wx, np.float64) + 0.5) / world
+    cy = (np.asarray(wy, np.float64) + 0.5) / world
+    lon = cx * 360.0 - 180.0
+    lat = np.degrees(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * cy))))
+    return lon, lat

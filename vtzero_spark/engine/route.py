@@ -1,0 +1,410 @@
+"""Distributed single-source shortest paths over the road network —
+the routing stage that composes with map matching (engine/snap.py):
+snap GPS points to the network, then answer "how far along the
+network" queries from a source set.
+
+Graph model (all EXACT int64):
+
+- nodes are road VERTICES, identified by their packed world coordinate
+  ``(x << 20) | y`` (coords < 2^20 by construction);
+- every road segment is a bidirectional edge of weight exactly 5
+  (``snap.roads`` steps are Pythagorean norm-5 vectors);
+- TRANSFER edges: one walking FOOTBRIDGE per pair of roads that come
+  within ``transfer_eps`` of each other (Euclidean, inclusive — the
+  dwithin cell-cull discipline) at the pair's min-L1 vertex pair,
+  weight = that exact L1 distance; roads sharing a coordinate merge
+  through the shared node itself at weight 0.
+
+Scale shape — the published routing-engine discipline (OSRM/Valhalla
+contract before they query) re-expressed in DataFrame ops:
+
+1. CHAIN CONTRACTION. Roads are paths, so between junctions (road
+   endpoints + transfer endpoints) every vertex has degree 2 and can
+   never branch a shortest path. One window pass per road marks
+   junctions and emits one contracted edge per junction-to-junction
+   run (weight = 5 * run length). Round count of the iterative stage
+   then scales with the JUNCTION-graph diameter, not the 256-hop road
+   diameter — the difference between ~4 and ~256 Spark rounds.
+2. FRONTIER BELLMAN-FORD (Pregel SSSP) on the contracted graph:
+   per round, only nodes improved LAST round ship their distance over
+   the edge list (join -> min-agg -> merge), localCheckpoint'ed to
+   truncate lineage, stopping at the empty-frontier fixpoint. With
+   nonnegative weights the fixpoint labeling is exactly Dijkstra's
+   answer; tests pin it against a scalar Dijkstra and assert the
+   fixpoint law (no relaxable edge) ON the output.
+3. CHAIN INTERPOLATION back to every vertex: a mid-chain vertex's
+   distance is min over the two bounding junctions plus the exact
+   offset along the chain — valid because any path must enter the
+   chain at a junction (transfer endpoints ARE junctions by
+   construction).
+
+Output: one row per distinct road vertex (vx, vy, dist), dist = -1
+for unreachable. Reference analog: none (vtzero is a tile codec);
+this extends the engine's spatial-join family per the north rule.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from . import snap as S
+
+_SHIFT = 20  # coord pack: (x << 20) | y, coords < 2^20
+
+
+def _nid(x, y):
+    return F.shiftleft(x.cast("long"), _SHIFT) + y.cast("long")
+
+
+def road_vertices(segs: DataFrame) -> DataFrame:
+    """One row per (road_id, pos) path position: pos 0..k with the
+    vertex coordinate (segment i contributes its start; the last
+    segment also contributes its end)."""
+    a = segs.select("road_id", F.col("seg").alias("pos"),
+                    F.col("ax").alias("vx"), F.col("ay").alias("vy"))
+    last = segs.groupBy("road_id").agg(F.max("seg").alias("_k"))
+    b = (segs.join(last, "road_id")
+         .where(F.col("seg") == F.col("_k"))
+         .select("road_id", (F.col("seg") + 1).alias("pos"),
+                 F.col("bx").alias("vx"), F.col("by").alias("vy")))
+    return a.unionByName(b)
+
+
+def transfer_edges(verts: DataFrame, eps: int) -> DataFrame:
+    """ONE walking footbridge per road pair: for each unordered pair
+    of roads with any vertices within ``eps`` (Euclidean, inclusive),
+    the single min-L1 vertex pair (ties broken by packed node ids —
+    deterministic), weight = exact L1 (0 at true shared coordinates).
+
+    Per-pair reduction is the scale guard: vertex-to-vertex transfer
+    pairs grow QUADRATICALLY with eps x chain density (measured: 159M
+    pairs at eps=2048 on the sf0.1 network), while footbridges are
+    bounded by the number of spatially-adjacent road PAIRS — the same
+    one-crossing-node modeling a real network's intersections get.
+    Candidate generation is the dwithin covering-grid cull; the
+    reduction is one map-side-combined min-struct groupBy, so the
+    full pair set never materializes past the combiner."""
+    if eps < 0:
+        raise ValueError(f"transfer_eps must be >= 0, got {eps}")
+    cell = 1
+    while cell < max(eps, 1):
+        cell <<= 1
+    pts = verts.select(
+        "road_id", "vx", "vy", _nid(F.col("vx"), F.col("vy")).alias("nid")
+    ).distinct()
+    home = pts.select(
+        F.col("nid").alias("dst"), F.col("road_id").alias("rb"),
+        F.col("vx").alias("bx"), F.col("vy").alias("by"),
+        F.expr(f"vx div {cell}").alias("cx"),
+        F.expr(f"vy div {cell}").alias("cy"))
+    off = F.array(*[F.lit(d) for d in (-1, 0, 1)])
+    probe = (pts.withColumn("_dx", F.explode(off))
+             .withColumn("_dy", F.explode(off))
+             .select((F.expr(f"vx div {cell}") + F.col("_dx")).alias("cx"),
+                     (F.expr(f"vy div {cell}") + F.col("_dy")).alias("cy"),
+                     F.col("nid").alias("src"), F.col("road_id").alias("ra"),
+                     F.col("vx").alias("ax"), F.col("vy").alias("ay")))
+    dx = F.col("ax") - F.col("bx")
+    dy = F.col("ay") - F.col("by")
+    best = (probe.join(home, ["cx", "cy"])
+            .where((F.col("ra") < F.col("rb"))
+                   & (dx * dx + dy * dy <= eps * eps))
+            .select("ra", "rb",
+                    F.struct((F.abs(dx) + F.abs(dy)).alias("w"),
+                             F.col("src"), F.col("dst")).alias("_e"))
+            .groupBy("ra", "rb").agg(F.min("_e").alias("_e")))
+    return best.select(F.col("_e.src").alias("src"),
+                       F.col("_e.dst").alias("dst"),
+                       F.col("_e.w").alias("w"))
+
+
+def contracted_graph(segs: DataFrame, transfer_eps: int = 64,
+                     extra_junctions: DataFrame | None = None
+                     ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Returns (edges, skips, chain).
+
+    edges: (src, dst, w) directed both ways — consecutive-junction
+    road runs plus transfer footbridges: the exact graph, sufficient
+    for any shortest-path computation.
+    skips: additional skip-list shortcut edges (junction -> junction
+    2^t ahead on the same road, weight = the exact along-road
+    distance) — genuine road sub-paths, so adding them changes no
+    distance; they exist to cut the DISTRIBUTED relaxation loop's
+    round count toward log(chain length) and are lazy (never computed
+    unless that tier runs).
+    chain: one row per road vertex with its bounding junctions:
+    (road_id, pos, vx, vy, nid, lj, lpos, rj, rpos) where lj/rj are
+    the junction node ids at the nearest junction positions <=/>= pos
+    (the interpolation anchors)."""
+    verts = road_vertices(segs)
+    tr = transfer_edges(verts, transfer_eps).localCheckpoint(eager=True)
+    tnodes = (tr.select(F.col("src").alias("nid"))
+              .unionByName(tr.select(F.col("dst").alias("nid")))
+              .distinct())
+    v = verts.withColumn("nid", _nid(F.col("vx"), F.col("vy")))
+    last = verts.groupBy("road_id").agg(F.max("pos").alias("_k"))
+    # a coordinate visited MORE THAN ONCE — by another road or by the
+    # same road's own walk crossing itself — is one topological node,
+    # hence a junction (the node id is the packed coordinate, so the
+    # contracted runs meeting there connect through it for free)
+    dups = (verts.select(_nid(F.col("vx"), F.col("vy")).alias("nid"))
+            .groupBy("nid").agg(F.count("*").alias("_n"))
+            .where("_n > 1").select("nid").withColumn("_d", F.lit(1)))
+    if extra_junctions is not None:
+        # e.g. SSSP sources: a mid-chain source must split its chain
+        # so its own label (0) anchors the interpolation exactly
+        tnodes = tnodes.unionByName(
+            extra_junctions.select("nid")).distinct()
+    v = (v.join(last, "road_id")
+         .join(tnodes.withColumn("_t", F.lit(1)), "nid", "left")
+         .join(dups, "nid", "left")
+         .withColumn("jflag",
+                     (F.col("pos") == 0) | (F.col("pos") == F.col("_k"))
+                     | F.col("_t").isNotNull() | F.col("_d").isNotNull()))
+    w = Window.partitionBy("road_id").orderBy("pos")
+    # nearest junction at or before / at or after each position
+    jpos = F.when(F.col("jflag"), F.col("pos"))
+    jnid = F.when(F.col("jflag"), F.col("nid"))
+    v = (v.withColumn("lpos", F.last(jpos, ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+         .withColumn("lj", F.last(jnid, ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+         .withColumn("rpos", F.first(jpos, ignorenulls=True).over(
+            w.rowsBetween(0, Window.unboundedFollowing)))
+         .withColumn("rj", F.first(jnid, ignorenulls=True).over(
+            w.rowsBetween(0, Window.unboundedFollowing))))
+    chain = v.select("road_id", "pos", "vx", "vy", "nid",
+                     "lj", "lpos", "rj", "rpos")
+    # contracted edges: consecutive junctions along each road, PLUS
+    # skip-list shortcuts (junction -> junction 2^t ahead on the same
+    # road, weight = the exact along-road distance). Shortcuts are
+    # genuine road sub-paths so every label stays achievable; they cut
+    # the iterative stage's round count from the junction-chain length
+    # toward its log (self-crossing roads make those chains deep).
+    # One applyInPandas pass per road emits all tiers vectorized —
+    # per-task state is one road's junction sequence.
+    j = v.where("jflag").select("road_id", "pos", "nid")
+    jw = Window.partitionBy("road_id").orderBy("pos")
+    runs = (j.withColumn("npos", F.lead("pos").over(jw))
+            .withColumn("nnid", F.lead("nid").over(jw))
+            .where(F.col("npos").isNotNull())
+            .select(F.col("nid").alias("src"),
+                    F.col("nnid").alias("dst"),
+                    ((F.col("npos") - F.col("pos")) * 5).alias("w")))
+
+    def _emit_skips(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("pos")
+        nid = pdf["nid"].to_numpy()
+        pos = pdf["pos"].to_numpy()
+        srcs, dsts, ws = [], [], []
+        step = 2
+        while step < len(nid):
+            srcs.append(nid[:-step])
+            dsts.append(nid[step:])
+            ws.append((pos[step:] - pos[:-step]) * 5)
+            step <<= 1
+        if not srcs:
+            return pd.DataFrame({"src": [], "dst": [], "w": []})
+        return pd.DataFrame({"src": np.concatenate(srcs),
+                             "dst": np.concatenate(dsts),
+                             "w": np.concatenate(ws)})
+
+    sk = j.groupBy("road_id").applyInPandas(
+        _emit_skips, "src long, dst long, w long")
+
+    def both_ways(df):
+        return df.unionByName(
+            df.select(F.col("dst").alias("src"),
+                      F.col("src").alias("dst"), "w"))
+
+    # duplicates are harmless under the min-agg relaxation — no
+    # distinct shuffle needed
+    return both_ways(runs.unionByName(tr)), both_ways(sk), chain
+
+
+def _dijkstra(edge_rows, seed_rows) -> dict[int, int]:
+    """Driver-tier exact Dijkstra over the (small) contracted graph —
+    the same labeling the distributed loop converges to."""
+    import collections
+    import heapq
+
+    adj = collections.defaultdict(list)
+    for r in edge_rows:
+        adj[r.src].append((r.dst, r.w))
+    dist: dict[int, int] = {}
+    pq = []
+    for r in seed_rows:
+        if r.node not in dist or r.dist < dist[r.node]:
+            dist[r.node] = r.dist
+    for n, d in dist.items():
+        heapq.heappush(pq, (d, n))
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, 1 << 62):
+            continue
+        for v2, w in adj[u]:
+            nd = d + w
+            if nd < dist.get(v2, 1 << 62):
+                dist[v2] = nd
+                heapq.heappush(pq, (nd, v2))
+    return dist
+
+
+def sssp(spark: SparkSession, segs: DataFrame, sources: DataFrame,
+         transfer_eps: int = 64, max_rounds: int = 64,
+         merge_cap: int = 500_000) -> DataFrame:
+    """Shortest network distance from the source set to EVERY road
+    vertex. ``sources``: rows (vx, vy) that must be road vertices
+    (snap first for arbitrary points). Returns one row per distinct
+    vertex (vx, vy, dist); -1 = unreachable.
+
+    Two merge tiers on the contracted junction graph — the bounded-
+    collect discipline joins.pip_join and dbscan established: under
+    ``merge_cap`` edges the graph is Dijkstra'd on the driver (the
+    junction graph is contraction-sized, not vertex-sized) and the
+    labels ride back as a DataFrame; past the cap the frontier
+    Bellman-Ford loop runs fully distributed. Tiers are label-
+    identical (pytest-pinned)."""
+    src = sources.select(
+        _nid(F.col("vx"), F.col("vy")).alias("nid")).distinct()
+    # sources become junctions, so each source IS a node of the
+    # contracted graph and seeds itself at distance 0
+    edges, skips, chain = contracted_graph(segs, transfer_eps,
+                                           extra_junctions=src)
+    edges = edges.localCheckpoint(eager=True)
+    # chain feeds source validation AND final interpolation: one
+    # materialization (row count == road vertices), not three
+    chain = chain.localCheckpoint(eager=True)
+    n_src = src.count()
+    if n_src == 0:
+        raise ValueError("sssp needs at least one source")
+    matched = chain.join(src, "nid").select("nid").distinct().count()
+    if matched < n_src:
+        raise ValueError(
+            f"{n_src - matched} source(s) are not road vertices — "
+            "snap them to the network first (snap.snap_points)")
+    seed = src.select(F.col("nid").alias("node"),
+                      F.lit(0).cast("long").alias("dist"))
+    dist = seed.localCheckpoint(eager=True)
+    if edges.count() <= merge_cap:
+        labels = _dijkstra(edges.collect(), dist.collect())
+        dist = spark.createDataFrame(
+            [(int(n), int(d)) for n, d in labels.items()],
+            "node long, dist long")
+    else:
+        # the distributed tier adds the skip shortcuts (distance-
+        # preserving) so rounds track log(chain length), not length
+        edges = edges.unionByName(skips).localCheckpoint(eager=True)
+        frontier = dist
+        for _ in range(max_rounds):
+            cand = (frontier.join(edges,
+                                  frontier["node"] == edges["src"])
+                    .select(F.col("dst").alias("node"),
+                            (F.col("dist") + F.col("w")).alias("nd"))
+                    .groupBy("node").agg(F.min("nd").alias("nd")))
+            merged = (dist.join(cand, "node", "full")
+                      .select("node",
+                              F.least(F.coalesce("dist", F.lit(2**62)),
+                                      F.coalesce("nd", F.lit(2**62)))
+                              .alias("dist"),
+                              (F.col("nd").isNotNull()
+                               & (F.col("dist").isNull()
+                                  | (F.col("nd") < F.col("dist"))))
+                              .alias("_imp"))
+                      .localCheckpoint(eager=True))
+            frontier = merged.where("_imp").select("node", "dist")
+            dist = merged.select("node", "dist")
+            if frontier.limit(1).count() == 0:
+                break
+    # interpolate every chain vertex from its bounding junctions;
+    # mid-chain sources also seed directly through their own nid
+    dl = dist.select(F.col("node").alias("lj"), F.col("dist").alias("_dl"))
+    dr = dist.select(F.col("node").alias("rj"), F.col("dist").alias("_dr"))
+    ds = dist.select(F.col("node").alias("nid"), F.col("dist").alias("_ds"))
+    out = (chain.join(dl, "lj", "left").join(dr, "rj", "left")
+           .join(ds, "nid", "left")
+           .select("vx", "vy",
+                   F.least(
+                       F.coalesce(F.col("_dl")
+                                  + (F.col("pos") - F.col("lpos")) * 5,
+                                  F.lit(2**62)),
+                       F.coalesce(F.col("_dr")
+                                  + (F.col("rpos") - F.col("pos")) * 5,
+                                  F.lit(2**62)),
+                       F.coalesce("_ds", F.lit(2**62))).alias("dist")))
+    return (out.groupBy("vx", "vy")
+            .agg(F.min("dist").alias("dist"))
+            .select("vx", "vy",
+                    F.when(F.col("dist") >= 2**62, F.lit(-1).cast("long"))
+                    .otherwise(F.col("dist").cast("long")).alias("dist")))
+
+
+def route_sources(spark: SparkSession, sf_dir: str,
+                  n: int = 4) -> DataFrame:
+    """Deterministic source set for benchmarks/tests: the first vertex
+    of the lowest-keyed ``n`` roads."""
+    segs = S.roads(spark, sf_dir)
+    return (segs.where((F.col("seg") == 0))
+            .orderBy("road_id").limit(n)
+            .select(F.col("ax").alias("vx"), F.col("ay").alias("vy")))
+
+
+def segment_bands(spark: SparkSession, segs: DataFrame,
+                  sources: DataFrame, band_width: int = 1000,
+                  n_bands: int = 8, transfer_eps: int = 64,
+                  merge_cap: int = 500_000) -> DataFrame:
+    """Per-segment isochrone band: segment rows plus ``band`` =
+    min endpoint network distance div ``band_width``; unreachable and
+    past-horizon segments drop. The tested core of isochrone_tiles."""
+    dist = sssp(spark, segs, sources, transfer_eps=transfer_eps,
+                merge_cap=merge_cap)
+    da = dist.select(F.col("vx").alias("ax"), F.col("vy").alias("ay"),
+                     F.col("dist").alias("_da"))
+    db = dist.select(F.col("vx").alias("bx"), F.col("vy").alias("by"),
+                     F.col("dist").alias("_db"))
+    return (segs.join(da, ["ax", "ay"]).join(db, ["bx", "by"])
+            .where((F.col("_da") >= 0) & (F.col("_db") >= 0))
+            .withColumn("band",
+                        F.floor(F.least("_da", "_db") / F.lit(band_width))
+                        .cast("long"))
+            .where(F.col("band") < n_bands)
+            .drop("_da", "_db"))
+
+
+def isochrone_tiles(spark: SparkSession, segs: DataFrame,
+                    sources: DataFrame, band_width: int = 1000,
+                    n_bands: int = 8, transfer_eps: int = 64,
+                    zoom: int | None = None, extent: int = 4096,
+                    merge_cap: int = 500_000) -> DataFrame:
+    """Isochrone map: road segments bucketed by network distance from
+    the source set, served as per-band MVT line layers ("iso_0" is the
+    closest band). Band of a segment = min endpoint distance div
+    ``band_width`` (the leading edge); segments past band ``n_bands-1``
+    or unreachable drop. Adjacent vertices are mutually reachable
+    (every segment is an edge), so a segment's endpoints are either
+    both labeled or both unreachable — no mixed case exists.
+
+    Pure composition: sssp labels -> two endpoint joins -> the shared
+    world-features tail with ``coalesce_lines=True``, so same-band
+    runs merge into maximal polylines per tile before encode — the
+    same kernels every other tile producer runs."""
+    from . import geojson as _geojson
+    from . import synth
+
+    if zoom is None:
+        zoom = synth.ZOOM
+    j = segment_bands(spark, segs, sources, band_width=band_width,
+                      n_bands=n_bands, transfer_eps=transfer_eps,
+                      merge_cap=merge_cap)
+    feats = j.select(
+        (F.col("road_id") * 512 + F.col("seg")).alias("fid"),
+        F.lit("LineString").alias("gj_type"),
+        F.array(F.array(F.array("ax", "ay"),
+                        F.array("bx", "by"))).alias("parts"),
+        F.concat(F.lit("iso_"), F.col("band")).alias("_layer"))
+    return _geojson.world_features_to_tiles(
+        feats, zoom, extent, coalesce_lines=True, layer_col="_layer")
