@@ -53,14 +53,6 @@ from ..mvt import geometry as G
 
 # ------------------------------------------------------------ helpers
 
-def _ring_area2(xs: np.ndarray, ys: np.ndarray) -> int:
-    """Integer shoelace twice-area of an OPEN ring (closing edge
-    implicit); positive == outer in the y-down tile convention."""
-    x2 = np.roll(xs, -1)
-    y2 = np.roll(ys, -1)
-    return int(np.sum(xs * y2 - x2 * ys))
-
-
 def _cross(ax, ay, bx, by, cx, cy) -> int:
     """z of (b-a) x (c-a): > 0 convex corner in outer orientation."""
     return int((bx - ax) * (cy - ay) - (by - ay) * (cx - ax))
@@ -85,16 +77,21 @@ class _Poly:
         self.prv: list[int] = []
         self.n = 0
 
-    def add_cycle(self, xs, ys, gis, reverse: bool) -> int:
-        """Append a closed cycle of nodes; returns its first node id."""
+    def add_cycle(self, xs: list, ys: list, gis: list,
+                  reverse: bool) -> int:
+        """Append a closed cycle of nodes (plain int lists); returns
+        its first node id."""
         k = len(xs)
         base = self.n
-        order = range(k - 1, -1, -1) if reverse else range(k)
-        self.x.extend(int(xs[i]) for i in order)
-        self.y.extend(int(ys[i]) for i in order)
-        self.gi.extend(int(gis[i]) for i in order)
-        self.nxt.extend(list(range(base + 1, base + k)) + [base])
-        self.prv.extend([base + k - 1] + list(range(base, base + k - 1)))
+        if reverse:
+            xs, ys, gis = xs[::-1], ys[::-1], gis[::-1]
+        self.x.extend(xs)
+        self.y.extend(ys)
+        self.gi.extend(gis)
+        self.nxt.extend(range(base + 1, base + k))
+        self.nxt.append(base)
+        self.prv.append(base + k - 1)
+        self.prv.extend(range(base, base + k - 1))
         self.n = base + k
         return base
 
@@ -352,7 +349,7 @@ def _clip(P: _Poly, start: int, out: list[int]) -> str:
     return status
 
 
-def _split_pinches(ring: list[tuple[int, int, int]]):
+def _split_pinches(xs: list, ys: list, gis: list):
     """Split a self-TOUCHING ring (a coordinate visited twice, the
     pinch-point shape real v1 tiles carry) into sub-cycles at each
     repeated vertex; each sub-cycle is a boundary loop in its own
@@ -360,29 +357,37 @@ def _split_pinches(ring: list[tuple[int, int, int]]):
     classify/triangulate path stays exact. Emits only loops with >= 3
     vertices (an adjacent duplicate degenerates to nothing)."""
     out = []
-    stack = [ring]
+    stack = [(xs, ys, gis)]
     while stack:
-        r = stack.pop()
+        rx, ry, rg = stack.pop()
         seen: dict[tuple[int, int], int] = {}
         cut = None
-        for k, p in enumerate(r):
-            xy = (p[0], p[1])
+        for k in range(len(rx)):
+            xy = (rx[k], ry[k])
             if xy in seen:
                 cut = (seen[xy], k)
                 break
             seen[xy] = k
         if cut is None:
-            if len(r) >= 3:
-                out.append(r)
+            if len(rx) >= 3:
+                out.append((rx, ry, rg))
             continue
         i, j = cut
-        inner = r[i:j]           # the loop between the two visits
-        outer = r[:i] + r[j:]    # the remainder, one visit kept
-        if len(inner) >= 3:
-            stack.append(inner)
-        if len(outer) >= 3:
-            stack.append(outer)
+        if j - i >= 3:           # the loop between the two visits
+            stack.append((rx[i:j], ry[i:j], rg[i:j]))
+        if len(rx) - (j - i) >= 3:  # the remainder, one visit kept
+            stack.append((rx[:i] + rx[j:], ry[:i] + ry[j:],
+                          rg[:i] + rg[j:]))
     return out
+
+
+def _ring_has_dup(xa: np.ndarray, ya: np.ndarray) -> bool:
+    """Any coordinate visited twice? complex-view unique — exact for
+    |coord| < 2^53, far beyond any tile/world coordinate."""
+    v = np.empty(xa.size, np.complex128)
+    v.real = xa
+    v.imag = ya
+    return np.unique(v).size != xa.size
 
 
 def earcut_rings(rings) -> tuple[np.ndarray, str]:
@@ -390,15 +395,44 @@ def earcut_rings(rings) -> tuple[np.ndarray, str]:
     (x, y) int pairs). Returns (indices int64 array, status). Indices
     reference the concatenation of the OPEN rings in input order —
     exactly mapbox/earcut's flat-input contract."""
-    opened = []
+    ropen = []
     off = 0
     for r in rings:
         r = list(r)
-        if len(r) >= 2 and r[0] == r[-1]:
+        if len(r) >= 2 and tuple(r[0]) == tuple(r[-1]):
             r = r[:-1]
-        trip = [(int(p[0]), int(p[1]), off + k) for k, p in enumerate(r)]
+        xa = np.fromiter((p[0] for p in r), np.int64, len(r))
+        ya = np.fromiter((p[1] for p in r), np.int64, len(r))
+        ropen.append((xa, ya, off))
         off += len(r)
-        opened.extend(_split_pinches(trip))
+    return _earcut_core(ropen)
+
+
+def _earcut_core(ropen) -> tuple[np.ndarray, str]:
+    """Shared core over array rings: ``ropen`` is a list of
+    (xs int64 array, ys int64 array, first-global-index) per OPEN
+    ring. Pinch splitting takes the slow tuple path only when a
+    duplicate coordinate actually exists (real v1 tiles: ~1%)."""
+    opened = []   # (xs list, ys list, gis list, a2)
+    for xa, ya, gi0 in ropen:
+        if xa.size < 3:
+            continue
+        if _ring_has_dup(xa, ya):
+            pieces = _split_pinches(
+                xa.tolist(), ya.tolist(),
+                list(range(gi0, gi0 + xa.size)))
+        else:
+            pieces = [(xa.tolist(), ya.tolist(),
+                       list(range(gi0, gi0 + xa.size)))]
+        for xs, ys, gis in pieces:
+            a2 = 0
+            x0, y0 = xs[-1], ys[-1]
+            for k in range(len(xs)):
+                x1, y1 = xs[k], ys[k]
+                a2 += x0 * y1 - x1 * y0
+                x0, y0 = x1, y1
+            if a2 != 0:
+                opened.append((xs, ys, gis, a2))
 
     # group rings into polygons with Mapbox GL's classifyRings rule:
     # the FIRST nonzero ring's sign defines the exterior orientation
@@ -408,14 +442,7 @@ def earcut_rings(rings) -> tuple[np.ndarray, str]:
     # new polygons, opposite-sign rings are holes of the current one
     groups: list[list[int]] = []
     outer_pos: bool | None = None
-    areas: dict[int, int] = {}
-    for i, r in enumerate(opened):
-        xs = np.array([p[0] for p in r], np.int64)
-        ys = np.array([p[1] for p in r], np.int64)
-        a2 = _ring_area2(xs, ys)
-        if a2 == 0:
-            continue
-        areas[i] = a2
+    for i, (_, _, _, a2) in enumerate(opened):
         if outer_pos is None:
             outer_pos = a2 > 0
         if (a2 > 0) == outer_pos or not groups:
@@ -426,16 +453,12 @@ def earcut_rings(rings) -> tuple[np.ndarray, str]:
     out: list[int] = []
     status = "ok"
     for grp in groups:
-        cap = sum(len(opened[i]) for i in grp) + 2 * (len(grp) - 1) + 4
+        cap = sum(len(opened[i][0]) for i in grp) + 2 * (len(grp) - 1) + 4
         P = _Poly(cap)
         outer = None
         hole_starts = []
         for i in grp:
-            r = opened[i]
-            xs = [p[0] for p in r]
-            ys = [p[1] for p in r]
-            gis = [p[2] for p in r]
-            a2 = areas[i]
+            xs, ys, gis, a2 = opened[i]
             if outer is None:
                 # outer traversed in positive orientation
                 outer = P.add_cycle(xs, ys, gis, reverse=a2 < 0)
@@ -519,10 +542,16 @@ def triangulate(features: DataFrame) -> DataFrame:
             stats: list[str] = []
             for i in range(n):
                 r0, r1 = o1[i], o1[i + 1]
-                rings = [list(zip(x[o2[j]:o2[j + 1]].tolist(),
-                                  y[o2[j]:o2[j + 1]].tolist()))
-                         for j in range(r0, r1)]
-                idx, st = earcut_rings(rings)
+                ropen = []
+                off = 0
+                for j in range(r0, r1):
+                    s, e = o2[j], o2[j + 1]
+                    if e - s >= 2 and x[s] == x[e - 1] \
+                            and y[s] == y[e - 1]:
+                        e -= 1  # strip the closing duplicate
+                    ropen.append((x[s:e], y[s:e], off))
+                    off += e - s
+                idx, st = _earcut_core(ropen)
                 tris.append(idx)
                 stats.append(st)
             lens = np.array([t.size for t in tris], np.int32)
