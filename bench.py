@@ -132,6 +132,9 @@ EXTENDED = [
     # and the round-trip law live in tests/)
     "route_sssp",
     "track_polylines",
+    # round-5 session-17: geodesic (cheap-ruler) radius join over
+    # real lon/lat — brute-force metric parity in tests/test_georuler.py
+    "dwithin_geo",
 ]
 
 # minhash_lsh / simhash_neardup left the 50-entry queries() window in
@@ -180,6 +183,24 @@ def _earcut_query(spark, sf_dir):
     return EC.triangulate(feats).groupBy("status").agg(
         F.count("*").alias("n_features"),
         F.sum("n_tris").alias("total_tris"))
+
+
+def _dwithin_geo_query(spark, sf_dir):
+    """Geodesic radius join over REAL lon/lat (cheap-ruler metric,
+    Mercator covering-grid cull, all JVM): the images and the radius
+    query sites converted through the world->lonlat inverse."""
+    from vtzero_spark.engine import georuler as GRL
+    from vtzero_spark.engine import mercator as MRC
+
+    img = synth.images(spark, sf_dir)
+    lon, lat = MRC.world_to_lonlat(F.col("wx"), F.col("wy"))
+    pts = img.select(F.col("iid").alias("point_id"),
+                     lon.alias("lon"), lat.alias("lat"))
+    qs = synth.radius_queries(spark, sf_dir)
+    qlon, qlat = MRC.world_to_lonlat(F.col("qx"), F.col("qy"))
+    qs = qs.select("qid", qlon.alias("lon"), qlat.alias("lat"))
+    return GRL.dwithin_lonlat(pts, qs, 1000.0) \
+        .select("qid", "point_id", "dist_m")
 
 
 def _route_query(spark, sf_dir):
@@ -419,6 +440,7 @@ BENCH_ONLY = {
     "earcut_mesh": _earcut_query,
     # round-5 session-17: network shortest paths + polyline export
     "route_sssp": _route_query,
+    "dwithin_geo": _dwithin_geo_query,
     "track_polylines": _polyline_query,
     # round-5 session-10: OGC WKB encode+decode over every footprint
     "wkb_roundtrip": _wkb_roundtrip_query,
