@@ -135,6 +135,9 @@ EXTENDED = [
     # round-5 session-17: geodesic (cheap-ruler) radius join over
     # real lon/lat — brute-force metric parity in tests/test_georuler.py
     "dwithin_geo",
+    # round-5 session-17: RTIN terrain meshes (martini re-derived,
+    # exact integer error bounds; laws in tests/test_terrain.py)
+    "terrain_mesh",
 ]
 
 # minhash_lsh / simhash_neardup left the 50-entry queries() window in
@@ -183,6 +186,30 @@ def _earcut_query(spark, sf_dir):
     return EC.triangulate(feats).groupBy("status").agg(
         F.count("*").alias("n_features"),
         F.sum("n_tris").alias("total_tris"))
+
+
+def _terrain_query(spark, sf_dir):
+    """Per-tile RTIN terrain meshes over a deterministic smooth
+    height field (256 tiles x 33x33 grid, threshold 32 doubled
+    units); exact deviation/coverage laws in tests/test_terrain.py."""
+    from vtzero_spark.engine import terrain as TRN
+
+    size, n_tiles = 33, 16
+    pix = spark.range(n_tiles * n_tiles * size * size).select(
+        (F.col("id") % size).cast("int").alias("px"),
+        (F.expr(f"id div {size}") % size).cast("int").alias("py"),
+        F.lit(4).alias("z"),
+        (F.expr(f"id div {size * size}") % n_tiles).alias("x"),
+        F.expr(f"id div {size * size * n_tiles}").alias("y"))
+    gx = F.col("x") * (size - 1) + F.col("px")
+    gy = F.col("y") * (size - 1) + F.col("py")
+    # ridged field with INTRA-tile structure: triangle waves (sharp
+    # crests force splits, planar flanks coarsen) over a wide parabola
+    ridge = (F.abs((gx % 32) - 16) + F.abs((gy % 32) - 16)) * 8
+    h = ((gx - 256) * (gx - 256) + (gy - 256) * (gy - 256)) / 64
+    pix = pix.withColumn("value", (F.floor(h) + ridge).cast("long"))
+    return TRN.terrain_meshes(pix, size, max_error=32) \
+        .select("z", "x", "y", "n_verts", "n_tris")
 
 
 def _dwithin_geo_query(spark, sf_dir):
@@ -441,6 +468,7 @@ BENCH_ONLY = {
     # round-5 session-17: network shortest paths + polyline export
     "route_sssp": _route_query,
     "dwithin_geo": _dwithin_geo_query,
+    "terrain_mesh": _terrain_query,
     "track_polylines": _polyline_query,
     # round-5 session-10: OGC WKB encode+decode over every footprint
     "wkb_roundtrip": _wkb_roundtrip_query,
