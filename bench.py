@@ -138,6 +138,10 @@ EXTENDED = [
     # round-5 session-17: RTIN terrain meshes (martini re-derived,
     # exact integer error bounds; laws in tests/test_terrain.py)
     "terrain_mesh",
+    # round-5 session-18: per-tile Delaunay TINs over image positions
+    # (delaunator re-derived on exact int predicates; Delaunay/cover/
+    # Euler laws in tests/test_delaunay.py)
+    "tin_mesh",
 ]
 
 # minhash_lsh / simhash_neardup left the 50-entry queries() window in
@@ -210,6 +214,31 @@ def _terrain_query(spark, sf_dir):
     pix = pix.withColumn("value", (F.floor(h) + ridge).cast("long"))
     return TRN.terrain_meshes(pix, size, max_error=32) \
         .select("z", "x", "y", "n_verts", "n_tris")
+
+
+def _tin_query(spark, sf_dir):
+    """Per-tile Delaunay TIN over every image position (16x16 world
+    tiles at ZOOM=4): exact-int delaunator kernel behind one hash
+    Exchange. Mesh indices out — no SQL oracle; the Delaunay / exact-
+    cover / Euler laws are pinned in tests/test_delaunay.py, and the
+    tri_area2 == hull_area2 law rides in the output itself."""
+    from vtzero_spark.engine import delaunay as DL
+    from vtzero_spark.engine.synth import WORLD
+
+    # full-entropy positions: the synth LCG pair cycles after 65,536
+    # iids (both coords linear mod WORLD), which would make the TIN
+    # 90%-duplicate sites at sf0.1 and measure the dedup, not the
+    # kernel; xxhash64 gives every image a distinct-whp position so
+    # each of the 256 tiles triangulates its real point load
+    img = synth.images(spark, sf_dir).select(
+        "iid",
+        (F.abs(F.xxhash64("iid")) % WORLD).alias("hx"),
+        (F.abs(F.xxhash64("iid", F.lit(1))) % WORLD).alias("hy"))
+    return DL.tin_tiles(
+        img, x_col="hx", y_col="hy",
+        partitions=spark.sparkContext.defaultParallelism).select(
+        "tx", "ty", "n_sites", "n_triangles", "n_hull",
+        (F.col("tri_area2") == F.col("hull_area2")).alias("law_ok"))
 
 
 def _dwithin_geo_query(spark, sf_dir):
@@ -469,6 +498,8 @@ BENCH_ONLY = {
     "route_sssp": _route_query,
     "dwithin_geo": _dwithin_geo_query,
     "terrain_mesh": _terrain_query,
+    # round-5 session-18: Delaunay TIN tiles (exact-int delaunator)
+    "tin_mesh": _tin_query,
     "track_polylines": _polyline_query,
     # round-5 session-10: OGC WKB encode+decode over every footprint
     "wkb_roundtrip": _wkb_roundtrip_query,
