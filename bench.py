@@ -142,6 +142,9 @@ EXTENDED = [
     # (delaunator re-derived on exact int predicates; Delaunay/cover/
     # Euler laws in tests/test_delaunay.py)
     "tin_mesh",
+    # round-5 session-18: exact Voronoi tessellation (TIN dual; the
+    # rational partition law rides the output as law_ok)
+    "voronoi_cells",
 ]
 
 # minhash_lsh / simhash_neardup left the 50-entry queries() window in
@@ -239,6 +242,27 @@ def _tin_query(spark, sf_dir):
         partitions=spark.sparkContext.defaultParallelism).select(
         "tx", "ty", "n_sites", "n_triangles", "n_hull",
         (F.col("tri_area2") == F.col("hull_area2")).alias("law_ok"))
+
+
+def _voronoi_query(spark, sf_dir):
+    """Exact Voronoi cells per tile over the same full-entropy image
+    positions as tin_mesh (nearest-image ownership regions): integer
+    half-plane clipping, per-tile rational partition law carried as
+    law_ok. One row per site — the aggregate forces every cell."""
+    from vtzero_spark.engine import voronoi as VOR
+    from vtzero_spark.engine.synth import WORLD
+
+    img = synth.images(spark, sf_dir).select(
+        "iid",
+        (F.abs(F.xxhash64("iid")) % WORLD).alias("hx"),
+        (F.abs(F.xxhash64("iid", F.lit(1))) % WORLD).alias("hy"))
+    cells = VOR.voronoi_tiles(
+        img, x_col="hx", y_col="hy",
+        partitions=spark.sparkContext.defaultParallelism)
+    return cells.groupBy("tx", "ty").agg(
+        F.count("*").alias("n_cells"),
+        F.sum("n_verts").alias("total_verts"),
+        F.min(F.col("law_ok").cast("int")).alias("law_ok"))
 
 
 def _dwithin_geo_query(spark, sf_dir):
@@ -499,7 +523,9 @@ BENCH_ONLY = {
     "dwithin_geo": _dwithin_geo_query,
     "terrain_mesh": _terrain_query,
     # round-5 session-18: Delaunay TIN tiles (exact-int delaunator)
+    # and their Voronoi dual (exact partition law)
     "tin_mesh": _tin_query,
+    "voronoi_cells": _voronoi_query,
     "track_polylines": _polyline_query,
     # round-5 session-10: OGC WKB encode+decode over every footprint
     "wkb_roundtrip": _wkb_roundtrip_query,
