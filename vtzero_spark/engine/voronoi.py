@@ -259,3 +259,65 @@ def voronoi_tiles(points: DataFrame, x_col: str = "wx",
         return pd.DataFrame(rows, columns=[f.name for f in _VOR_SCHEMA])
 
     return src.groupBy("tx", "ty").applyInPandas(_tile, _VOR_SCHEMA)
+
+
+def voronoi_mvt_tiles(points: DataFrame, zoom: int,
+                      extent: int = EXTENT, layer: str = "voronoi",
+                      x_col: str = "wx", y_col: str = "wy",
+                      id_col: str = "iid",
+                      partitions: int | None = None) -> DataFrame:
+    """The servable form: each Voronoi cell as an MVT polygon feature
+    through the SAME world-features ingest tail every other ingest
+    runs (geojson.world_features_to_tiles: bbox fan-out -> localize ->
+    clip -> vectorized encode), like hull_tiles / contour_tiles.
+
+    The exact rational cell vertices quantize to integer world
+    coordinates here (each vertex moves <= 0.5 unit — the inherent
+    MVT grid snap); consecutive duplicates collapse, an again-closed
+    endpoint drops, and rings whose ROUNDED shoelace is no longer
+    positive (sliver cells thinner than the grid) are filtered out
+    rather than encoded with flipped winding — all in JVM expressions,
+    so the only Python stage remains the Voronoi kernel itself. Cells
+    never cross their own tile boundary by construction, so the fan-
+    out assigns each feature exactly one tile address.
+    """
+    cells = voronoi_tiles(points, x_col=x_col, y_col=y_col,
+                          id_col=id_col, extent=extent,
+                          partitions=partitions)
+    half = (F.size("cell") / 2).cast("int")
+    ring = F.transform(
+        F.sequence(F.lit(1), half),
+        lambda i: F.array(
+            F.round(F.element_at("cell", 2 * i - 1)
+                    + F.col("tx").cast("long") * extent).cast("long"),
+            F.round(F.element_at("cell", 2 * i)
+                    + F.col("ty").cast("long") * extent).cast("long")))
+    c = cells.withColumn("_ring", ring)
+    dedup = F.filter(
+        "_ring",
+        lambda v, i: (i == 0) | ~(v == F.element_at("_ring", i)))
+    c = c.withColumn("_d", dedup)
+    c = c.withColumn(
+        "_d",
+        F.when((F.size("_d") > 1) &
+               (F.element_at("_d", -1) == F.element_at("_d", 1)),
+               F.slice("_d", 1, F.size("_d") - 1)).otherwise(F.col("_d")))
+    closed = F.concat("_d", F.slice("_d", 1, 1))
+    c = c.withColumn("_closed", closed).where(F.size("_d") >= 3)
+    area2 = F.aggregate(
+        F.sequence(F.lit(1), F.size("_d")),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.element_at("_closed", i).getItem(0)
+        * F.element_at("_closed", i + 1).getItem(1)
+        - F.element_at("_closed", i + 1).getItem(0)
+        * F.element_at("_closed", i).getItem(1))
+    p = c.withColumn("_a2", area2).where(F.col("_a2") > 0).select(
+        F.col("pid").alias("fid"),
+        F.lit("Polygon").alias("gj_type"),
+        F.array("_closed").alias("parts"))
+
+    from . import geojson as _geojson
+
+    return _geojson.world_features_to_tiles(p, zoom, extent,
+                                            layer=layer)
