@@ -145,6 +145,9 @@ EXTENDED = [
     # round-5 session-18: exact Voronoi tessellation (TIN dual; the
     # rational partition law rides the output as law_ok)
     "voronoi_cells",
+    # round-5 session-18: concave (chi-shape) footprints — hull_tiles'
+    # input served concavely via the Delaunay carve
+    "chi_tiles",
 ]
 
 # minhash_lsh / simhash_neardup left the 50-entry queries() window in
@@ -399,6 +402,24 @@ def _hull_tiles_query(spark, sf_dir):
     return hullmod.hull_tiles(pts, zoom=synth.ZOOM)
 
 
+def _chi_tiles_query(spark, sf_dir):
+    """Concave (chi-shape) footprints for the same per-user GPS
+    points hull_tiles serves convexly: exact Delaunay carve at
+    lambda=1024 world units, through the shared ingest tail. Laws in
+    tests/test_concave.py (ring shoelace == surviving triangles,
+    lambda=inf == convex hull)."""
+    from vtzero_spark.engine import concave as conc
+    from vtzero_spark.engine import trajectory as trajmod
+
+    pts = trajmod.event_points(synth.load(spark, sf_dir, "events"))
+    # partition pin: the group rows are three longs, so AQE coalesces
+    # the kernel stage to ONE task otherwise (measured 9.0 -> see
+    # BENCH.md session 18)
+    return conc.chi_tiles(pts, lam=1024, zoom=synth.ZOOM,
+                          partitions=spark.sparkContext
+                          .defaultParallelism)
+
+
 def _contour_tiles_query(spark, sf_dir):
     """Density isolines as servable tiles: heatmap pixel scatter ->
     marching-squares cells -> per-level segment extraction -> linemerge
@@ -526,6 +547,7 @@ BENCH_ONLY = {
     # and their Voronoi dual (exact partition law)
     "tin_mesh": _tin_query,
     "voronoi_cells": _voronoi_query,
+    "chi_tiles": _chi_tiles_query,
     "track_polylines": _polyline_query,
     # round-5 session-10: OGC WKB encode+decode over every footprint
     "wkb_roundtrip": _wkb_roundtrip_query,
