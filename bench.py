@@ -148,6 +148,9 @@ EXTENDED = [
     # round-5 session-18: concave (chi-shape) footprints — hull_tiles'
     # input served concavely via the Delaunay carve
     "chi_tiles",
+    # round-5 session-18: Sibson natural-neighbor field (exact
+    # stolen-area weights, per-query rational self-check)
+    "sibson_field",
 ]
 
 # minhash_lsh / simhash_neardup left the 50-entry queries() window in
@@ -402,6 +405,29 @@ def _hull_tiles_query(spark, sf_dir):
     return hullmod.hull_tiles(pts, zoom=synth.ZOOM)
 
 
+def _sibson_query(spark, sf_dir):
+    """Sibson natural-neighbor interpolation of a per-image score
+    onto a 16x16 lattice per tile (the same full-entropy positions as
+    tin_mesh/voronoi_cells): exact stolen-area weights with the
+    rational self-check riding as law_ok. Laws (incl. bit-exact
+    linear reproduction) in tests/test_sibson.py."""
+    from vtzero_spark.engine import sibson as sib
+    from vtzero_spark.engine.synth import WORLD
+
+    img = synth.images(spark, sf_dir).select(
+        "iid",
+        (F.abs(F.xxhash64("iid")) % WORLD).alias("hx"),
+        (F.abs(F.xxhash64("iid", F.lit(1))) % WORLD).alias("hy"),
+        (F.col("phash") % 1000).cast("double").alias("score"))
+    return sib.sibson_tiles(
+        img, "score", grid=16, x_col="hx", y_col="hy",
+        partitions=spark.sparkContext.defaultParallelism) \
+        .groupBy("tx", "ty").agg(
+            F.avg("value").alias("mean_value"),
+            F.sum("n_nbrs").alias("total_nbrs"),
+            F.min(F.col("law_ok").cast("int")).alias("law_ok"))
+
+
 def _chi_tiles_query(spark, sf_dir):
     """Concave (chi-shape) footprints for the same per-user GPS
     points hull_tiles serves convexly: exact Delaunay carve at
@@ -548,6 +574,7 @@ BENCH_ONLY = {
     "tin_mesh": _tin_query,
     "voronoi_cells": _voronoi_query,
     "chi_tiles": _chi_tiles_query,
+    "sibson_field": _sibson_query,
     "track_polylines": _polyline_query,
     # round-5 session-10: OGC WKB encode+decode over every footprint
     "wkb_roundtrip": _wkb_roundtrip_query,

@@ -117,22 +117,19 @@ def _area2(poly) -> Fraction:
 
 # ------------------------------------------------------------ the kernel
 
-def voronoi_cells(px: list, py: list, x0: int, y0: int,
-                  x1: int, y1: int):
-    """Exact Voronoi cells of DISTINCT int sites, clipped to the
-    rectangle [x0, x1] x [y0, y1].
-
-    Returns ``(cells, skipped)``: ``cells[i]`` is ``None`` for
-    skipped sites, else ``(verts, area2)`` with ``verts`` a CCW list
-    of exact rational (Fraction x, Fraction y) pairs and ``area2``
-    the exact doubled area. ``sum(area2) == 2*(x1-x0)*(y1-y0)`` holds
-    identically whenever ``skipped`` is empty (the partition law).
-    """
+def site_cells(px: list, py: list, x0: int, y0: int,
+               x1: int, y1: int):
+    """Homogeneous-coordinate form of the diagram: returns
+    ``(polys, nbrs, skipped)`` where ``polys[i]`` is site i's cell as
+    a CCW list of (X, Y, W) integer triples (None for skipped sites)
+    and ``nbrs[i]`` its Delaunay neighbor set. The reusable core of
+    ``voronoi_cells`` — Sibson interpolation clips these cells
+    further, so it wants them before the Fraction projection."""
     n = len(px)
     px = [int(v) for v in px]
     py = [int(v) for v in py]
     if n == 0:
-        return [], []
+        return [], [], []
 
     tris, hull, skipped = triangulate_points(px, py)
     nbrs: list[set] = [set() for _ in range(n)]
@@ -158,10 +155,10 @@ def voronoi_cells(px: list, py: list, x0: int, y0: int,
 
     skipset = set(skipped)
     rect = [(x0, y0, 1), (x1, y0, 1), (x1, y1, 1), (x0, y1, 1)]
-    cells = []
+    polys = []
     for s in range(n):
         if s in skipset:
-            cells.append(None)
+            polys.append(None)
             continue
         poly = rect
         sx, sy = px[s], py[s]
@@ -173,6 +170,27 @@ def voronoi_cells(px: list, py: list, x0: int, y0: int,
             poly = _clip_halfplane(poly, a, b, c)
             if not poly:
                 break
+        polys.append(poly)
+    return polys, nbrs, skipped
+
+
+def voronoi_cells(px: list, py: list, x0: int, y0: int,
+                  x1: int, y1: int):
+    """Exact Voronoi cells of DISTINCT int sites, clipped to the
+    rectangle [x0, x1] x [y0, y1].
+
+    Returns ``(cells, skipped)``: ``cells[i]`` is ``None`` for
+    skipped sites, else ``(verts, area2)`` with ``verts`` a CCW list
+    of exact rational (Fraction x, Fraction y) pairs and ``area2``
+    the exact doubled area. ``sum(area2) == 2*(x1-x0)*(y1-y0)`` holds
+    identically whenever ``skipped`` is empty (the partition law).
+    """
+    polys, _, skipped = site_cells(px, py, x0, y0, x1, y1)
+    cells = []
+    for poly in polys:
+        if poly is None:
+            cells.append(None)
+            continue
         verts = [(Fraction(X, W), Fraction(Y, W)) for (X, Y, W) in poly]
         cells.append((verts, _area2(poly)))
     return cells, skipped
