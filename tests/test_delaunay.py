@@ -121,6 +121,41 @@ def test_delaunay_big_coordinates_exact():
     assert len(tris) >= 3
 
 
+def test_delaunay_adversarial_degeneracy():
+    """The classic killers, exact laws verbatim: a perfect integer
+    grid (cocircular quadruples everywhere), a full circle (every
+    quadruple cocircular), and a parabola (each insertion sees the
+    whole hull). Euler counts are closed-form for all three."""
+    import math
+
+    # 16x16 grid
+    px = [64 * (k % 16) for k in range(256)]
+    py = [64 * (k // 16) for k in range(256)]
+    tris, hull, sk = triangulate_points(px, py)
+    assert not sk and len(hull) == 60
+    assert len(tris) // 3 == 2 * 256 - 2 - 60
+    _check_laws(px, py, tris, hull, sk)
+
+    # circle
+    pts = sorted({(round(10 ** 7 * (1 + math.cos(2 * math.pi * k / 200))),
+                   round(10 ** 7 * (1 + math.sin(2 * math.pi * k / 200))))
+                  for k in range(200)})
+    px = [p[0] for p in pts]
+    py = [p[1] for p in pts]
+    tris, hull, sk = triangulate_points(px, py)
+    assert not sk and len(hull) == len(px)
+    assert len(tris) // 3 == 2 * len(px) - 2 - len(hull)
+    _check_laws(px, py, tris, hull, sk)
+
+    # parabola
+    px = list(range(300))
+    py = [k * k for k in range(300)]
+    tris, hull, sk = triangulate_points(px, py)
+    assert not sk and len(hull) == 300
+    assert len(tris) // 3 == 298
+    _check_laws(px, py, tris, hull, sk)
+
+
 def test_delaunay_collinear_chain():
     tris, hull, skipped = triangulate_points(
         [0, 10, 20, 30, 40], [0, 5, 10, 15, 20])
