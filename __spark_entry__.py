@@ -33,6 +33,7 @@ from vtzero_spark.engine import hilbert as _hilbert
 from vtzero_spark.engine import hexcells as _hexcells
 from vtzero_spark.engine import overlay as _overlay
 from vtzero_spark.engine import raster as _raster
+from vtzero_spark.engine import supercluster as _supercluster
 from vtzero_spark.engine.synth import EXTENT, WORLD, ZOOM, ZOOM_R
 
 BUFFER = 64  # tile-edge buffer (vtzero fixtures 053-056 semantics)
@@ -668,6 +669,7 @@ def q_dwithin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DBSCAN_EPS = 120      # neighborhood radius (world units)
 DBSCAN_MIN_PTS = 5    # incl. self (sklearn min_samples convention)
+SC_RADIUS = 96        # supercluster greedy-absorb radius (world units)
 
 
 def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -680,6 +682,24 @@ def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitive-closure oracle."""
     pts = synth.cluster_points(spark, sf_dir)
     return _dbscan.dbscan(pts, eps=DBSCAN_EPS, min_pts=DBSCAN_MIN_PTS)
+
+
+def q_supercluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supercluster greedy map clustering over the clustered customer
+    points (engine/supercluster.py): the published mapbox/supercluster
+    sequential sweep in its lex-first-MIS closed form — seeds are the
+    lexicographically-first maximal independent set of the radius
+    graph, every point joins its min-id seed neighbor — resolved as a
+    distributed WAVEFRONT over the cell-bucketed radius self-join
+    (dense blobs decide in two rounds; the pair set shrinks and is
+    localCheckpoint'ed every round). Output is the exact cluster
+    rollup (integer member sums + grid-quantized centroid),
+    hash-matched against a DuckDB recursive-CTE oracle that iterates
+    the SAME wavefront rule with the decided set riding each recursion
+    row as a LIST<STRUCT>."""
+    pts = synth.cluster_points(spark, sf_dir)
+    labels = _supercluster.greedy_cluster(pts, SC_RADIUS)
+    return _supercluster.cluster_rollup(pts, labels)
 
 
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1466,7 +1486,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     text), and dwithin keeps a direct DuckDB-parity pin in
     tests/test_dwithin_zonal.py::test_dwithin_oracle_pin plus its
     brute-force/broadcast-plan pytest gates and its HEADLINE timing
-    via BENCH_ONLY."""
+    via BENCH_ONLY. Round-5 session 19 swapped token_stats for
+    supercluster — hierarchical greedy map clustering
+    (engine/supercluster.py), hash-matched against a DuckDB
+    recursive-CTE wavefront oracle. token_stats is the FOURTH sibling
+    of the quality/lang_id/fingerprint retirements: its whitespace
+    token count and length expressions run verbatim inside curation's
+    oracle (the quality CTE), so the core law stays driver-gated via
+    the still-present curation slot; the standalone query keeps a
+    direct DuckDB-parity pin in
+    tests/test_supercluster.py::test_token_stats_oracle_pin and its
+    HEADLINE timing via BENCH_ONLY."""
     return {
         "tile_assign": q_tile_assign,
         "tilestats": q_tilestats,
@@ -1501,7 +1531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_md5": q_neardup_md5,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "geojson_roundtrip": q_geojson_roundtrip,
-        "token_stats": q_token_stats,
+        "supercluster": q_supercluster,
         "thin_cluster": q_thin_cluster,
         "hilbert_index": q_hilbert_index,
         "curation": q_curation,
@@ -1849,7 +1879,10 @@ SELECT CAST(z AS BIGINT) AS z, x, y, layer_name,
          + CASE WHEN d.i IN (2, 3) THEN h ELSE 0 END AS cy
 FROM t CROSS JOIN (VALUES (0),(1),(2),(3),(4)) AS d(i)
 """,
-        "token_stats": textops.TOKEN_STATS_SQL,
+        "supercluster": f"""
+WITH RECURSIVE {synth.cluster_points_sql('cpoints')},
+{_supercluster.supercluster_sql('cpoints', SC_RADIUS)}
+""",
         "thin_cluster": f"""
 WITH {images},
 src AS (SELECT iid, wx, wy, iid % 97 + 1 AS weight FROM images)

@@ -509,6 +509,12 @@ BENCH_ONLY = {
     # whose oracle embeds the same cross-join text); dwithin keeps a
     # direct DuckDB pin in test_dwithin_zonal.py and its timing here
     "dwithin": entrymod.q_dwithin,
+    # round-5 session-19: token_stats' window slot carries the new
+    # oracle-bearing supercluster (token_stats is the fourth sibling
+    # of the quality/lang_id/fingerprint retirements — its token
+    # expressions run inside curation's oracle); DuckDB pin in
+    # test_supercluster.py, timing history continues here
+    "token_stats": entrymod.q_token_stats,
     # round-5 session-4: fused rewrite's window slot carries the new
     # overlay join (its oracle SQL was literally identical to
     # streets_filter's); byte parity + zero-shuffle plan stay pinned
