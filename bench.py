@@ -151,6 +151,16 @@ EXTENDED = [
     # round-5 session-18: Sibson natural-neighbor field (exact
     # stolen-area weights, per-query rational self-check)
     "sibson_field",
+    # round-5 session-19: supercluster greedy map clustering is in
+    # the window (ORACLE-bearing, DuckDB wavefront CTE); token_stats
+    # left the window for it (token expressions stay driver-gated
+    # via curation; DuckDB pin in tests/test_supercluster.py) and
+    # keeps its timing history here
+    "supercluster",
+    "token_stats",
+    # round-5 session-19: wavefront family at image scale (BENCH_ONLY)
+    "label_placement",
+    "cluster_tiles",
 ]
 
 # minhash_lsh / simhash_neardup left the 50-entry queries() window in
@@ -248,6 +258,46 @@ def _tin_query(spark, sf_dir):
         partitions=spark.sparkContext.defaultParallelism).select(
         "tx", "ty", "n_sites", "n_triangles", "n_hull",
         (F.col("tri_area2") == F.col("hull_area2")).alias("law_ok"))
+
+
+def _label_placement_query(spark, sf_dir):
+    """Collision-free label placement over every image marker: the
+    mapbox-gl collision pass (priority-greedy box placement) as the
+    shared lex-first-MIS wavefront over the cell-bucketed box-overlap
+    self-join. Same full-entropy position discipline as tin_mesh;
+    box extents hash-derived (w 16..255, h 12..71), so collisions are
+    mixed-size and the cell side tracks the true max extent. Exact
+    sequential-sweep parity + the DuckDB wavefront oracle are pinned
+    in tests/test_placement.py."""
+    from vtzero_spark.engine import placement as PL
+    from vtzero_spark.engine.synth import WORLD
+
+    img = synth.images(spark, sf_dir).select(
+        F.col("iid").alias("pid"),
+        (F.abs(F.xxhash64("iid")) % WORLD).alias("px"),
+        (F.abs(F.xxhash64("iid", F.lit(1))) % WORLD).alias("py"),
+        (16 + F.abs(F.xxhash64("iid", F.lit(2))) % 240).alias("w"),
+        (12 + F.abs(F.xxhash64("iid", F.lit(3))) % 60).alias("h"))
+    return PL.place_labels(img)
+
+
+def _cluster_tiles_query(spark, sf_dir):
+    """The supercluster zoom pyramid over every image position,
+    served as MVT point tiles (point_count per feature) — the
+    marker-layer artifact a slippy map requests at z<4. Same
+    full-entropy positions as tin_mesh; pyramid laws (mass/moment
+    conservation, nesting) pinned in tests/test_supercluster.py."""
+    from vtzero_spark.engine import supercluster as SC
+    from vtzero_spark.engine.synth import WORLD
+
+    img = synth.images(spark, sf_dir).select(
+        F.col("iid").alias("pid"),
+        (F.abs(F.xxhash64("iid")) % WORLD).alias("px"),
+        (F.abs(F.xxhash64("iid", F.lit(1))) % WORLD).alias("py"))
+    lv = SC.supercluster_levels(img, radius=128, min_zoom=2, max_zoom=4)
+    tiles = SC.cluster_tiles(lv)
+    return tiles.select("z", "x", "y", "num_layers",
+                        F.octet_length("tile_bytes").alias("tile_size"))
 
 
 def _voronoi_query(spark, sf_dir):
@@ -579,6 +629,12 @@ BENCH_ONLY = {
     # and their Voronoi dual (exact partition law)
     "tin_mesh": _tin_query,
     "voronoi_cells": _voronoi_query,
+    # round-5 session-19: collision-free label placement + the
+    # supercluster pyramid served as cluster tiles (both wavefront-
+    # backed; parity/oracle pins in tests/test_placement.py and
+    # tests/test_supercluster.py)
+    "label_placement": _label_placement_query,
+    "cluster_tiles": _cluster_tiles_query,
     "chi_tiles": _chi_tiles_query,
     "sibson_field": _sibson_query,
     "track_polylines": _polyline_query,

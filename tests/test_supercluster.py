@@ -69,12 +69,15 @@ def test_greedy_matches_serial_reference(spark):
     df = spark.createDataFrame(pts, "pid long, px long, py long")
     for radius in (90, 300):
         ref = serial_greedy(pts, radius)
-        lab = _lab(sc.greedy_cluster(df, radius))
-        assert len(lab) == len(pts)
-        assert {p: a for p, (_, a) in lab.items()} == ref
-        # seed flag is consistent with the assignment
-        for p, (s, a) in lab.items():
-            assert s == (a == p)
+        # BOTH tiers: the pure distributed wavefront (serial_cap=0)
+        # and the bounded-collect finish must equal the sweep exactly
+        for cap in (0, 500_000):
+            lab = _lab(sc.greedy_cluster(df, radius, serial_cap=cap))
+            assert len(lab) == len(pts)
+            assert {p: a for p, (_, a) in lab.items()} == ref
+            # seed flag is consistent with the assignment
+            for p, (s, a) in lab.items():
+                assert s == (a == p)
 
 
 def test_boundary_tie_is_inclusive(spark):
@@ -92,7 +95,7 @@ def test_colocated_blob_single_cluster(spark):
     # and the wavefront needs only two rounds (max_rounds=2 passes)
     df = spark.createDataFrame([(i, 7, 9) for i in range(1, 65)],
                                "pid long, px long, py long")
-    lab = _lab(sc.greedy_cluster(df, 10, max_rounds=2))
+    lab = _lab(sc.greedy_cluster(df, 10, max_rounds=2, serial_cap=0))
     assert all(a == 1 for _, a in lab.values())
     assert sum(s for s, _ in lab.values()) == 1
 
@@ -105,12 +108,14 @@ def test_descending_chain_is_the_worst_case(spark):
     pts = [(k, (n - k) * 60, 0) for k in range(1, n + 1)]
     df = spark.createDataFrame(pts, "pid long, px long, py long")
     ref = serial_greedy(pts, 60)
-    lab = _lab(sc.greedy_cluster(df, 60, max_rounds=n + 1))
+    lab = _lab(sc.greedy_cluster(df, 60, max_rounds=n + 1, serial_cap=0))
     assert {p: a for p, (_, a) in lab.items()} == ref
     # alternating seeds up the chain: 1 seeds, absorbs 2; 3 seeds, ...
     assert [a for _, (_, a) in sorted(lab.items())][:4] == [1, 1, 3, 3]
     with pytest.raises(RuntimeError, match="did not converge"):
-        sc.greedy_cluster(df, 60, max_rounds=3)
+        sc.greedy_cluster(df, 60, max_rounds=3, serial_cap=0)
+    # the bounded-collect tier finishes the same chain in ONE pass
+    assert _lab(sc.greedy_cluster(df, 60, max_rounds=1)) == lab
 
 
 def test_pyramid_conservation_nesting_monotone(spark):

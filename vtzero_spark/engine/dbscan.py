@@ -78,13 +78,21 @@ def _shift_for(eps: int) -> int:
 
 def neighbor_pairs(points: DataFrame, eps: int,
                    point_id: str = "pid", x_col: str = "px",
-                   y_col: str = "py") -> DataFrame:
+                   y_col: str = "py",
+                   join_hint: str | None = None) -> DataFrame:
     """All ordered pairs (u, v) with d2(u, v) <= eps^2 — INCLUDING the
     self pair (u, u, 0), so a groupBy-count on u is the DBSCAN
     neighborhood size with the min_pts-includes-self convention.
     Columns (u, v, d2, cx, cy) — (cx, cy) is v's HOME cell, the key
     the local-contraction stage groups on (every pair lands in exactly
-    one group; the reverse pair lands in u's home cell)."""
+    one group; the reverse pair lands in u's home cell).
+
+    ``join_hint`` pins the join strategy (e.g. "shuffle_hash") for
+    callers whose inputs are stats-less checkpointed frames — left
+    alone, Catalyst's size estimate can pick a BROADCAST of the x9
+    probe side (a driver-built multi-million-row hashed relation;
+    measured 9 s at sf0.1 and an OOM at scale).  dbscan's own parquet-
+    derived inputs estimate correctly, so the default stays None."""
     if eps <= 0:
         raise ValueError(f"eps must be positive, got {eps}")
     s = _shift_for(eps)
@@ -108,6 +116,8 @@ def neighbor_pairs(points: DataFrame, eps: int,
                F.col("py").alias("uy")))
     dx = F.col("ux") - F.col("vx")
     dy = F.col("uy") - F.col("vy")
+    if join_hint is not None:
+        probe = probe.hint(join_hint)
     return (
         probe.join(home, ["cx", "cy"])
         .withColumn("d2", dx * dx + dy * dy)

@@ -1,0 +1,153 @@
+"""Greedy label / symbol placement — collision-free marker selection.
+
+Semantics (the mapbox-gl collision pass, made deterministic): symbols
+are visited in PRIORITY order (ascending id — the caller encodes
+priority into the id, exactly like supercluster encodes visit order);
+a symbol is PLACED unless its collision box overlaps an
+already-placed symbol's box.  That is the lexicographically-first
+maximal independent set of the box-overlap graph — the same closed
+form as supercluster, over a different conflict relation:
+
+- ``placed(p)``  <=>  no placed q < p whose box overlaps p's box
+- ``blocker(p)``  =   the min-id placed overlapper (p itself when
+                      placed) — the diagnostic a map debugger wants.
+
+Overlap is CLOSED-interval (edge contact collides — one-unit label
+padding folds into the box half-extents), all int64, no floats.
+
+Scale shape (the 100 TB story): the conflict join is cell-bucketed
+exactly like the radius joins — each box lands in the home cell of
+its CENTER with cell side 2^s >= the corpus' max box EXTENT (width or
+height), so any two overlapping boxes sit within one cell of each
+other in both axes and the 3x3 probe is complete; the refine is four
+int64 comparisons in codegen.  The max extent is one map-side-combined
+scalar aggregate (a single driver value, the knn-density discipline —
+not a data collect).  The greedy order then resolves through the SAME
+shared wavefront as supercluster (``supercluster.wavefront_mis``):
+one join + one min-agg per round, pair set anti-joined down and
+localCheckpoint'ed each round, dense stacks decide in two rounds,
+progress guaranteed.  A z-ordered label corpus clusters heavily —
+the common round count is the supercluster one, O(log n) for
+hash-spread priorities.
+
+Reference analog: none — vtzero is the tile codec underneath
+(SURVEY §2 scope); placement is the render-side companion the tile
+consumer (mapbox-gl's CollisionIndex, a public algorithm) runs over
+exactly the point layers this engine serves, and running it
+ENGINE-SIDE is what a 10^12-marker corpus needs: ship only the
+symbols that will actually draw.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .supercluster import wavefront_mis
+
+
+def collision_pairs(labels: DataFrame, point_id: str = "pid",
+                    x_col: str = "px", y_col: str = "py",
+                    w_col: str = "w", h_col: str = "h") -> DataFrame:
+    """Ordered conflict pairs (p, q), q < p, whose collision boxes
+    (center +- half extents; w/h are FULL widths in world units)
+    overlap closed-interval.  Cell-bucketed: home cell of the box
+    center, side 2^s >= max(w, h) over the corpus, 3x3 probe —
+    complete, because two overlapping boxes' centers differ by at
+    most (w1+w2)/2 <= max extent <= cell side per axis."""
+    # materialize the 5-long-column projection ONCE: the box frame is
+    # read three times below (extent census, home side, probe side) —
+    # without this, an expensive upstream (decode, synth) re-runs per
+    # read; with it, each read is a narrow columnar scan
+    lab = labels.select(
+        F.col(point_id).cast("long").alias("pid"),
+        F.col(x_col).cast("long").alias("px"),
+        F.col(y_col).cast("long").alias("py"),
+        F.col(w_col).cast("long").alias("w"),
+        F.col(h_col).cast("long").alias("h")).localCheckpoint(eager=True)
+    bounds = lab.agg(
+        F.max(F.greatest("w", "h")).alias("ext"),
+        F.min(F.least("w", "h")).alias("mn")).collect()[0]
+    if bounds.ext is None:
+        return lab.sparkSession.createDataFrame([], "p long, q long")
+    if bounds.mn <= 0:
+        raise ValueError("label boxes need positive w and h")
+    ext = bounds.ext
+    s = 0
+    while (1 << s) < ext:
+        s += 1
+    home = lab.select(
+        F.col("pid").alias("q"), F.col("px").alias("qx"),
+        F.col("py").alias("qy"), F.col("w").alias("qw"),
+        F.col("h").alias("qh"),
+        F.shiftright("px", s).alias("cx"),
+        F.shiftright("py", s).alias("cy"))
+    off = F.array(*[F.lit(d) for d in (-1, 0, 1)])
+    probe = (lab.withColumn("_dx", F.explode(off))
+             .withColumn("_dy", F.explode(off))
+             .select(
+                 (F.shiftright("px", s) + F.col("_dx")).alias("cx"),
+                 (F.shiftright("py", s) + F.col("_dy")).alias("cy"),
+                 F.col("pid").alias("p"), F.col("px").alias("x"),
+                 F.col("py").alias("y"), F.col("w").alias("pw"),
+                 F.col("h").alias("ph")))
+    # closed-interval overlap on doubled coordinates (2*center +- w
+    # stays integral for odd extents)
+    ox = (F.abs(2 * F.col("x") - 2 * F.col("qx"))
+          <= F.col("pw") + F.col("qw"))
+    oy = (F.abs(2 * F.col("y") - 2 * F.col("qy"))
+          <= F.col("ph") + F.col("qh"))
+    # SHUFFLE_HASH: the probe side is exploded x9 and the home side is
+    # the full corpus — a self-join with no small side.  Left alone,
+    # Catalyst broadcasts whichever side the (stats-less, checkpointed)
+    # estimate undercounts — measured building a 4.1M-row hashed
+    # relation on the driver, 9 s of the 11 s pair build and an OOM at
+    # scale.  The hint pins the dbscan discipline: both sides
+    # hash-partition on the cell key.
+    return (probe.hint("shuffle_hash").join(home, ["cx", "cy"])
+            .where((F.col("q") < F.col("p")) & ox & oy)
+            .select("p", "q"))
+
+
+def place_labels(labels: DataFrame, point_id: str = "pid",
+                 x_col: str = "px", y_col: str = "py",
+                 w_col: str = "w", h_col: str = "h",
+                 max_rounds: int = 64,
+                 serial_cap: int = 500_000) -> DataFrame:
+    """Collision-free placement: one row per label with columns
+    (pid, placed boolean, blocker long) — exact priority-greedy
+    semantics (see the module docstring), resolved through the shared
+    supercluster wavefront."""
+    pts = labels.select(F.col(point_id).cast("long").alias("pid"))
+    pairs = collision_pairs(labels, point_id, x_col, y_col,
+                            w_col, h_col).localCheckpoint(eager=True)
+    out = wavefront_mis(pts, pairs, max_rounds=max_rounds,
+                        serial_cap=serial_cap)
+    return out.select("pid", F.col("seed").alias("placed"),
+                      F.col("assign").alias("blocker"))
+
+
+def collision_pairs_sql(labels_cte: str) -> str:
+    """DuckDB twin of ``collision_pairs``: brute-force cross join (the
+    cell grid is a pure candidate cull, row-identical), the identical
+    doubled-coordinate closed-interval overlap.  ``labels_cte``
+    exposes (pid, px, py, w, h).  Yields pl_pr(p, q)."""
+    t = labels_cte
+    return f"""
+pl_pr AS (
+  SELECT a.pid AS p, b.pid AS q FROM {t} a, {t} b
+  WHERE b.pid < a.pid
+    AND abs(2 * a.px - 2 * b.px) <= a.w + b.w
+    AND abs(2 * a.py - 2 * b.py) <= a.h + b.h
+)"""
+
+
+def place_labels_sql(labels_cte: str) -> str:
+    """DuckDB oracle for the full placement: collision pairs + the
+    shared recursive-CTE wavefront.  Caller prepends
+    ``WITH RECURSIVE <labels cte>,``.  Final SELECT yields
+    (pid, placed, blocker)."""
+    from .supercluster import wavefront_sql
+
+    t = labels_cte
+    return f"""{collision_pairs_sql(t)},{wavefront_sql(t, 'pl_pr')}
+SELECT pid, seed AS placed, assign AS blocker FROM sc_labels"""

@@ -46,7 +46,13 @@ Scale shape (the 100 TB story):
    discipline as ``knn`` ring expansion and ``dbscan``'s merge.
    Progress is guaranteed (the globally-minimum undecided point is
    always decidable), so ``max_rounds`` only bounds adversarial
-   id-orderings, loudly.
+   id-orderings, loudly.  Once the FRONTIER fits under ``serial_cap``
+   (both the undecided set and the surviving pairs), the residual
+   subproblem collects once and the sequential sweep finishes it on
+   the driver — the dbscan-merge bounded-collect discipline; the
+   dependency-chain tail is latency-bound distributed and trivial
+   serially, and both tiers compute the identical closed form
+   (pytest-pinned with serial_cap=0).
 3. The pyramid (``supercluster_levels``) re-clusters each level's
    cluster points with a doubling radius — level z's input is level
    z+1's OUTPUT (cluster-count-sized, not point-sized), so the total
@@ -56,8 +62,10 @@ Scale shape (the 100 TB story):
    pure column math and the encode is the shared Arrow point-tile
    encoder (one shuffle, no Python strings).
 
-Nothing is collected to the driver at any size; no stage is quadratic
-in anything but true neighbor density.  Reference analog: none —
+The only driver materialization is the capped residual frontier
+(the same bounded-collect contract as ``dbscan``'s merge and
+``joins.pip_join``'s hot census); no stage is quadratic in anything
+but true neighbor density.  Reference analog: none —
 vtzero is the tile codec this engine serves through (SURVEY §2 scope);
 supercluster is the canonical map-side companion (mapbox/supercluster,
 public algorithm) a tile server runs to render point layers at low
@@ -73,41 +81,71 @@ from .dbscan import neighbor_pairs
 from .synth import EXTENT, WORLD
 
 
-def greedy_cluster(points: DataFrame, radius: int,
-                   point_id: str = "pid", x_col: str = "px",
-                   y_col: str = "py", max_rounds: int = 64) -> DataFrame:
-    """One level of greedy clustering: one row per input point with
-    columns (pid, seed boolean, assign long) — ``assign`` is the
-    min-id seed whose cluster absorbed the point (itself for seeds).
-    Exact lex-first-MIS semantics; see the module docstring."""
-    if radius <= 0:
-        raise ValueError(f"radius must be positive, got {radius}")
-    spark = points.sparkSession
-    pts = points.select(F.col(point_id).cast("long").alias("pid"))
+def wavefront_mis(pts: DataFrame, pairs: DataFrame,
+                  max_rounds: int = 64,
+                  serial_cap: int = 500_000) -> DataFrame:
+    """The shared lex-first-MIS wavefront: given points (pid) and
+    ordered CONFLICT pairs (p, q) with q < p — any symmetric conflict
+    relation: radius balls (supercluster), collision boxes (label
+    placement) — returns (pid, seed, assign) where the seed set is
+    the lexicographically-first maximal independent set and every
+    non-seed's ``assign`` is its min-id conflicting seed.  ``pairs``
+    must already be localCheckpoint'ed (the loop re-reads and shrinks
+    it every round).  See the module docstring for the round rule and
+    the progress guarantee.
 
-    # ordered candidate pairs (p, q) with q < p and d2 <= radius^2;
-    # the reverse and self pairs from the cell join are dropped here
-    pairs = (neighbor_pairs(points, radius, point_id, x_col, y_col)
-             .where(F.col("v") < F.col("u"))
-             .select(F.col("u").alias("p"), F.col("v").alias("q"))
-             .localCheckpoint(eager=True))
-
-    decided = spark.createDataFrame([], "pid long, seed boolean, assign long")
-    und = pts.localCheckpoint(eager=True)
+    TWO TIERS, the dbscan-merge / pip-hot-census bounded-collect
+    discipline: distributed rounds while the frontier is large; once
+    BOTH the undecided set and the surviving pair set fit under
+    ``serial_cap`` rows, the residual subproblem (which the pruning
+    invariant keeps self-contained: every surviving pair's target is
+    undecided or a decided seed) collects once and finishes with the
+    sequential sweep on the driver — the dependency-chain TAIL is
+    latency-bound distributed and trivial serially.  serial_cap=0
+    forces the pure distributed loop (tier equality is pytest-pinned;
+    both tiers compute the identical closed form)."""
+    spark = pts.sparkSession
+    decided_parts: list[DataFrame] = []
+    seed_parts: list[DataFrame] = []
+    und = pts.select("pid").localCheckpoint(eager=True)
     n_und = und.count()
-    seeds = spark.createDataFrame([], "q long, q_seed boolean")
+    n_pairs = pairs.count()
+    schema = "pid long, seed boolean, assign long"
 
     rounds = 0
     while n_und > 0:
+        if n_und <= serial_cap and n_pairs <= serial_cap:
+            # bounded-collect tier: the residual subproblem is
+            # exactly (und, pairs, seed-status of pair targets) —
+            # each bounded by serial_cap by the check above
+            conf: dict[int, list[int]] = {}
+            for r in pairs.collect():
+                conf.setdefault(r.p, []).append(r.q)
+            seeded: set[int] = set()
+            if seed_parts and n_pairs:
+                qs = pairs.select("q").distinct()
+                sdf = qs.join(_seed_union(spark, seed_parts), "q")
+                seeded = {r.q for r in sdf.collect()}
+            rows = []
+            for p in sorted(r.pid for r in und.collect()):
+                blocker = min((q for q in conf.get(p, ())
+                               if q in seeded), default=None)
+                if blocker is None:
+                    seeded.add(p)
+                    rows.append((p, True, p))
+                else:
+                    rows.append((p, False, blocker))
+            decided_parts.append(spark.createDataFrame(rows, schema))
+            break
         rounds += 1
         if rounds > max_rounds:
             raise RuntimeError(
-                f"greedy_cluster did not converge in {max_rounds} rounds "
+                f"wavefront did not converge in {max_rounds} rounds "
                 f"({n_und} points undecided): the input's id order forms "
                 "a dependency chain longer than max_rounds — raise it")
         st = (und.select(F.col("pid").alias("p"))
               .join(pairs, "p", "left")
-              .join(seeds, "q", "left"))
+              .join(_seed_union(spark, seed_parts), "q", "left"))
         agg = st.groupBy("p").agg(
             F.min(F.when(F.col("q").isNotNull() & F.col("q_seed").isNull(),
                          F.col("q"))).alias("min_undec"),
@@ -123,25 +161,72 @@ def greedy_cluster(points: DataFrame, radius: int,
             F.coalesce("min_seed", "p").alias("assign"),
         ).localCheckpoint(eager=True)
 
-        decided = decided.unionByName(new).localCheckpoint(eager=True)
+        decided_parts.append(new)
+        n_und -= new.count()
         und = und.join(new, "pid", "left_anti").localCheckpoint(eager=True)
-        n_und = und.count()
         # shrink the pair set: decided probes are done; decided
         # NON-seed targets can never matter again (they are neither a
         # seed candidate nor undecided) — decided-seed targets stay,
-        # they feed min_seed for later waves
+        # they feed min_seed for later waves.  This pruning is also
+        # the serial tier's self-containment invariant.
         newly_nonseed = new.where(~F.col("seed")) \
             .select(F.col("pid").alias("q"))
         pairs = (pairs
                  .join(new.select(F.col("pid").alias("p")), "p", "left_anti")
                  .join(newly_nonseed, "q", "left_anti")
                  .localCheckpoint(eager=True))
-        seeds = seeds.unionByName(
+        n_pairs = pairs.count()
+        seed_parts.append(
             new.where(F.col("seed"))
-            .select(F.col("pid").alias("q"), F.lit(True).alias("q_seed"))
-        ).localCheckpoint(eager=True)
+            .select(F.col("pid").alias("q"), F.lit(True).alias("q_seed")))
 
-    return decided
+    if not decided_parts:
+        return spark.createDataFrame([], schema)
+    out = decided_parts[0]
+    for part in decided_parts[1:]:
+        out = out.unionByName(part)
+    return out
+
+
+def _seed_union(spark, seed_parts: list[DataFrame]) -> DataFrame:
+    """Union of the per-round seed sets — each part derives from a
+    localCheckpoint'ed round result, so the plan stays one shallow
+    union of materialized leaves."""
+    if not seed_parts:
+        return spark.createDataFrame([], "q long, q_seed boolean")
+    out = seed_parts[0]
+    for part in seed_parts[1:]:
+        out = out.unionByName(part)
+    return out
+
+
+def greedy_cluster(points: DataFrame, radius: int,
+                   point_id: str = "pid", x_col: str = "px",
+                   y_col: str = "py", max_rounds: int = 64,
+                   serial_cap: int = 500_000) -> DataFrame:
+    """One level of greedy clustering: one row per input point with
+    columns (pid, seed boolean, assign long) — ``assign`` is the
+    min-id seed whose cluster absorbed the point (itself for seeds).
+    Exact lex-first-MIS semantics over the radius conflict graph; see
+    the module docstring."""
+    if radius <= 0:
+        raise ValueError(f"radius must be positive, got {radius}")
+    # materialize the 3-long-column projection ONCE: the point frame
+    # is read three times (cell-join home side, probe side, the
+    # wavefront's id spine) — without this an expensive upstream
+    # re-runs per read
+    pts3 = points.select(
+        F.col(point_id).cast("long").alias("pid"),
+        F.col(x_col).cast("long").alias("px"),
+        F.col(y_col).cast("long").alias("py")).localCheckpoint(eager=True)
+    # ordered conflict pairs (p, q) with q < p and d2 <= radius^2;
+    # the reverse and self pairs from the cell join are dropped here
+    pairs = (neighbor_pairs(pts3, radius, join_hint="shuffle_hash")
+             .where(F.col("v") < F.col("u"))
+             .select(F.col("u").alias("p"), F.col("v").alias("q"))
+             .localCheckpoint(eager=True))
+    return wavefront_mis(pts3.select("pid"), pairs, max_rounds=max_rounds,
+                         serial_cap=serial_cap)
 
 
 def cluster_rollup(points: DataFrame, labels: DataFrame,
@@ -170,7 +255,8 @@ def supercluster_levels(points: DataFrame, radius: int,
                         min_zoom: int, max_zoom: int,
                         point_id: str = "pid", x_col: str = "px",
                         y_col: str = "py",
-                        max_rounds: int = 64) -> DataFrame:
+                        max_rounds: int = 64,
+                        serial_cap: int = 500_000) -> DataFrame:
     """The zoom pyramid: level ``max_zoom`` is the raw points
     (singleton clusters); each level z below clusters level z+1's
     clusters with radius ``radius << (max_zoom - 1 - z)`` (the
@@ -185,20 +271,24 @@ def supercluster_levels(points: DataFrame, radius: int,
     row per cluster per level, levels min_zoom..max_zoom."""
     if not 0 <= min_zoom <= max_zoom:
         raise ValueError(f"bad zoom range [{min_zoom}, {max_zoom}]")
+    # materialized once: the level loop reads items repeatedly (the
+    # greedy pair join and the rollup join), and each later level is
+    # checkpointed below anyway
     items = points.select(
         F.col(point_id).cast("long").alias("pid"),
         F.col(x_col).cast("long").alias("px"),
         F.col(y_col).cast("long").alias("py"),
         F.lit(1).cast("long").alias("n_points"),
         F.col(x_col).cast("long").alias("sum_x"),
-        F.col(y_col).cast("long").alias("sum_y"))
+        F.col(y_col).cast("long").alias("sum_y")).localCheckpoint(eager=True)
     out = items.select(
         F.lit(max_zoom).cast("int").alias("zoom"),
         F.col("pid").alias("cluster_id"), "n_points", "sum_x", "sum_y",
         F.col("px").alias("cx"), F.col("py").alias("cy"))
     for z in range(max_zoom - 1, min_zoom - 1, -1):
         r_z = radius << (max_zoom - 1 - z)
-        lab = greedy_cluster(items, r_z, max_rounds=max_rounds)
+        lab = greedy_cluster(items, r_z, max_rounds=max_rounds,
+                             serial_cap=serial_cap)
         items = (items.join(lab.select("pid", "assign"), "pid")
                  .groupBy(F.col("assign").alias("pid"))
                  .agg(F.sum("n_points").alias("n_points"),
@@ -246,48 +336,41 @@ def cluster_tiles(levels: DataFrame, extent: int = EXTENT,
         feats, prop_spec=[("point_count", 5, "point_count")])
 
 
-def greedy_cluster_sql(points_cte: str, radius: int) -> str:
-    """DuckDB oracle for one greedy level: brute-force neighbor pairs
-    (the cell grid is a pure candidate cull, row-identical) and the
-    SAME wavefront rule iterated to fixpoint inside one recursive CTE
-    — the decided set rides each recursion row as a LIST<STRUCT>
-    (DuckDB 1.0 recursion exposes only the previous iteration's rows,
-    so the state travels in the row; the guard stops the recursion
-    the round the set saturates).  The caller prepends
-    ``WITH RECURSIVE <points cte>,`` — ``points_cte`` is the CTE name
-    exposing (pid, px, py).  Yields sc_labels(pid, seed, assign)."""
-    p = points_cte
+def wavefront_sql(points_cte: str, pairs_cte: str = "{pr}") -> str:
+    """DuckDB oracle for the shared wavefront: the SAME round rule
+    iterated to fixpoint inside one recursive CTE — the decided set
+    rides each recursion row as a LIST<STRUCT> (DuckDB 1.0 recursion
+    exposes only the previous iteration's rows, so the state travels
+    in the row; the guard stops the recursion the round the set
+    saturates).  ``points_cte`` exposes (pid, ...); ``pairs_cte``
+    exposes the ordered conflict pairs (p, q), q < p.  Yields
+    sc_labels(pid, seed, assign)."""
+    p, pr = points_cte, pairs_cte
     return f"""
-sc_pr AS (
-  SELECT a.pid AS p, b.pid AS q FROM {p} a, {p} b
-  WHERE b.pid < a.pid
-    AND (a.px - b.px) * (a.px - b.px)
-      + (a.py - b.py) * (a.py - b.py) <= {radius * radius}
-),
 sc_wave(round, st) AS (
   SELECT 0, CAST([] AS STRUCT(pid BIGINT, seed BOOLEAN, assign BIGINT)[])
   UNION ALL
-  SELECT w.round + 1, l.newst
-  FROM sc_wave w, LATERAL (
+  SELECT scw.round + 1, l.newst
+  FROM sc_wave scw, LATERAL (
     SELECT list(ROW(n.pid, n.seed, n.assign)) AS newst
     FROM (
       SELECT u.pid AS pid, u.seed AS seed, u.assign AS assign
-      FROM unnest(w.st) AS t(u)
+      FROM unnest(scw.st) AS t(u)
       UNION ALL
       SELECT agg.pid, (agg.min_seed IS NULL) AS seed,
              COALESCE(agg.min_seed, agg.pid) AS assign
       FROM (
         SELECT p2.pid,
-          MIN(CASE WHEN d.pid IS NULL AND sc_pr.q IS NOT NULL
-                   THEN sc_pr.q END) AS min_undec,
-          MIN(CASE WHEN d.seed THEN sc_pr.q END) AS min_seed
+          MIN(CASE WHEN d.pid IS NULL AND {pr}.q IS NOT NULL
+                   THEN {pr}.q END) AS min_undec,
+          MIN(CASE WHEN d.seed THEN {pr}.q END) AS min_seed
         FROM {p} p2
-        LEFT JOIN (SELECT u.pid FROM unnest(w.st) AS t(u)) done
+        LEFT JOIN (SELECT u.pid FROM unnest(scw.st) AS t(u)) done
           ON p2.pid = done.pid
-        LEFT JOIN sc_pr ON sc_pr.p = p2.pid
+        LEFT JOIN {pr} ON {pr}.p = p2.pid
         LEFT JOIN (SELECT u.pid AS pid, u.seed AS seed
-                   FROM unnest(w.st) AS t(u)) d
-          ON sc_pr.q = d.pid
+                   FROM unnest(scw.st) AS t(u)) d
+          ON {pr}.q = d.pid
         WHERE done.pid IS NULL
         GROUP BY p2.pid) agg
       WHERE (agg.min_undec IS NULL AND agg.min_seed IS NULL)
@@ -296,13 +379,29 @@ sc_wave(round, st) AS (
                   OR agg.min_undec > agg.min_seed))
     ) n
   ) l
-  WHERE len(w.st) < (SELECT count(*) FROM {p})
+  WHERE len(scw.st) < (SELECT count(*) FROM {p})
 ),
 sc_labels AS (
   SELECT u.pid AS pid, u.seed AS seed, u.assign AS assign
   FROM (SELECT st FROM sc_wave ORDER BY round DESC LIMIT 1),
        unnest(st) AS t(u)
 )"""
+
+
+def greedy_cluster_sql(points_cte: str, radius: int) -> str:
+    """DuckDB oracle for one greedy level: brute-force radius pairs
+    (the cell grid is a pure candidate cull, row-identical) feeding
+    the shared wavefront.  Caller prepends
+    ``WITH RECURSIVE <points cte>,`` — ``points_cte`` exposes
+    (pid, px, py).  Yields sc_labels(pid, seed, assign)."""
+    p = points_cte
+    return f"""
+sc_pr AS (
+  SELECT a.pid AS p, b.pid AS q FROM {p} a, {p} b
+  WHERE b.pid < a.pid
+    AND (a.px - b.px) * (a.px - b.px)
+      + (a.py - b.py) * (a.py - b.py) <= {radius * radius}
+),{wavefront_sql(p, "sc_pr")}"""
 
 
 def supercluster_sql(points_cte: str, radius: int) -> str:
