@@ -211,3 +211,33 @@ def test_no_cartesian_and_cell_join_plan(spark):
     plan = lab._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pyramid_value_reduce_conserves(spark):
+    """The supercluster ``reduce`` accumulator (value_col): per-point
+    integer weights sum EXACTLY through every pyramid level, and each
+    cluster's sum_v equals the sum over its absorbed base points."""
+    pts = [(i, x, y, 10 * i + 1) for i, x, y in _lcg_pts(300, span=50000)]
+    df = spark.createDataFrame(pts, "pid long, px long, py long, v long")
+    lv = sc.supercluster_levels(df, radius=512, min_zoom=1, max_zoom=4,
+                                value_col="v").toPandas()
+    total = sum(p[3] for p in pts)
+    for _, g in lv.groupby("zoom"):
+        assert g["sum_v"].sum() == total
+    # spot-law at the coarsest level: rebuild memberships serially
+    base = {p[0]: p for p in pts}
+    assign = {p[0]: p[0] for p in pts}
+    for z in (3, 2, 1):
+        r_z = 512 << (3 - z)
+        items = {}
+        for _, row in lv[lv["zoom"] == z + 1].iterrows():
+            items[row["cluster_id"]] = (row["cluster_id"],
+                                        row["cx"], row["cy"])
+        lab = serial_greedy(sorted(items.values()), r_z)
+        assign = {p: lab[assign[p]] for p in assign}
+        got = dict(zip(lv[lv["zoom"] == z]["cluster_id"],
+                       lv[lv["zoom"] == z]["sum_v"]))
+        want = {}
+        for p, a in assign.items():
+            want[a] = want.get(a, 0) + base[p][3]
+        assert got == want

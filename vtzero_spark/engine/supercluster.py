@@ -254,7 +254,7 @@ def cluster_rollup(points: DataFrame, labels: DataFrame,
 def supercluster_levels(points: DataFrame, radius: int,
                         min_zoom: int, max_zoom: int,
                         point_id: str = "pid", x_col: str = "px",
-                        y_col: str = "py",
+                        y_col: str = "py", value_col: str | None = None,
                         max_rounds: int = 64,
                         serial_cap: int = 500_000) -> DataFrame:
     """The zoom pyramid: level ``max_zoom`` is the raw points
@@ -267,41 +267,53 @@ def supercluster_levels(points: DataFrame, radius: int,
     total mass and both first moments bit-exactly; only the cluster
     POSITION quantizes to the integer grid between levels.
 
-    Output: (zoom, cluster_id, n_points, sum_x, sum_y, cx, cy), one
-    row per cluster per level, levels min_zoom..max_zoom."""
+    ``value_col`` is the supercluster ``reduce`` accumulator: an
+    optional per-point integer property whose EXACT sum rides every
+    cluster as ``sum_v`` (the public API's map/reduce pair restricted
+    to the sum monoid — the one that distributes losslessly).
+
+    Output: (zoom, cluster_id, n_points, sum_x, sum_y[, sum_v],
+    cx, cy), one row per cluster per level, min_zoom..max_zoom."""
     if not 0 <= min_zoom <= max_zoom:
         raise ValueError(f"bad zoom range [{min_zoom}, {max_zoom}]")
     # materialized once: the level loop reads items repeatedly (the
     # greedy pair join and the rollup join), and each later level is
     # checkpointed below anyway
+    vcols = [F.col(value_col).cast("long").alias("sum_v")] \
+        if value_col is not None else []
+    vnames = ["sum_v"] if value_col is not None else []
     items = points.select(
         F.col(point_id).cast("long").alias("pid"),
         F.col(x_col).cast("long").alias("px"),
         F.col(y_col).cast("long").alias("py"),
         F.lit(1).cast("long").alias("n_points"),
         F.col(x_col).cast("long").alias("sum_x"),
-        F.col(y_col).cast("long").alias("sum_y")).localCheckpoint(eager=True)
+        F.col(y_col).cast("long").alias("sum_y"),
+        *vcols).localCheckpoint(eager=True)
     out = items.select(
         F.lit(max_zoom).cast("int").alias("zoom"),
         F.col("pid").alias("cluster_id"), "n_points", "sum_x", "sum_y",
-        F.col("px").alias("cx"), F.col("py").alias("cy"))
+        *vnames, F.col("px").alias("cx"), F.col("py").alias("cy"))
     for z in range(max_zoom - 1, min_zoom - 1, -1):
         r_z = radius << (max_zoom - 1 - z)
         lab = greedy_cluster(items, r_z, max_rounds=max_rounds,
                              serial_cap=serial_cap)
+        vaggs = [F.sum("sum_v").alias("sum_v")] \
+            if value_col is not None else []
         items = (items.join(lab.select("pid", "assign"), "pid")
                  .groupBy(F.col("assign").alias("pid"))
                  .agg(F.sum("n_points").alias("n_points"),
                       F.sum("sum_x").alias("sum_x"),
-                      F.sum("sum_y").alias("sum_y"))
-                 .select("pid", "n_points", "sum_x", "sum_y",
+                      F.sum("sum_y").alias("sum_y"), *vaggs)
+                 .select("pid", "n_points", "sum_x", "sum_y", *vnames,
                          F.expr("sum_x div n_points").alias("px"),
                          F.expr("sum_y div n_points").alias("py"))
                  .localCheckpoint(eager=True))
         out = out.unionByName(items.select(
             F.lit(z).cast("int").alias("zoom"),
             F.col("pid").alias("cluster_id"), "n_points", "sum_x",
-            "sum_y", F.col("px").alias("cx"), F.col("py").alias("cy")))
+            "sum_y", *vnames,
+            F.col("px").alias("cx"), F.col("py").alias("cy")))
     return out
 
 
