@@ -241,3 +241,42 @@ def test_pyramid_value_reduce_conserves(spark):
         for p, a in assign.items():
             want[a] = want.get(a, 0) + base[p][3]
         assert got == want
+
+
+def test_hierarchy_leaves_and_expansion_zooms(spark):
+    """The mapbox API surface over the edge ladder: cluster_leaves is
+    the getLeaves table (ownership closure — per-(zoom, cluster) leaf
+    counts equal n_points, and each level partitions the base set);
+    expansion_zooms is getClusterExpansionZoom for every cluster (no
+    split strictly before it, a real split at it, max_zoom+1 for
+    clusters that never break — including seed children that KEEP a
+    split cluster's id below the split)."""
+    pts = _lcg_pts(300, span=50000)
+    df = spark.createDataFrame(pts, "pid long, px long, py long")
+    lv, edges = sc.supercluster_hierarchy(df, radius=512,
+                                          min_zoom=0, max_zoom=4)
+    lvp = lv.toPandas()
+    leaves = sc.cluster_leaves(df, edges, 0, 4).toPandas()
+    cnt = leaves.groupby(["zoom", "cluster_id"]).size()
+    for r in lvp.itertuples():
+        assert cnt.get((r.zoom, r.cluster_id), 0) == r.n_points
+    base = sorted(p[0] for p in pts)
+    for _, g in leaves.groupby("zoom"):
+        assert sorted(g["pid"]) == base  # a partition at every level
+    ez = sc.expansion_zooms(lv, edges, 4).toPandas()
+    assert len(ez) == len(lvp)  # exactly one row per cluster row
+    nch = edges.toPandas().groupby(["zoom", "parent_id"]).size()
+    split_seen = unsplit_seen = carried_id_seen = 0
+    for r in ez.itertuples():
+        z, c, e = r.zoom, r.cluster_id, r.expansion_zoom
+        assert z < e <= 5
+        for zz in range(z, min(e - 1, 4)):
+            assert nch.get((zz, c), 1) == 1  # intact until expansion
+        if e <= 4:
+            assert nch.get((e - 1, c)) > 1
+            split_seen += 1
+        else:
+            unsplit_seen += 1
+        if nch.get((z - 1, c), 0) > 1:
+            carried_id_seen += 1  # a seed child below its own split
+    assert split_seen and unsplit_seen and carried_id_seen

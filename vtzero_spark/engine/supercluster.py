@@ -251,12 +251,14 @@ def cluster_rollup(points: DataFrame, labels: DataFrame,
                     F.expr("sum_y div n_points").alias("cy")))
 
 
-def supercluster_levels(points: DataFrame, radius: int,
-                        min_zoom: int, max_zoom: int,
-                        point_id: str = "pid", x_col: str = "px",
-                        y_col: str = "py", value_col: str | None = None,
-                        max_rounds: int = 64,
-                        serial_cap: int = 500_000) -> DataFrame:
+def supercluster_hierarchy(points: DataFrame, radius: int,
+                           min_zoom: int, max_zoom: int,
+                           point_id: str = "pid", x_col: str = "px",
+                           y_col: str = "py",
+                           value_col: str | None = None,
+                           max_rounds: int = 64,
+                           serial_cap: int = 500_000
+                           ) -> tuple[DataFrame, DataFrame]:
     """The zoom pyramid: level ``max_zoom`` is the raw points
     (singleton clusters); each level z below clusters level z+1's
     clusters with radius ``radius << (max_zoom - 1 - z)`` (the
@@ -272,8 +274,15 @@ def supercluster_levels(points: DataFrame, radius: int,
     cluster as ``sum_v`` (the public API's map/reduce pair restricted
     to the sum monoid — the one that distributes losslessly).
 
-    Output: (zoom, cluster_id, n_points, sum_x, sum_y[, sum_v],
-    cx, cy), one row per cluster per level, min_zoom..max_zoom."""
+    Returns (levels, edges).  ``levels``: (zoom, cluster_id,
+    n_points, sum_x, sum_y[, sum_v], cx, cy), one row per cluster per
+    level, min_zoom..max_zoom.  ``edges``: (zoom, child_id,
+    parent_id), one row per level-(zoom+1) item per level zoom — the
+    membership ladder behind mapbox's getChildren / getLeaves /
+    getClusterExpansionZoom (a seed's self-edge carries the
+    same-id chain, so single-child clusters keep their id down the
+    ladder).  The edges are a free byproduct of the per-level labels;
+    no extra jobs run to produce them."""
     if not 0 <= min_zoom <= max_zoom:
         raise ValueError(f"bad zoom range [{min_zoom}, {max_zoom}]")
     # materialized once: the level loop reads items repeatedly (the
@@ -294,10 +303,15 @@ def supercluster_levels(points: DataFrame, radius: int,
         F.lit(max_zoom).cast("int").alias("zoom"),
         F.col("pid").alias("cluster_id"), "n_points", "sum_x", "sum_y",
         *vnames, F.col("px").alias("cx"), F.col("py").alias("cy"))
+    edge_parts: list[DataFrame] = []
     for z in range(max_zoom - 1, min_zoom - 1, -1):
         r_z = radius << (max_zoom - 1 - z)
         lab = greedy_cluster(items, r_z, max_rounds=max_rounds,
                              serial_cap=serial_cap)
+        edge_parts.append(lab.select(
+            F.lit(z).cast("int").alias("zoom"),
+            F.col("pid").alias("child_id"),
+            F.col("assign").alias("parent_id")))
         vaggs = [F.sum("sum_v").alias("sum_v")] \
             if value_col is not None else []
         items = (items.join(lab.select("pid", "assign"), "pid")
@@ -314,7 +328,77 @@ def supercluster_levels(points: DataFrame, radius: int,
             F.col("pid").alias("cluster_id"), "n_points", "sum_x",
             "sum_y", *vnames,
             F.col("px").alias("cx"), F.col("py").alias("cy")))
+    edges = points.sparkSession.createDataFrame(
+        [], "zoom int, child_id long, parent_id long")
+    for part in edge_parts:
+        edges = edges.unionByName(part)
+    return out, edges
+
+
+def supercluster_levels(points: DataFrame, radius: int,
+                        min_zoom: int, max_zoom: int,
+                        point_id: str = "pid", x_col: str = "px",
+                        y_col: str = "py", value_col: str | None = None,
+                        max_rounds: int = 64,
+                        serial_cap: int = 500_000) -> DataFrame:
+    """The levels table alone — see ``supercluster_hierarchy``."""
+    return supercluster_hierarchy(
+        points, radius, min_zoom, max_zoom, point_id, x_col, y_col,
+        value_col, max_rounds, serial_cap)[0]
+
+
+def cluster_leaves(points: DataFrame, edges: DataFrame,
+                   min_zoom: int, max_zoom: int,
+                   point_id: str = "pid") -> DataFrame:
+    """The getLeaves table for EVERY cluster at once: (zoom, pid,
+    cluster_id) — which cluster owns each base point at each level.
+    One hash join per level down the ladder (the ownership closure of
+    the edge relation); each step is checkpointed so lineage stays
+    flat.  Law (pytest-pinned): per-(zoom, cluster) leaf counts equal
+    the levels table's n_points exactly."""
+    own = points.select(
+        F.col(point_id).cast("long").alias("pid"),
+        F.col(point_id).cast("long").alias("cluster_id"))
+    out = own.select(F.lit(max_zoom).cast("int").alias("zoom"),
+                     "pid", "cluster_id")
+    for z in range(max_zoom - 1, min_zoom - 1, -1):
+        step = edges.where(F.col("zoom") == z).select(
+            F.col("child_id").alias("cluster_id"),
+            F.col("parent_id"))
+        own = (own.join(step, "cluster_id")
+               .select("pid", F.col("parent_id").alias("cluster_id"))
+               .localCheckpoint(eager=True))
+        out = out.unionByName(own.select(
+            F.lit(z).cast("int").alias("zoom"), "pid", "cluster_id"))
     return out
+
+
+def expansion_zooms(levels: DataFrame, edges: DataFrame,
+                    max_zoom: int) -> DataFrame:
+    """getClusterExpansionZoom for EVERY cluster at once: (zoom,
+    cluster_id, expansion_zoom) — the first zoom past this one where
+    the cluster breaks into more than one child.  Single-child
+    clusters keep their id down the ladder (the seed self-edge), so
+    the split census groups the edge relation once and each cluster
+    takes the MIN splitting level at-or-after its own; a cluster that
+    never splits (a singleton, or an inseparable stack) expands at
+    ``max_zoom + 1``, mapbox's convention for 'only leaves below'."""
+    splits = (edges.groupBy("zoom", "parent_id")
+              .agg(F.count("*").alias("_nc"))
+              .where(F.col("_nc") > 1)
+              .select(F.col("zoom").alias("_sz"),
+                      F.col("parent_id").alias("cluster_id")))
+    lv = levels.select("zoom", "cluster_id")
+    # no pre-filter: a split BELOW this row's zoom must not drop the
+    # row (the seed child keeps the split cluster's id down the
+    # ladder) — the when() guard inside the aggregate ignores it
+    return (lv.join(splits, "cluster_id", "left")
+            .groupBy("zoom", "cluster_id")
+            .agg(F.min(F.when(F.col("_sz") >= F.col("zoom"),
+                              F.col("_sz") + 1)).alias("_e"))
+            .select("zoom", "cluster_id",
+                    F.coalesce("_e", F.lit(max_zoom + 1))
+                    .cast("int").alias("expansion_zoom")))
 
 
 def cluster_tiles(levels: DataFrame, extent: int = EXTENT,
