@@ -19,7 +19,7 @@ import os
 
 from pyspark.sql import functions as F
 
-from tools.marker_job import BASE_W, BOX_H, DIGIT_W, marker_boxes, run
+from tools.marker_job import marker_boxes, run
 from vtzero_spark.engine import pmtiles
 from vtzero_spark.engine.lint import lint_tile_bytes
 from vtzero_spark.mvt import tile as T

@@ -23,7 +23,6 @@ Laws pinned here:
 import duckdb
 import pandas as pd
 import pytest
-from pyspark.sql import functions as F
 
 from vtzero_spark.engine import supercluster as sc
 from vtzero_spark.engine.lint import lint_tile_bytes
@@ -169,7 +168,6 @@ def test_duckdb_oracle_pin(spark, sf_dir):
     inside one recursive CTE, state as LIST<STRUCT>) equals the Spark
     rollup on the synth cluster-point table — rows, schema, values."""
     import __spark_entry__ as em
-    from vtzero_spark.engine import synth
 
     sdf = em.q_supercluster(spark, sf_dir).toPandas()
     con = duckdb.connect()
