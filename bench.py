@@ -704,22 +704,32 @@ def run_suite(sf_dir: str, cores: int) -> dict:
     # warm the JVM + parquet footers once (excluded from timings)
     synth.images(spark, sf_dir).count()
     n_images = synth.images(spark, sf_dir).count()
+    errors: dict[str, str] = {}
     for _ in range(N_TRIALS):
         for name in HEADLINE + EXTENDED:
             t0 = time.time()
-            df = qs[name](spark, sf_dir)
-            # force full materialization of every column (not just count)
-            n = df.select(F.xxhash64(*df.columns).alias("h")).agg(F.count("h")).collect()[0][0]
+            try:
+                df = qs[name](spark, sf_dir)
+                # force full materialization of every column (not just
+                # count)
+                n = df.select(F.xxhash64(*df.columns).alias("h")) \
+                    .agg(F.count("h")).collect()[0][0]
+            except Exception as e:  # noqa: BLE001 — one broken query
+                # must not lose the whole suite's JSON line
+                errors[name] = f"{type(e).__name__}: {e}"[:300]
+                rows.setdefault(name, -1)
+                continue
             trials[name].append(round(time.time() - t0, 3))
             rows[name] = int(n)
     spark.stop()
     timings: dict[str, float] = {}
     for name in HEADLINE + EXTENDED:
-        timings[name] = min(trials[name])
+        timings[name] = min(trials[name]) if trials[name] else -1.0
         timings[f"{name}__rows"] = rows[name]
-    total = sum(timings[k] for k in HEADLINE)
-    extended = sum(timings[k] for k in EXTENDED)
-    pipeline_sec = timings["tile_assign"] + timings["mvt_tiles"]
+    total = sum(max(timings[k], 0.0) for k in HEADLINE)
+    extended = sum(max(timings[k], 0.0) for k in EXTENDED)
+    pipeline_sec = max(timings["tile_assign"], 0.0) \
+        + max(timings["mvt_tiles"], 0.0)
     return {
         "timings": timings,
         "trials": {n: trials[n] for n in HEADLINE + EXTENDED},
@@ -727,6 +737,7 @@ def run_suite(sf_dir: str, cores: int) -> dict:
         "extended_sec": round(extended, 3),
         "n_images": int(n_images),
         "images_per_sec": round(n_images / max(pipeline_sec, 1e-9), 1),
+        "errors": errors,
     }
 
 
@@ -851,6 +862,10 @@ def main() -> None:
         out["delta_vs_prev"] = delta
     if scaling:
         out["scaling"] = scaling
+    if res.get("errors"):
+        # a failed query reports -1 s and its error string instead of
+        # losing the whole suite's JSON line
+        out["errors"] = res["errors"]
     print(json.dumps(out))
 
 
