@@ -161,6 +161,7 @@ EXTENDED = [
     # round-5 session-19: wavefront family at image scale (BENCH_ONLY)
     "label_placement",
     "cluster_tiles",
+    "vw_pyramid",
 ]
 
 # minhash_lsh / simhash_neardup left the 50-entry queries() window in
@@ -298,6 +299,45 @@ def _cluster_tiles_query(spark, sf_dir):
     tiles = SC.cluster_tiles(lv)
     return tiles.select("z", "x", "y", "num_layers",
                         F.octet_length("tile_bytes").alias("tile_size"))
+
+
+def _vw_pyramid_query(spark, sf_dir):
+    """Visvalingam effective-area pyramid over the GPS tracks: ONE
+    per-feature kernel pass (attach_effective_areas, mapInPandas, no
+    shuffle) then EVERY zoom of the ladder sliced as pure codegen
+    comparisons — the multi-zoom form Douglas-Peucker (clip_simplify)
+    must re-run per tolerance. Input is the per-user ST_MakeLine
+    track set (long polylines — the geometry class VW exists for);
+    the tolerance ladder is one screen pixel at each zoom, squared
+    (area tolerance). Output: per-zoom feature/vertex counts.
+    Kernel parity, the slicing law, and slice chaining are pinned in
+    tests/test_visvalingam.py."""
+    from vtzero_spark.engine import visvalingam as VW
+    from vtzero_spark.engine import trajectory as trajmod
+    from vtzero_spark.engine.synth import ZOOM
+
+    t = trajmod.tracks(trajmod.event_points(
+        synth.load(spark, sf_dir, "events")))
+    feats = t.select("fid", F.lit(2).alias("geom_type"), "parts")
+    eff = VW.attach_effective_areas(feats).localCheckpoint(eager=True)
+    outs = []
+    for z in range(ZOOM, -1, -1):
+        # one screen pixel at zoom z on the 2^16 world grid with
+        # 256-px tiles spans 2^(8-z) world units; VW tolerance is the
+        # AREA of that pixel (doubled-area convention -> x2)
+        px = 1 << (8 - z)
+        sl = VW.vw_slice(eff, 2 * px * px)
+        nv = F.aggregate(
+            F.transform("parts", lambda r: F.size(r)),
+            F.lit(0), lambda acc, v: acc + v)
+        outs.append(sl.agg(
+            F.lit(z).alias("pyr_zoom"),
+            F.count("*").alias("n_features"),
+            F.sum(nv).alias("n_vertices")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
 
 
 def _voronoi_query(spark, sf_dir):
@@ -635,6 +675,9 @@ BENCH_ONLY = {
     # tests/test_supercluster.py)
     "label_placement": _label_placement_query,
     "cluster_tiles": _cluster_tiles_query,
+    # round-5 session-19: Visvalingam effective-area pyramid (one
+    # kernel pass serves every zoom; laws in tests/test_visvalingam.py)
+    "vw_pyramid": _vw_pyramid_query,
     "chi_tiles": _chi_tiles_query,
     "sibson_field": _sibson_query,
     "track_polylines": _polyline_query,
