@@ -138,3 +138,61 @@ def test_slices_chain_and_plan_has_no_exchange(spark):
     assert a == b  # nesting makes slices composable
     plan = direct._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # the slice is pure codegen math
+
+
+def _track_features(spark, n_users=6, n_pts=120):
+    rows = []
+    x, m = 23, (1 << 31) - 1
+    for u in range(1, n_users + 1):
+        px, py = 30000, 30000
+        pts = []
+        for _ in range(n_pts):
+            x = (x * 48271) % m
+            px = (px + x % 1200 - 600) % 65536
+            x = (x * 48271) % m
+            py = (py + x % 1200 - 600) % 65536
+            pts.append([px, py])
+        rows.append((u, "LineString", [pts]))
+    return spark.createDataFrame(
+        rows, "fid long, gj_type string, parts array<array<array<long>>>")
+
+
+def test_pyramid_tiles_thins_and_identity_at_tol_zero(spark):
+    """The composed product: per-zoom vertex totals (decoded from the
+    tiles) never increase as zoom coarsens, every tile parses, and
+    the tol2=0 slice is BYTE-IDENTICAL to the plain ingest tail (the
+    slicing law's identity case, proved through the codec)."""
+    from vtzero_spark.engine import geojson as GJ
+    from vtzero_spark.mvt import geometry as G
+    from vtzero_spark.mvt import tile as T
+
+    feats = _track_features(spark)
+    tiles = VW.pyramid_tiles(feats, 0, 4, layer="tracks").collect()
+    assert tiles
+    nver = {}
+    for r in tiles:
+        buf = bytes(r["tile_bytes"])
+        layers = T.parse_tile(buf)
+        assert [l.name for l in layers] == ["tracks"]
+        for f in layers[0].features:
+            parts, _ = G.decode_geometry(
+                f.geom_type, f.geometry, f.geometry_nbytes)
+            nver[r["z"]] = nver.get(r["z"], 0) \
+                + sum(len(p) for p in parts)
+    zs = sorted(nver)
+    assert zs == [0, 1, 2, 3, 4]
+    for a, b in zip(zs, zs[1:]):
+        assert nver[a] <= nver[b]
+    assert nver[0] < nver[4]  # the ladder really thins
+
+    # identity law at tol2 = 0, byte-for-byte through the codec
+    eff = VW.attach_effective_areas(
+        feats.withColumn("geom_type", F.lit(2)))
+    ident = VW.vw_slice(eff, 0).select("fid", "gj_type", "parts")
+    a = {(r.z, r.x, r.y): bytes(r.tile_bytes)
+         for r in GJ.world_features_to_tiles(
+             ident, 4, 4096, layer="tracks").collect()}
+    b = {(r.z, r.x, r.y): bytes(r.tile_bytes)
+         for r in GJ.world_features_to_tiles(
+             feats, 4, 4096, layer="tracks").collect()}
+    assert a == b and a

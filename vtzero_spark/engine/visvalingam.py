@@ -227,3 +227,54 @@ def vw_slice(features, tol2: int):
            .drop("_np"))
     return out.where((F.col("geom_type") == 1)
                      | (F.size("parts") > 0))
+
+
+def pyramid_tiles(features, min_zoom: int, max_zoom: int,
+                  extent: int = 4096, layer: str = "features",
+                  wbits: int = 16):
+    """The composed VW pyramid product: world features (fid, gj_type,
+    parts — the shared ingest layout) -> ONE effective-area pass ->
+    per-zoom one-screen-pixel slice -> the shared world-features
+    ingest tail (bbox fan-out -> localize -> clip -> vectorized
+    encode) at every zoom.  The thinning ladder costs one Python pass
+    total; each zoom's slice is codegen (the slicing law) and its
+    encode is the same tail every other ingest runs.  At tol2 = 0 the
+    slice is the identity (eff >= 0 always holds), which pins this
+    composition byte-identical to the un-simplified tail in tests.
+
+    Output: MVT tile rows (z, x, y, tile_bytes, ...) for zooms
+    min_zoom..max_zoom, coarser zooms carrying fewer vertices."""
+    from pyspark.sql import functions as F
+
+    from . import geojson
+
+    gt = (F.when(F.col("gj_type").startswith("Poly"), F.lit(3))
+          .when(F.col("gj_type").startswith("MultiPoly"), F.lit(3))
+          .when(F.col("gj_type").contains("Line"), F.lit(2))
+          .otherwise(F.lit(1)))
+    eff = attach_effective_areas(
+        features.withColumn("geom_type", gt)) \
+        .localCheckpoint(eager=True)
+    ebits = extent.bit_length() - 1
+    outs = []
+    for z in range(min_zoom, max_zoom + 1):
+        px = 1 << max(wbits - 8 - z, 0)
+        # slice in FULL-resolution world units (tolerances are world
+        # areas), then scale to the tail's zoom-z coordinate space
+        # (world == extent * 2^z there) — pure column math
+        shift = wbits - ebits - z
+        sl = vw_slice(eff, 2 * px * px).select(
+            "fid", "gj_type",
+            F.transform(
+                "parts",
+                lambda p: F.transform(
+                    p, lambda v: F.array(
+                        F.shiftright(F.element_at(v, 1), shift),
+                        F.shiftright(F.element_at(v, 2), shift)))
+            ).alias("parts"))
+        outs.append(geojson.world_features_to_tiles(
+            sl, z, extent, layer=layer))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
