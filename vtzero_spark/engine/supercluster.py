@@ -118,16 +118,20 @@ def wavefront_mis(pts: DataFrame, pairs: DataFrame,
             # bounded-collect tier: the residual subproblem is
             # exactly (und, pairs, seed-status of pair targets) —
             # each bounded by serial_cap by the check above
+            # Arrow/pandas transfer, not Row collect — at the 500k cap
+            # Row materialization alone costs seconds; columnar lands
+            # as numpy
+            pp = pairs.toPandas()
             conf: dict[int, list[int]] = {}
-            for r in pairs.collect():
-                conf.setdefault(r.p, []).append(r.q)
+            for p_, q_ in zip(pp["p"].to_numpy(), pp["q"].to_numpy()):
+                conf.setdefault(int(p_), []).append(int(q_))
             seeded: set[int] = set()
             if seed_parts and n_pairs:
                 qs = pairs.select("q").distinct()
                 sdf = qs.join(_seed_union(spark, seed_parts), "q")
-                seeded = {r.q for r in sdf.collect()}
+                seeded = set(sdf.toPandas()["q"].astype(int))
             rows = []
-            for p in sorted(r.pid for r in und.collect()):
+            for p in sorted(int(v) for v in und.toPandas()["pid"]):
                 blocker = min((q for q in conf.get(p, ())
                                if q in seeded), default=None)
                 if blocker is None:
@@ -143,23 +147,36 @@ def wavefront_mis(pts: DataFrame, pairs: DataFrame,
                 f"wavefront did not converge in {max_rounds} rounds "
                 f"({n_und} points undecided): the input's id order forms "
                 "a dependency chain longer than max_rounds — raise it")
-        st = (und.select(F.col("pid").alias("p"))
-              .join(pairs, "p", "left")
-              .join(_seed_union(spark, seed_parts), "q", "left"))
-        agg = st.groupBy("p").agg(
-            F.min(F.when(F.col("q").isNotNull() & F.col("q_seed").isNull(),
-                         F.col("q"))).alias("min_undec"),
-            F.min(F.when(F.col("q_seed"), F.col("q"))).alias("min_seed"))
-        new = agg.where(
-            (F.col("min_undec").isNull() & F.col("min_seed").isNull())
-            | (F.col("min_seed").isNotNull()
-               & (F.col("min_undec").isNull()
-                  | (F.col("min_undec") > F.col("min_seed"))))
-        ).select(
-            F.col("p").alias("pid"),
-            F.col("min_seed").isNull().alias("seed"),
-            F.coalesce("min_seed", "p").alias("assign"),
-        ).localCheckpoint(eager=True)
+        if not decided_parts:
+            # ROUND 1 is seeds-only (no decided seed exists yet, so
+            # nothing can absorb): a point decides iff it has no
+            # smaller conflicting neighbor — one anti-join, not the
+            # full join + aggregate over every pair
+            new = (und.join(pairs.select(F.col("p").alias("pid"))
+                            .distinct(), "pid", "left_anti")
+                   .select("pid", F.lit(True).alias("seed"),
+                           F.col("pid").alias("assign"))
+                   .localCheckpoint(eager=True))
+        else:
+            st = (und.select(F.col("pid").alias("p"))
+                  .join(pairs, "p", "left")
+                  .join(_seed_union(spark, seed_parts), "q", "left"))
+            agg = st.groupBy("p").agg(
+                F.min(F.when(F.col("q").isNotNull()
+                             & F.col("q_seed").isNull(),
+                             F.col("q"))).alias("min_undec"),
+                F.min(F.when(F.col("q_seed"), F.col("q")))
+                .alias("min_seed"))
+            new = agg.where(
+                (F.col("min_undec").isNull() & F.col("min_seed").isNull())
+                | (F.col("min_seed").isNotNull()
+                   & (F.col("min_undec").isNull()
+                      | (F.col("min_undec") > F.col("min_seed"))))
+            ).select(
+                F.col("p").alias("pid"),
+                F.col("min_seed").isNull().alias("seed"),
+                F.coalesce("min_seed", "p").alias("assign"),
+            ).localCheckpoint(eager=True)
 
         decided_parts.append(new)
         n_und -= new.count()
