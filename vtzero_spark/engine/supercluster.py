@@ -36,11 +36,16 @@ Scale shape (the 100 TB story):
      undecided smaller point can still produce a smaller seed), and
    - p is a SEED once every q < p neighbor is decided non-seed.
 
-   Each round is one join + one map-side-combined min-aggregate; the
-   pair set shrinks every round (decided probes and decided-non-seed
-   targets are anti-joined away) and each round's survivors are
-   localCheckpoint'ed, so lineage stays flat.  A dense blob resolves
-   in TWO rounds (its min-id point seeds, everything else absorbs);
+   Rounds 1+2 FUSE into one pass (round-1 seeds are closed-form —
+   no smaller neighbor — so one flag join answers round 2's
+   seed-status question immediately); q's decided-seed status rides
+   the pair row from then on, making each later round one
+   map-side-combined min-aggregate over the pruned pair set alone,
+   no join.  The pair set shrinks every round (decided probes and
+   decided-non-seed targets are pruned away) and each round's
+   survivors are localCheckpoint'ed, so lineage stays flat.  A dense
+   blob resolves in ONE fused pass (its min-id point seeds,
+   everything else absorbs);
    the round count equals the longest strictly-decreasing-id
    dependency chain, O(log n) for random ids — the same loop
    discipline as ``knn`` ring expansion and ``dbscan``'s merge.
@@ -106,113 +111,163 @@ def wavefront_mis(pts: DataFrame, pairs: DataFrame,
     both tiers compute the identical closed form)."""
     spark = pts.sparkSession
     decided_parts: list[DataFrame] = []
-    seed_parts: list[DataFrame] = []
     und = pts.select("pid").localCheckpoint(eager=True)
     n_und = und.count()
+    # q's decided-seed status RIDES THE PAIR ROW (set by the prune
+    # join the round q decides): later rounds and the serial tier read
+    # it in place — no growing seed-union relation, no extra join
+    pairs = pairs.withColumn("q_seed", F.lit(None).cast("boolean"))
     n_pairs = pairs.count()
     schema = "pid long, seed boolean, assign long"
+
+    # size-aware join strategy, decided from the counts the loop
+    # already takes (the joins.py broadcast-vs-shuffle discipline):
+    # the id-keyed build sides (probe-id census, per-round decisions)
+    # are bounded by the frame the census measured, so broadcast them
+    # while that bound fits an executor — shuffle joins past it
+    BCAST_ROWS = 4_000_000  # ~64 MB of (long, bool) rows
+
+    def _maybe_b(df: DataFrame, bound: int) -> DataFrame:
+        return F.broadcast(df) if bound <= BCAST_ROWS else df
 
     rounds = 0
     while n_und > 0:
         if n_und <= serial_cap and n_pairs <= serial_cap:
             # bounded-collect tier: the residual subproblem is
-            # exactly (und, pairs, seed-status of pair targets) —
-            # each bounded by serial_cap by the check above
-            # Arrow/pandas transfer, not Row collect — at the 500k cap
-            # Row materialization alone costs seconds; columnar lands
-            # as numpy
+            # exactly (und, pairs-with-q_seed) — each bounded by
+            # serial_cap by the check above.  Arrow/pandas transfer,
+            # not Row collect; the q_seed flag makes this a pure
+            # pandas computation (zero further Spark jobs)
             pp = pairs.toPandas()
-            conf: dict[int, list[int]] = {}
-            for p_, q_ in zip(pp["p"].to_numpy(), pp["q"].to_numpy()):
-                conf.setdefault(int(p_), []).append(int(q_))
-            seeded: set[int] = set()
-            if seed_parts and n_pairs:
-                qs = pairs.select("q").distinct()
-                sdf = qs.join(_seed_union(spark, seed_parts), "q")
-                seeded = set(sdf.toPandas()["q"].astype(int))
-            rows = []
+            flags = pp["q_seed"].eq(True).to_numpy(dtype=bool)
+            conf: dict[int, list[tuple[int, bool]]] = {}
+            for p_, q_, f_ in zip(pp["p"].to_numpy(),
+                                  pp["q"].to_numpy(), flags):
+                conf.setdefault(int(p_), []).append((int(q_), bool(f_)))
+            newly: set[int] = set()
+            o_pid: list[int] = []
+            o_seed: list[bool] = []
+            o_assign: list[int] = []
             for p in sorted(int(v) for v in und.toPandas()["pid"]):
-                blocker = min((q for q in conf.get(p, ())
-                               if q in seeded), default=None)
+                blocker = min((q for q, f in conf.get(p, ())
+                               if f or q in newly), default=None)
+                o_pid.append(p)
                 if blocker is None:
-                    seeded.add(p)
-                    rows.append((p, True, p))
+                    newly.add(p)
+                    o_seed.append(True)
+                    o_assign.append(p)
                 else:
-                    rows.append((p, False, blocker))
-            decided_parts.append(spark.createDataFrame(rows, schema))
+                    o_seed.append(False)
+                    o_assign.append(blocker)
+            import pandas as pd
+
+            # Arrow path (pandas in, not a python Row list): at the
+            # 500k cap Row conversion alone costs seconds
+            decided_parts.append(spark.createDataFrame(
+                pd.DataFrame({"pid": pd.Series(o_pid, dtype="int64"),
+                              "seed": o_seed,
+                              "assign": pd.Series(o_assign,
+                                                  dtype="int64")}),
+                schema))
             break
-        rounds += 1
+        rounds += 2 if rounds == 0 and max_rounds >= 2 else 1
         if rounds > max_rounds:
             raise RuntimeError(
                 f"wavefront did not converge in {max_rounds} rounds "
                 f"({n_und} points undecided): the input's id order forms "
                 "a dependency chain longer than max_rounds — raise it")
-        if not decided_parts:
-            # ROUND 1 is seeds-only (no decided seed exists yet, so
-            # nothing can absorb): a point decides iff it has no
-            # smaller conflicting neighbor — one anti-join, not the
-            # full join + aggregate over every pair
-            new = (und.join(pairs.select(F.col("p").alias("pid"))
-                            .distinct(), "pid", "left_anti")
+        if not decided_parts and max_rounds >= 2:
+            # FUSED ROUNDS 1+2 in one pass.  Round 1's seeds are
+            # closed-form (q seeds iff q has no smaller neighbor, i.e.
+            # q never appears as a probe p), so one flag join answers
+            # round 2's seed-status question without waiting a round:
+            # absorb p iff its min round-1-seed neighbor undercuts its
+            # min still-undecided neighbor.  Provably identical to two
+            # iterations of the round rule (no non-seed decisions
+            # exist after round 1, so no pruning intervenes).
+            probe_ids = pairs.select(F.col("p").alias("q")).distinct() \
+                .withColumn("q_has", F.lit(True))
+            agg = (pairs.join(_maybe_b(probe_ids, n_und), "q", "left")
+                   .groupBy("p").agg(
+                       F.min(F.when(F.col("q_has").isNull(), F.col("q")))
+                       .alias("min_seed"),
+                       F.min(F.when(F.col("q_has").isNotNull(),
+                                    F.col("q"))).alias("min_undec")))
+            absorbed = agg.where(
+                F.col("min_seed").isNotNull()
+                & (F.col("min_undec").isNull()
+                   | (F.col("min_undec") > F.col("min_seed")))
+            ).select(F.col("p").alias("pid"),
+                     F.lit(False).alias("seed"),
+                     F.col("min_seed").alias("assign"))
+            seeds1 = (und.join(
+                _maybe_b(pairs.select(F.col("p").alias("pid")), n_pairs),
+                "pid", "left_anti")
+                .select("pid", F.lit(True).alias("seed"),
+                        F.col("pid").alias("assign")))
+            new = seeds1.unionByName(absorbed).localCheckpoint(eager=True)
+        elif not decided_parts:
+            # max_rounds == 1 legacy shape: round 1 alone (seeds-only)
+            new = (und.join(pairs.select(F.col("p").alias("pid")),
+                            "pid", "left_anti")
                    .select("pid", F.lit(True).alias("seed"),
                            F.col("pid").alias("assign"))
                    .localCheckpoint(eager=True))
         else:
-            st = (und.select(F.col("pid").alias("p"))
-                  .join(pairs, "p", "left")
-                  .join(_seed_union(spark, seed_parts), "q", "left"))
-            agg = st.groupBy("p").agg(
-                F.min(F.when(F.col("q").isNotNull()
-                             & F.col("q_seed").isNull(),
-                             F.col("q"))).alias("min_undec"),
+            # general round over the PRUNED pair set alone: the
+            # pruning invariant keeps every surviving probe p
+            # undecided and every surviving target q undecided-or-
+            # flagged-seed, so the aggregate needs no join at all —
+            # and a point whose pairs are all gone seeds by anti-join
+            agg = pairs.groupBy("p").agg(
+                F.min(F.when(F.col("q_seed").isNull(), F.col("q")))
+                .alias("min_undec"),
                 F.min(F.when(F.col("q_seed"), F.col("q")))
                 .alias("min_seed"))
-            new = agg.where(
-                (F.col("min_undec").isNull() & F.col("min_seed").isNull())
-                | (F.col("min_seed").isNotNull()
-                   & (F.col("min_undec").isNull()
-                      | (F.col("min_undec") > F.col("min_seed"))))
-            ).select(
-                F.col("p").alias("pid"),
-                F.col("min_seed").isNull().alias("seed"),
-                F.coalesce("min_seed", "p").alias("assign"),
-            ).localCheckpoint(eager=True)
+            absorbed = agg.where(
+                F.col("min_seed").isNotNull()
+                & (F.col("min_undec").isNull()
+                   | (F.col("min_undec") > F.col("min_seed")))
+            ).select(F.col("p").alias("pid"),
+                     F.lit(False).alias("seed"),
+                     F.col("min_seed").alias("assign"))
+            pairless = (und.join(
+                _maybe_b(pairs.select(F.col("p").alias("pid")), n_pairs),
+                "pid", "left_anti")
+                .select("pid", F.lit(True).alias("seed"),
+                        F.col("pid").alias("assign")))
+            new = pairless.unionByName(absorbed) \
+                .localCheckpoint(eager=True)
 
         decided_parts.append(new)
-        n_und -= new.count()
-        und = und.join(new, "pid", "left_anti").localCheckpoint(eager=True)
+        n_new = new.count()
+        n_und -= n_new
+        und = und.join(_maybe_b(new, n_new), "pid", "left_anti") \
+            .localCheckpoint(eager=True)
         # shrink the pair set: decided probes are done; decided
         # NON-seed targets can never matter again (they are neither a
-        # seed candidate nor undecided) — decided-seed targets stay,
-        # they feed min_seed for later waves.  This pruning is also
-        # the serial tier's self-containment invariant.
-        newly_nonseed = new.where(~F.col("seed")) \
-            .select(F.col("pid").alias("q"))
+        # seed candidate nor undecided); decided-seed targets stay
+        # with their q_seed flag set, feeding min_seed for later
+        # waves.  This pruning is also the serial tier's
+        # self-containment invariant.
+        dec_q = new.select(F.col("pid").alias("q"),
+                           F.col("seed").alias("_dseed"))
         pairs = (pairs
-                 .join(new.select(F.col("pid").alias("p")), "p", "left_anti")
-                 .join(newly_nonseed, "q", "left_anti")
+                 .join(_maybe_b(new.select(F.col("pid").alias("p")),
+                                n_new), "p", "left_anti")
+                 .join(_maybe_b(dec_q, n_new), "q", "left")
+                 .where(F.col("_dseed").isNull() | F.col("_dseed"))
+                 .withColumn("q_seed",
+                             F.when(F.col("_dseed"), F.lit(True))
+                             .otherwise(F.col("q_seed")))
+                 .drop("_dseed")
                  .localCheckpoint(eager=True))
         n_pairs = pairs.count()
-        seed_parts.append(
-            new.where(F.col("seed"))
-            .select(F.col("pid").alias("q"), F.lit(True).alias("q_seed")))
 
     if not decided_parts:
         return spark.createDataFrame([], schema)
     out = decided_parts[0]
     for part in decided_parts[1:]:
-        out = out.unionByName(part)
-    return out
-
-
-def _seed_union(spark, seed_parts: list[DataFrame]) -> DataFrame:
-    """Union of the per-round seed sets — each part derives from a
-    localCheckpoint'ed round result, so the plan stays one shallow
-    union of materialized leaves."""
-    if not seed_parts:
-        return spark.createDataFrame([], "q long, q_seed boolean")
-    out = seed_parts[0]
-    for part in seed_parts[1:]:
         out = out.unionByName(part)
     return out
 
