@@ -79,7 +79,8 @@ def _shift_for(eps: int) -> int:
 def neighbor_pairs(points: DataFrame, eps: int,
                    point_id: str = "pid", x_col: str = "px",
                    y_col: str = "py",
-                   join_hint: str | None = None) -> DataFrame:
+                   join_hint: str | None = None,
+                   ordered: bool = False) -> DataFrame:
     """All ordered pairs (u, v) with d2(u, v) <= eps^2 — INCLUDING the
     self pair (u, u, 0), so a groupBy-count on u is the DBSCAN
     neighborhood size with the min_pts-includes-self convention.
@@ -87,12 +88,23 @@ def neighbor_pairs(points: DataFrame, eps: int,
     the local-contraction stage groups on (every pair lands in exactly
     one group; the reverse pair lands in u's home cell).
 
+    ``ordered=True`` is the HALF-PLANE variant for callers that want
+    each unordered conflict once, as (u, v, d2) with v < u and no
+    self pair: the probe explodes only the 5 half-plane offsets
+    {(0,0),(1,0),(1,1),(0,1),(-1,1)} instead of all 9 — the other 4
+    are these negated, so every adjacent distinct-cell pair matches
+    in exactly one orientation, and same-cell pairs (offset (0,0),
+    matched in both) keep the probe-id-larger one.  5/9 the join
+    volume and none of the matched rows discarded, vs building the
+    symmetric set and filtering v < u.
+
     ``join_hint`` pins the join strategy (e.g. "shuffle_hash") for
     callers whose inputs are stats-less checkpointed frames — left
-    alone, Catalyst's size estimate can pick a BROADCAST of the x9
-    probe side (a driver-built multi-million-row hashed relation;
-    measured 9 s at sf0.1 and an OOM at scale).  dbscan's own parquet-
-    derived inputs estimate correctly, so the default stays None."""
+    alone, Catalyst's size estimate can pick a BROADCAST of the
+    exploded probe side (a driver-built multi-million-row hashed
+    relation; measured 9 s at sf0.1 and an OOM at scale).  dbscan's
+    own parquet-derived inputs estimate correctly, so the default
+    stays None."""
     if eps <= 0:
         raise ValueError(f"eps must be positive, got {eps}")
     s = _shift_for(eps)
@@ -105,6 +117,31 @@ def neighbor_pairs(points: DataFrame, eps: int,
         F.col("py").alias("vy"),
         F.shiftright("px", s).alias("cx"),
         F.shiftright("py", s).alias("cy"))
+    if ordered:
+        offs = F.array(*[F.struct(F.lit(dx).alias("dx"),
+                                  F.lit(dy).alias("dy"))
+                         for dx, dy in ((0, 0), (1, 0), (1, 1),
+                                        (0, 1), (-1, 1))])
+        probe = (
+            pts.withColumn("_o", F.explode(offs))
+               .select(
+                   (F.shiftright("px", s) + F.col("_o.dx")).alias("cx"),
+                   (F.shiftright("py", s) + F.col("_o.dy")).alias("cy"),
+                   F.col("pid").alias("u"), F.col("px").alias("ux"),
+                   F.col("py").alias("uy"),
+                   ((F.col("_o.dx") == 0) & (F.col("_o.dy") == 0))
+                   .alias("_same")))
+        dx = F.col("ux") - F.col("vx")
+        dy = F.col("uy") - F.col("vy")
+        if join_hint is not None:
+            probe = probe.hint(join_hint)
+        return (
+            probe.join(home, ["cx", "cy"])
+            .where(~F.col("_same") | (F.col("u") > F.col("v")))
+            .withColumn("d2", dx * dx + dy * dy)
+            .where(F.col("d2") <= eps * eps)
+            .select(F.greatest("u", "v").alias("u"),
+                    F.least("u", "v").alias("v"), "d2"))
     off = F.array(*[F.lit(d) for d in (-1, 0, 1)])
     probe = (
         pts.withColumn("_dx", F.explode(off))

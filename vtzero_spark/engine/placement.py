@@ -19,13 +19,15 @@ Scale shape (the 100 TB story): the conflict join is cell-bucketed
 exactly like the radius joins — each box lands in the home cell of
 its CENTER with cell side 2^s >= the corpus' max box EXTENT (width or
 height), so any two overlapping boxes sit within one cell of each
-other in both axes and the 3x3 probe is complete; the refine is four
+other in both axes and the half-plane probe (5 of 9 neighbor offsets)
+is complete, building each unordered pair once; the refine is four
 int64 comparisons in codegen.  The max extent is one map-side-combined
 scalar aggregate (a single driver value, the knn-density discipline —
 not a data collect).  The greedy order then resolves through the SAME
 shared wavefront as supercluster (``supercluster.wavefront_mis``):
-one join + one min-agg per round, pair set anti-joined down and
-localCheckpoint'ed each round, dense stacks decide in two rounds,
+rounds 1+2 fused into one flag-join pass, later rounds one min-agg
+over the pruned pairs alone, pair set anti-joined down and
+localCheckpoint'ed each round, dense stacks decide in the fused pass,
 progress guaranteed.  A z-ordered label corpus clusters heavily —
 the common round count is the supercluster one, O(log n) for
 hash-spread priorities.
@@ -51,9 +53,11 @@ def collision_pairs(labels: DataFrame, point_id: str = "pid",
     """Ordered conflict pairs (p, q), q < p, whose collision boxes
     (center +- half extents; w/h are FULL widths in world units)
     overlap closed-interval.  Cell-bucketed: home cell of the box
-    center, side 2^s >= max(w, h) over the corpus, 3x3 probe —
+    center, side 2^s >= max(w, h) over the corpus, half-plane probe
+    (5 of the 9 neighbor offsets; the other 4 are these negated) —
     complete, because two overlapping boxes' centers differ by at
-    most (w1+w2)/2 <= max extent <= cell side per axis."""
+    most (w1+w2)/2 <= max extent <= cell side per axis, and each
+    unordered pair is built exactly once."""
     # materialize the 5-long-column projection ONCE: the box frame is
     # read three times below (extent census, home side, probe side) —
     # without this, an expensive upstream (decode, synth) re-runs per
@@ -81,22 +85,31 @@ def collision_pairs(labels: DataFrame, point_id: str = "pid",
         F.col("h").alias("qh"),
         F.shiftright("px", s).alias("cx"),
         F.shiftright("py", s).alias("cy"))
-    off = F.array(*[F.lit(d) for d in (-1, 0, 1)])
-    probe = (lab.withColumn("_dx", F.explode(off))
-             .withColumn("_dy", F.explode(off))
+    # HALF-PLANE probe: 5 offsets instead of 9 — the other 4 are
+    # these negated, so every adjacent distinct-cell pair matches in
+    # exactly one orientation and same-cell pairs (offset (0,0),
+    # matched in both) keep the probe-id-larger one.  5/9 the join
+    # volume, no matched row discarded.
+    offs = F.array(*[F.struct(F.lit(dx).alias("dx"),
+                              F.lit(dy).alias("dy"))
+                     for dx, dy in ((0, 0), (1, 0), (1, 1),
+                                    (0, 1), (-1, 1))])
+    probe = (lab.withColumn("_o", F.explode(offs))
              .select(
-                 (F.shiftright("px", s) + F.col("_dx")).alias("cx"),
-                 (F.shiftright("py", s) + F.col("_dy")).alias("cy"),
+                 (F.shiftright("px", s) + F.col("_o.dx")).alias("cx"),
+                 (F.shiftright("py", s) + F.col("_o.dy")).alias("cy"),
                  F.col("pid").alias("p"), F.col("px").alias("x"),
                  F.col("py").alias("y"), F.col("w").alias("pw"),
-                 F.col("h").alias("ph")))
+                 F.col("h").alias("ph"),
+                 ((F.col("_o.dx") == 0) & (F.col("_o.dy") == 0))
+                 .alias("_same")))
     # closed-interval overlap on doubled coordinates (2*center +- w
     # stays integral for odd extents)
     ox = (F.abs(2 * F.col("x") - 2 * F.col("qx"))
           <= F.col("pw") + F.col("qw"))
     oy = (F.abs(2 * F.col("y") - 2 * F.col("qy"))
           <= F.col("ph") + F.col("qh"))
-    # SHUFFLE_HASH: the probe side is exploded x9 and the home side is
+    # SHUFFLE_HASH: the probe side is exploded x5 and the home side is
     # the full corpus — a self-join with no small side.  Left alone,
     # Catalyst broadcasts whichever side the (stats-less, checkpointed)
     # estimate undercounts — measured building a 4.1M-row hashed
@@ -104,8 +117,10 @@ def collision_pairs(labels: DataFrame, point_id: str = "pid",
     # scale.  The hint pins the dbscan discipline: both sides
     # hash-partition on the cell key.
     return (probe.hint("shuffle_hash").join(home, ["cx", "cy"])
-            .where((F.col("q") < F.col("p")) & ox & oy)
-            .select("p", "q"))
+            .where((~F.col("_same") | (F.col("p") > F.col("q")))
+                   & ox & oy)
+            .select(F.greatest("p", "q").alias("p"),
+                    F.least("p", "q").alias("q")))
 
 
 def place_labels(labels: DataFrame, point_id: str = "pid",

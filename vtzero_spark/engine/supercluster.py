@@ -24,8 +24,9 @@ Scale shape (the 100 TB story):
 
 1. Candidate pairs are the cell-bucketed radius SELF-join every other
    neighborhood operator here runs (``dbscan.neighbor_pairs``: one
-   home cell of side 2^s >= radius, 3x3 probe, int64 refine in
-   codegen) — pair volume is bounded by true neighborhood density.
+   home cell of side 2^s >= radius, half-plane probe building each
+   unordered conflict once, int64 refine in codegen) — pair volume
+   is bounded by true neighborhood density.
 2. The greedy order dependence resolves as a WAVEFRONT, not a scan:
    an undecided point p decides the moment the pairs can prove its
    status —
@@ -291,10 +292,11 @@ def greedy_cluster(points: DataFrame, radius: int,
         F.col(point_id).cast("long").alias("pid"),
         F.col(x_col).cast("long").alias("px"),
         F.col(y_col).cast("long").alias("py")).localCheckpoint(eager=True)
-    # ordered conflict pairs (p, q) with q < p and d2 <= radius^2;
-    # the reverse and self pairs from the cell join are dropped here
-    pairs = (neighbor_pairs(pts3, radius, join_hint="shuffle_hash")
-             .where(F.col("v") < F.col("u"))
+    # ordered conflict pairs (p, q) with q < p and d2 <= radius^2 —
+    # the half-plane probe builds each unordered conflict exactly
+    # once (5/9 the join volume of the symmetric set)
+    pairs = (neighbor_pairs(pts3, radius, join_hint="shuffle_hash",
+                            ordered=True)
              .select(F.col("u").alias("p"), F.col("v").alias("q"))
              .localCheckpoint(eager=True))
     return wavefront_mis(pts3.select("pid"), pairs, max_rounds=max_rounds,
