@@ -212,3 +212,22 @@ def test_local_contraction_matches_flat_components(spark):
     ys = np.zeros(n, dtype=np.int64)
     got = run_spark(spark, np.arange(n) + 100, xs, ys, 7, 2)
     assert (got.component == 100).all() and got.is_core.all()
+
+
+def test_half_plane_ordered_pairs_match_symmetric(spark, sf_dir):
+    """ordered=True (5-offset half-plane probe, each unordered pair
+    once) yields EXACTLY the symmetric 3x3 pair set filtered to
+    v < u — incl. same-cell, cross-cell, boundary-tie (d2 == eps^2),
+    and co-located duplicate positions."""
+    rng = [(i, (i * 1103515245 + 12345) % 3000,
+            (i * 69069 + 1) % 3000) for i in range(1, 301)]
+    rng += [(500, 70, 70), (501, 70, 70), (502, 70, 70)]  # co-located
+    df = spark.createDataFrame(rng, "pid long, px long, py long")
+    for eps in (60, 250):
+        sym = (D.neighbor_pairs(df, eps)
+               .where(F.col("v") < F.col("u"))
+               .select("u", "v", "d2").toPandas())
+        half = D.neighbor_pairs(df, eps, ordered=True).toPandas()
+        a = set(map(tuple, sym.to_numpy().tolist()))
+        b = set(map(tuple, half.to_numpy().tolist()))
+        assert a == b and len(half) == len(b)  # no dup rows either
