@@ -86,6 +86,11 @@ from pyspark.sql import DataFrame, functions as F
 from .dbscan import neighbor_pairs
 from .synth import EXTENT, WORLD
 
+# row bound under which an id-keyed narrow build side broadcasts
+# (~64 MB of (long, long) rows — comfortably executor-sized; every
+# use pairs it with a COUNTED bound, never an estimate)
+_BCAST_ROWS = 4_000_000
+
 
 def wavefront_mis(pts: DataFrame, pairs: DataFrame,
                   max_rounds: int = 64,
@@ -126,10 +131,9 @@ def wavefront_mis(pts: DataFrame, pairs: DataFrame,
     # the id-keyed build sides (probe-id census, per-round decisions)
     # are bounded by the frame the census measured, so broadcast them
     # while that bound fits an executor — shuffle joins past it
-    BCAST_ROWS = 4_000_000  # ~64 MB of (long, bool) rows
 
     def _maybe_b(df: DataFrame, bound: int) -> DataFrame:
-        return F.broadcast(df) if bound <= BCAST_ROWS else df
+        return F.broadcast(df) if bound <= _BCAST_ROWS else df
 
     rounds = 0
     while n_und > 0:
@@ -380,6 +384,7 @@ def supercluster_hierarchy(points: DataFrame, radius: int,
     edge_parts: list[DataFrame] = []
     for z in range(max_zoom - 1, min_zoom - 1, -1):
         r_z = radius << (max_zoom - 1 - z)
+        n_items = items.count()  # cheap: items is checkpointed
         lab = greedy_cluster(items, r_z, max_rounds=max_rounds,
                              serial_cap=serial_cap)
         edge_parts.append(lab.select(
@@ -388,7 +393,13 @@ def supercluster_hierarchy(points: DataFrame, radius: int,
             F.col("assign").alias("parent_id")))
         vaggs = [F.sum("sum_v").alias("sum_v")] \
             if value_col is not None else []
-        items = (items.join(lab.select("pid", "assign"), "pid")
+        # the label side is one (pid, assign) row per item — counted,
+        # so broadcast it under the same tier the wavefront uses and
+        # the rollup join goes map-side (the groupBy still shuffles)
+        side = lab.select("pid", "assign")
+        if n_items <= _BCAST_ROWS:
+            side = F.broadcast(side)
+        items = (items.join(side, "pid")
                  .groupBy(F.col("assign").alias("pid"))
                  .agg(F.sum("n_points").alias("n_points"),
                       F.sum("sum_x").alias("sum_x"),
