@@ -99,21 +99,43 @@ def transfer_edges(verts: DataFrame, eps: int) -> DataFrame:
         F.col("vx").alias("bx"), F.col("vy").alias("by"),
         F.expr(f"vx div {cell}").alias("cx"),
         F.expr(f"vy div {cell}").alias("cy"))
-    off = F.array(*[F.lit(d) for d in (-1, 0, 1)])
-    probe = (pts.withColumn("_dx", F.explode(off))
-             .withColumn("_dy", F.explode(off))
-             .select((F.expr(f"vx div {cell}") + F.col("_dx")).alias("cx"),
-                     (F.expr(f"vy div {cell}") + F.col("_dy")).alias("cy"),
+    # HALF-PLANE probe (the supercluster/placement s20 pattern): 5 of
+    # the 9 neighbor offsets — the other 4 are these negated — so
+    # each unordered vertex pair matches once (same-cell pairs keep
+    # the probe-nid-larger one); orientation then NORMALIZES to the
+    # road order (src rides the smaller road id), which keeps the
+    # min-struct tie-break bit-identical to the symmetric build
+    offs = F.array(*[F.struct(F.lit(dx_).alias("dx"),
+                              F.lit(dy_).alias("dy"))
+                     for dx_, dy_ in ((0, 0), (1, 0), (1, 1),
+                                      (0, 1), (-1, 1))])
+    probe = (pts.withColumn("_o", F.explode(offs))
+             .select((F.expr(f"vx div {cell}") + F.col("_o.dx")).alias("cx"),
+                     (F.expr(f"vy div {cell}") + F.col("_o.dy")).alias("cy"),
                      F.col("nid").alias("src"), F.col("road_id").alias("ra"),
-                     F.col("vx").alias("ax"), F.col("vy").alias("ay")))
+                     F.col("vx").alias("ax"), F.col("vy").alias("ay"),
+                     ((F.col("_o.dx") == 0) & (F.col("_o.dy") == 0))
+                     .alias("_same")))
     dx = F.col("ax") - F.col("bx")
     dy = F.col("ay") - F.col("by")
+    fwd = F.col("ra") < F.col("rb")
     best = (probe.join(home, ["cx", "cy"])
-            .where((F.col("ra") < F.col("rb"))
+            .where((F.col("ra") != F.col("rb"))
+                   # same-cell orientation dedup; equal nids (two
+                   # roads sharing the exact coordinate — the w=0
+                   # true intersections) tie-break on road order
+                   & (~F.col("_same") | (F.col("src") > F.col("dst"))
+                      | ((F.col("src") == F.col("dst"))
+                         & (F.col("ra") < F.col("rb"))))
                    & (dx * dx + dy * dy <= eps * eps))
-            .select("ra", "rb",
+            .select(F.least("ra", "rb").alias("ra"),
+                    F.greatest("ra", "rb").alias("rb"),
                     F.struct((F.abs(dx) + F.abs(dy)).alias("w"),
-                             F.col("src"), F.col("dst")).alias("_e"))
+                             F.when(fwd, F.col("src"))
+                             .otherwise(F.col("dst")).alias("src"),
+                             F.when(fwd, F.col("dst"))
+                             .otherwise(F.col("src")).alias("dst"))
+                    .alias("_e"))
             .groupBy("ra", "rb").agg(F.min("_e").alias("_e")))
     return best.select(F.col("_e.src").alias("src"),
                        F.col("_e.dst").alias("dst"),
@@ -290,10 +312,19 @@ def sssp(spark: SparkSession, segs: DataFrame, sources: DataFrame,
     seed = src.select(F.col("nid").alias("node"),
                       F.lit(0).cast("long").alias("dist"))
     dist = seed.localCheckpoint(eager=True)
+    n_dist = None
     if edges.count() <= merge_cap:
         labels = _dijkstra(edges.collect(), dist.collect())
+        import pandas as pd
+
+        # Arrow path, not a python Row list; the label count is known
+        # here, so the interpolation joins below can broadcast
+        n_dist = len(labels)
         dist = spark.createDataFrame(
-            [(int(n), int(d)) for n, d in labels.items()],
+            pd.DataFrame({"node": pd.Series(list(labels.keys()),
+                                            dtype="int64"),
+                          "dist": pd.Series(list(labels.values()),
+                                            dtype="int64")}),
             "node long, dist long")
     else:
         # the distributed tier adds the skip shortcuts (distance-
@@ -321,10 +352,20 @@ def sssp(spark: SparkSession, segs: DataFrame, sources: DataFrame,
             if frontier.limit(1).count() == 0:
                 break
     # interpolate every chain vertex from its bounding junctions;
-    # mid-chain sources also seed directly through their own nid
-    dl = dist.select(F.col("node").alias("lj"), F.col("dist").alias("_dl"))
-    dr = dist.select(F.col("node").alias("rj"), F.col("dist").alias("_dr"))
-    ds = dist.select(F.col("node").alias("nid"), F.col("dist").alias("_ds"))
+    # mid-chain sources also seed directly through their own nid.
+    # The Dijkstra tier KNOWS the label count (driver-sized by the
+    # merge_cap check), so its junction-sized sides broadcast and the
+    # vertex-sized chain never shuffles for these three joins
+    def _b(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if n_dist is not None \
+            and n_dist <= 4_000_000 else df
+
+    dl = _b(dist.select(F.col("node").alias("lj"),
+                        F.col("dist").alias("_dl")))
+    dr = _b(dist.select(F.col("node").alias("rj"),
+                        F.col("dist").alias("_dr")))
+    ds = _b(dist.select(F.col("node").alias("nid"),
+                        F.col("dist").alias("_ds")))
     out = (chain.join(dl, "lj", "left").join(dr, "rj", "left")
            .join(ds, "nid", "left")
            .select("vx", "vy",
