@@ -314,7 +314,11 @@ def sssp(spark: SparkSession, segs: DataFrame, sources: DataFrame,
     dist = seed.localCheckpoint(eager=True)
     n_dist = None
     if edges.count() <= merge_cap:
-        labels = _dijkstra(edges.collect(), dist.collect())
+        # Arrow transfer + namedtuples, not Row collect: at the 500k
+        # cap Row materialization alone costs seconds
+        labels = _dijkstra(
+            edges.toPandas().itertuples(index=False),
+            dist.toPandas().itertuples(index=False))
         import pandas as pd
 
         # Arrow path, not a python Row list; the label count is known
