@@ -240,15 +240,23 @@ def dbscan(points: DataFrame, eps: int, min_pts: int,
                 a = parent[a]
             return a
 
-        for row in star.collect():
-            ra, rb = dfind(row.rmin), dfind(row.lroot)
+        sp = star.toPandas()  # Arrow, not Row collect (500k cap)
+        for ra_, rb_ in zip(sp["rmin"].to_numpy(),
+                            sp["lroot"].to_numpy()):
+            ra, rb = dfind(int(ra_)), dfind(int(rb_))
             if ra != rb:
                 if ra < rb:
                     parent[rb] = ra
                 else:
                     parent[ra] = rb
+        import pandas as pd
+
+        keys = list(parent)
         root_comp = spark.createDataFrame(
-            [(int(r), int(dfind(r))) for r in parent],
+            pd.DataFrame({
+                "lroot": pd.Series(keys, dtype="int64"),
+                "component": pd.Series([dfind(k) for k in keys],
+                                       dtype="int64")}),
             "lroot long, component long")
     else:
         root_comp = neardup_components(
