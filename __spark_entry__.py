@@ -691,8 +691,9 @@ def q_supercluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexicographically-first maximal independent set of the radius
     graph, every point joins its min-id seed neighbor — resolved as a
     distributed WAVEFRONT over the cell-bucketed radius self-join
-    (dense blobs decide in two rounds; the pair set shrinks and is
-    localCheckpoint'ed every round). Output is the exact cluster
+    (rounds 1+2 fused into one flag-join pass, dense blobs decide
+    there; the pair set shrinks and is localCheckpoint'ed every
+    round). Output is the exact cluster
     rollup (integer member sums + grid-quantized centroid),
     hash-matched against a DuckDB recursive-CTE oracle that iterates
     the SAME wavefront rule with the decided set riding each recursion
