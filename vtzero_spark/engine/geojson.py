@@ -259,7 +259,14 @@ def geojson_to_tiles(lines: DataFrame, zoom: int, extent: int,
     Rows whose JSON failed to parse are dropped (upstream keeps them
     as status rows via parse_geojson on the same input).
     """
-    p = parse_geojson(lines, col=col).where(F.col("parts").isNotNull())
+    # NO parts-notnull filter here: Catalyst pushes that predicate —
+    # substituting the full format_string/JSON-parse expression —
+    # through every project/aggregate down INTO the source scan,
+    # so the parse runs twice (once per raw row in the scan's
+    # DataFilter, once in the projection); measured 12.1 -> 3.6 s at
+    # sf0.1.  Unparseable rows carry a null bbox and fan out to ZERO
+    # tiles via _rng's null guard — same drop, no pushdown tax.
+    p = parse_geojson(lines, col=col)
     return world_features_to_tiles(p, zoom, extent, buffer=buffer,
                                    layer=layer,
                                    coalesce_lines=coalesce_lines)
@@ -298,9 +305,17 @@ def world_features_to_tiles(p: DataFrame, zoom: int, extent: int,
     # steps DOWN, inventing out-of-grid tile addresses. Guard each
     # axis: no overlap with the grid -> empty fan-out, feature dropped.
     def _rng(lo: Column, hi: Column) -> Column:
-        lo = F.greatest(F.lit(0), lo)
-        hi = F.least(F.lit(n_tiles - 1), hi)
-        return F.when(lo <= hi, F.sequence(lo, hi)) \
+        # greatest/least SKIP nulls (greatest(0, NULL) = 0), so a
+        # null bbox (unparseable feature) must short-circuit to the
+        # empty fan-out explicitly — this guard is what lets the
+        # ingest run with NO filter on the parsed column (see
+        # geojson_to_tiles: a parts-notnull filter gets predicate-
+        # pushed into the source scan, re-running the whole JSON
+        # parse chain per raw input row — measured 3.3x the query)
+        lo2 = F.greatest(F.lit(0), lo)
+        hi2 = F.least(F.lit(n_tiles - 1), hi)
+        return F.when(lo.isNotNull() & hi.isNotNull() & (lo2 <= hi2),
+                      F.sequence(lo2, hi2)) \
             .otherwise(F.array().cast("array<long>"))
 
     tx = _rng(F.expr(f"(_x0 - {buffer}) div {extent}"),
