@@ -476,3 +476,66 @@ def test_fanout_boundary_property_sweep(spark):
     key = lambda rs: sorted((r["z"], r["x"], r["y"],
                              bytes(r["tile_bytes"])) for r in rs)
     assert key(rows) == key(again)
+
+
+def test_export_fast_path_matches_scalar_renderer(spark):
+    """The template-uniform batch fast path of export_geojson must be
+    byte-identical to the scalar _geometry_text walk — across geometry
+    types, multi-part features, donuts (mixed per-row winding, which
+    splits the skeleton subgroup), null ids, and a malformed row mixed
+    into an otherwise-uniform batch (which must fall back row-wise)."""
+    rows = []
+    fid = 0
+    for i in range(12):  # 12 uniform donuts, alternating ring winding
+        sq = np.array([[0, 0], [40, 0], [40, 40], [0, 40], [0, 0]]) + i
+        hole = sq[::-1] // 2 + 10
+        rings = [sq, hole] if i % 3 else [sq[::-1], hole[::-1]]
+        cmds = G.encode_geometry(G.GEOM_POLYGON, rings)
+        rows.append((0, 0, 0, "L0", fid, G.GEOM_POLYGON,
+                     [int(v) for v in cmds], 2 * len(cmds)))
+        fid += 1
+    for i in range(10):  # uniform 2-part linestrings
+        a = np.array([[0, 0], [10, i], [12, 5]])
+        b = np.array([[50, 50], [60, 60 + i]])
+        cmds = G.encode_geometry(G.GEOM_LINESTRING, [a, b])
+        rows.append((0, 0, 0, "L1", None if i % 4 == 0 else fid,
+                     G.GEOM_LINESTRING, [int(v) for v in cmds],
+                     2 * len(cmds)))
+        fid += 1
+    for i in range(9):  # uniform multipoints
+        pts = np.array([[i, 2 * i], [i + 7, 3]])
+        cmds = G.encode_geometry(G.GEOM_POINT, [pts])
+        rows.append((0, 0, 0, "L2", fid, G.GEOM_POINT,
+                     [int(v) for v in cmds], 2 * len(cmds)))
+        fid += 1
+    # one malformed row with the SAME length as nothing else (its own
+    # group) plus a short group (<8 rows, scalar fallback)
+    rows.append((0, 0, 0, "L3", fid, G.GEOM_POLYGON, [9, 9, 9], 6))
+    rows.append((0, 0, 0, "L3", fid + 1, G.GEOM_POINT,
+                 [int(v) for v in G.encode_geometry(
+                     G.GEOM_POINT, [np.array([[3, 4]])])], 6))
+    df = spark.createDataFrame(
+        rows,
+        "z long, x long, y long, layer_name string, feature_id long, "
+        "geom_type int, geometry array<long>, geometry_nbytes int")
+    got = geojson.export_geojson(df).toPandas() \
+        .sort_values("feature_id", na_position="first").reset_index(drop=True)
+    # scalar reference
+    exp_gj, exp_st = [], []
+    for r in rows:
+        try:
+            gtxt = geojson._geometry_text(
+                r[5], np.asarray(r[6], np.int64), r[7])
+            idt = "" if r[4] is None else '"id":%d,' % r[4]
+            exp_gj.append('{"type":"Feature",%s"properties":{},'
+                          '"geometry":%s}' % (idt, gtxt))
+            exp_st.append("ok")
+        except Exception as e:
+            exp_gj.append(None)
+            exp_st.append(f"{type(e).__name__}: {e}")
+    ref = pd.DataFrame({
+        "feature_id": [r[4] for r in rows],
+        "geojson": exp_gj, "status": exp_st}) \
+        .sort_values("feature_id", na_position="first").reset_index(drop=True)
+    assert list(got["geojson"]) == list(ref["geojson"])
+    assert list(got["status"]) == list(ref["status"])

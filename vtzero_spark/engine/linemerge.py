@@ -195,28 +195,34 @@ def merge_lines(features: DataFrame,
 
     out_schema = features.schema
 
-    # One part per row before the pandas kernel: Spark's arrow->pandas
-    # INPUT conversion materializes each parts cell as an ndarray, and
-    # a multi-part cell whose parts differ in length is ragged and
-    # raises (the repair.py mapInArrow lesson — here the cheap fix is
-    # to never hand the converter a multi-part cell). _pos keeps the
-    # within-feature part order, so the chain materialization stays
-    # deterministic; per-feature accumulation dedups on
-    # feature_ordinal so exploding never double-counts.
+    # One part per row before the pandas kernel, carried as TWO flat
+    # long arrays (_xs, _ys) instead of an array<struct> cell: the
+    # arrow->pandas converter then hands the kernel clean int64
+    # ndarrays (a struct-array cell materializes one Python dict per
+    # VERTEX on the way in and needed one per vertex on the way out —
+    # measured ~3x the kernel wall on the contour chain corpus).
+    # _pos keeps the within-feature part order, so the chain
+    # materialization stays deterministic; per-feature accumulation
+    # dedups on feature_ordinal so exploding never double-counts.
+    passthrough = [c for c in cols if c != "parts"]
     lines = (lines
-             .select(*[c for c in cols if c != "parts"],
+             .select(*passthrough,
                      F.posexplode("parts").alias("_pos", "_part"))
-             .withColumn("parts", F.array("_part"))
+             .withColumn("_xs", F.transform("_part", lambda p: p["x"]))
+             .withColumn("_ys", F.transform("_part", lambda p: p["y"]))
              .drop("_part"))
+
+    kernel_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}"
+         for f in out_schema if f.name != "parts"]
+        + ["_cx array<array<bigint>>", "_cy array<array<bigint>>"])
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["feature_ordinal", "_pos"], kind="stable")
-        parts: list[np.ndarray] = []
-        for row_parts in pdf["parts"]:
-            for part in row_parts:
-                parts.append(np.array(
-                    [[pt["x"], pt["y"]] for pt in part], dtype=np.int64
-                ).reshape(-1, 2))
+        parts: list[np.ndarray] = [
+            np.stack((np.asarray(xs_, np.int64),
+                      np.asarray(ys_, np.int64)), axis=1)
+            for xs_, ys_ in zip(pdf["_xs"], pdf["_ys"])]
         chains = merge_group_parts(parts)
         merged = _materialize(parts, chains)
         per_feat = pdf.drop_duplicates(subset=["feature_ordinal"])
@@ -226,13 +232,21 @@ def merge_lines(features: DataFrame,
         row["feature_ordinal"] = pdf["feature_ordinal"].min()
         row["feature_id"] = fid
         row["geom_type"] = _LINESTRING
-        row["parts"] = [[{"x": int(x), "y": int(y)} for x, y in ch]
-                        for ch in merged]
+        row["_cx"] = [ch[:, 0] for ch in merged]
+        row["_cy"] = [ch[:, 1] for ch in merged]
         row.update(_accumulated(per_feat, acc))
         for c in cols:
-            if c not in row:
+            if c not in row and c != "parts":
                 row[c] = pdf.iloc[0][c]
-        return pd.DataFrame([row], columns=cols)
+        out_cols = [c for c in cols if c != "parts"] + ["_cx", "_cy"]
+        return pd.DataFrame([row], columns=out_cols)
 
-    merged = lines.groupBy(*keys).applyInPandas(fn, schema=out_schema)
+    merged = lines.groupBy(*keys).applyInPandas(fn, schema=kernel_schema)
+    # reassemble array<array<struct<x,y>>> in the JVM (zip_with is a
+    # pure codegen projection) and restore the caller's column order
+    parts_col = F.zip_with(
+        "_cx", "_cy",
+        lambda cx, cy: F.zip_with(
+            cx, cy, lambda x, y: F.struct(x.alias("x"), y.alias("y"))))
+    merged = merged.withColumn("parts", parts_col).select(*cols)
     return merged.unionByName(rest)

@@ -116,27 +116,100 @@ def transfer_edges(verts: DataFrame, eps: int) -> DataFrame:
                      F.col("vx").alias("ax"), F.col("vy").alias("ay"),
                      ((F.col("_o.dx") == 0) & (F.col("_o.dy") == 0))
                      .alias("_same")))
-    dx = F.col("ax") - F.col("bx")
-    dy = F.col("ay") - F.col("by")
-    fwd = F.col("ra") < F.col("rb")
-    best = (probe.join(home, ["cx", "cy"])
-            .where((F.col("ra") != F.col("rb"))
-                   # same-cell orientation dedup; equal nids (two
-                   # roads sharing the exact coordinate — the w=0
-                   # true intersections) tie-break on road order
-                   & (~F.col("_same") | (F.col("src") > F.col("dst"))
-                      | ((F.col("src") == F.col("dst"))
-                         & (F.col("ra") < F.col("rb"))))
-                   & (dx * dx + dy * dy <= eps * eps))
-            .select(F.least("ra", "rb").alias("ra"),
-                    F.greatest("ra", "rb").alias("rb"),
-                    F.struct((F.abs(dx) + F.abs(dy)).alias("w"),
-                             F.when(fwd, F.col("src"))
-                             .otherwise(F.col("dst")).alias("src"),
-                             F.when(fwd, F.col("dst"))
-                             .otherwise(F.col("src")).alias("dst"))
-                    .alias("_e"))
-            .groupBy("ra", "rb").agg(F.min("_e").alias("_e")))
+
+    # The candidate set is quadratic in per-cell chain density (~63
+    # verts/cell at eps=1024 on the sf0.1 network -> ~80M JVM join
+    # rows, 5 s of the query wall). The SAME pairs are evaluated here
+    # as one numpy broadcast per cell (cogroup of probe x home on the
+    # cell key) with a per-cell partial min per road pair, so only
+    # road-pair partials (per cell) reach the final min-agg — the
+    # guide §4.2 move: Spark keeps the distribution/shuffle, numpy
+    # does the bulk arithmetic. Tie-breaking is bit-identical to the
+    # old JVM join (lexicographic (w, src, dst) after road-order
+    # normalization; pinned in tests/test_route.py).
+    e2 = eps * eps
+    out_schema = "ra long, rb long, w long, src long, dst long"
+    _BLK = 4  # 4x4 cells per cogroup task: amortizes the per-group
+    # Arrow/pandas conversion over 16 cells; the kernel still matches
+    # per exact cell inside, so the candidate set is unchanged
+
+    def _cell_pairs(_key, ppdf, hpdf):
+        import pandas as pd
+
+        empty = pd.DataFrame({c: np.array([], np.int64)
+                              for c in ("ra", "rb", "w", "src", "dst")})
+        if not len(ppdf) or not len(hpdf):
+            return empty
+        pkey = (ppdf["cx"].to_numpy(np.int64) << 32) \
+            + ppdf["cy"].to_numpy(np.int64)
+        hkey = (hpdf["cx"].to_numpy(np.int64) << 32) \
+            + hpdf["cy"].to_numpy(np.int64)
+        po = np.argsort(pkey, kind="stable")
+        ho = np.argsort(hkey, kind="stable")
+        pkey, hkey = pkey[po], hkey[ho]
+        ra = ppdf["ra"].to_numpy(np.int64)[po]
+        src = ppdf["src"].to_numpy(np.int64)[po]
+        ax = ppdf["ax"].to_numpy(np.int64)[po]
+        ay = ppdf["ay"].to_numpy(np.int64)[po]
+        same = ppdf["_same"].to_numpy(bool)[po]
+        rb = hpdf["rb"].to_numpy(np.int64)[ho]
+        dst = hpdf["dst"].to_numpy(np.int64)[ho]
+        bx = hpdf["bx"].to_numpy(np.int64)[ho]
+        by = hpdf["by"].to_numpy(np.int64)[ho]
+        outs = []
+        cells = np.unique(pkey)
+        ps = np.searchsorted(pkey, cells)
+        pe = np.searchsorted(pkey, cells, side="right")
+        hs = np.searchsorted(hkey, cells)
+        he = np.searchsorted(hkey, cells, side="right")
+        for k in range(len(cells)):
+            p0, p1, h0, h1 = ps[k], pe[k], hs[k], he[k]
+            if p1 == p0 or h1 == h0:
+                continue
+            i_ = slice(p0, p1)
+            j_ = slice(h0, h1)
+            dx = ax[i_, None] - bx[None, j_]
+            dy = ay[i_, None] - by[None, j_]
+            ok = ((ra[i_, None] != rb[None, j_])
+                  & (~same[i_, None] | (src[i_, None] > dst[None, j_])
+                     | ((src[i_, None] == dst[None, j_])
+                        & (ra[i_, None] < rb[None, j_])))
+                  & (dx * dx + dy * dy <= e2))
+            ii, jj = np.nonzero(ok)
+            if not len(ii):
+                continue
+            ii, jj = ii + p0, jj + h0
+            w = np.abs(ax[ii] - bx[jj]) + np.abs(ay[ii] - by[jj])
+            fwd = ra[ii] < rb[jj]
+            outs.append((np.minimum(ra[ii], rb[jj]),
+                         np.maximum(ra[ii], rb[jj]), w,
+                         np.where(fwd, src[ii], dst[jj]),
+                         np.where(fwd, dst[jj], src[ii])))
+        if not outs:
+            return empty
+        era = np.concatenate([o[0] for o in outs])
+        erb = np.concatenate([o[1] for o in outs])
+        w = np.concatenate([o[2] for o in outs])
+        esrc = np.concatenate([o[3] for o in outs])
+        edst = np.concatenate([o[4] for o in outs])
+        order = np.lexsort((edst, esrc, w, erb, era))
+        era, erb = era[order], erb[order]
+        w, esrc, edst = w[order], esrc[order], edst[order]
+        first = np.r_[True, (era[1:] != era[:-1]) | (erb[1:] != erb[:-1])]
+        return pd.DataFrame({"ra": era[first], "rb": erb[first],
+                             "w": w[first], "src": esrc[first],
+                             "dst": edst[first]})
+
+    probe_b = probe.withColumns({"_bx": F.expr(f"cx div {_BLK}"),
+                                 "_by": F.expr(f"cy div {_BLK}")})
+    home_b = home.withColumns({"_bx": F.expr(f"cx div {_BLK}"),
+                               "_by": F.expr(f"cy div {_BLK}")})
+    part = probe_b.groupBy("_bx", "_by").cogroup(
+        home_b.groupBy("_bx", "_by")).applyInPandas(_cell_pairs,
+                                                    out_schema)
+    best = part.groupBy("ra", "rb").agg(
+        F.min(F.struct(F.col("w"), F.col("src"), F.col("dst")))
+        .alias("_e"))
     return best.select(F.col("_e.src").alias("src"),
                        F.col("_e.dst").alias("dst"),
                        F.col("_e.w").alias("w"))
@@ -197,6 +270,11 @@ def contracted_graph(segs: DataFrame, transfer_eps: int = 64,
             w.rowsBetween(0, Window.unboundedFollowing)))
          .withColumn("rj", F.first(jnid, ignorenulls=True).over(
             w.rowsBetween(0, Window.unboundedFollowing))))
+    # edges, skips AND chain all derive from this annotated vertex
+    # table; without the checkpoint each consumer re-runs the join +
+    # double-window subtree (measured twice ~2.5 s each at sf0.1 —
+    # the chain and edge checkpoints in sssp() were recomputing it)
+    v = v.localCheckpoint(eager=True)
     chain = v.select("road_id", "pos", "vx", "vy", "nid",
                      "lj", "lpos", "rj", "rpos")
     # contracted edges: consecutive junctions along each road, PLUS

@@ -137,42 +137,65 @@ def wavefront_mis(pts: DataFrame, pairs: DataFrame,
 
     rounds = 0
     while n_und > 0:
-        if n_und <= serial_cap and n_pairs <= serial_cap:
+        # pair rows are three fixed-width longs (~24 B) — a quarter
+        # of the widest row the 500k-point cap was sized for — so the
+        # pair side of the bounded collect admits 4x the rows at the
+        # SAME byte bound; tier equality is unchanged (pytest-pinned
+        # serial==distributed with serial_cap=0)
+        if n_und <= serial_cap and n_pairs <= 4 * serial_cap:
             # bounded-collect tier: the residual subproblem is
             # exactly (und, pairs-with-q_seed) — each bounded by
             # serial_cap by the check above.  Arrow/pandas transfer,
             # not Row collect; the q_seed flag makes this a pure
-            # pandas computation (zero further Spark jobs)
-            pp = pairs.toPandas()
-            flags = pp["q_seed"].eq(True).to_numpy(dtype=bool)
-            conf: dict[int, list[tuple[int, bool]]] = {}
-            for p_, q_, f_ in zip(pp["p"].to_numpy(),
-                                  pp["q"].to_numpy(), flags):
-                conf.setdefault(int(p_), []).append((int(q_), bool(f_)))
-            newly: set[int] = set()
-            o_pid: list[int] = []
-            o_seed: list[bool] = []
-            o_assign: list[int] = []
-            for p in sorted(int(v) for v in und.toPandas()["pid"]):
-                blocker = min((q for q, f in conf.get(p, ())
-                               if f or q in newly), default=None)
-                o_pid.append(p)
-                if blocker is None:
-                    newly.add(p)
-                    o_seed.append(True)
-                    o_assign.append(p)
-                else:
-                    o_seed.append(False)
-                    o_assign.append(blocker)
+            # numpy computation (zero further Spark jobs).  The sweep
+            # is sorted-array based: pairs lexsort by (p, q) so each
+            # probe's conflicts are a contiguous ascending-q run, and
+            # the walk takes the FIRST blocking q (== the min, since
+            # runs are sorted) and breaks — total work is bounded by
+            # pairs scanned up to each point's first blocker, not by
+            # a full dict build over every pair (measured 2-3x off
+            # the old dict/set sweep at the 500k cap).
+            import numpy as np
             import pandas as pd
 
-            # Arrow path (pandas in, not a python Row list): at the
-            # 500k cap Row conversion alone costs seconds
+            pp = pairs.toPandas()
+            und_ids = np.sort(und.toPandas()["pid"].to_numpy(np.int64))
+            n_ids = len(und_ids)
+            p_arr = pp["p"].to_numpy(np.int64)
+            q_arr = pp["q"].to_numpy(np.int64)
+            flags = pp["q_seed"].eq(True).to_numpy(dtype=bool)
+            order = np.lexsort((q_arr, p_arr))
+            p_s, q_s, f_s = p_arr[order], q_arr[order], flags[order]
+            starts = np.flatnonzero(
+                np.r_[True, p_s[1:] != p_s[:-1]]) if len(p_s) else \
+                np.empty(0, np.int64)
+            ends = np.r_[starts[1:], len(p_s)] if len(starts) else starts
+            gp = p_s[starts] if len(starts) else p_s
+            # probes are undecided by the pruning invariant; non-
+            # flagged targets are undecided too, so searchsorted is an
+            # exact index for every q the seed[] lookup ever touches
+            # (flagged targets short-circuit before the lookup)
+            pos = np.searchsorted(und_ids, gp)
+            qidx = np.minimum(np.searchsorted(und_ids, q_s),
+                              max(n_ids - 1, 0))
+            # no-probe points seed unconditionally (no smaller
+            # conflict); probe points start as seeds and get blocked
+            # in ascending-pid order — every q < p is already decided
+            # when p is visited, exactly the sequential sweep
+            seed = np.ones(n_ids, bool)
+            assign = und_ids.copy()
+            for k in range(len(gp)):
+                for j in range(starts[k], ends[k]):
+                    if f_s[j] or (und_ids[qidx[j]] == q_s[j]
+                                  and seed[qidx[j]]):
+                        i = pos[k]
+                        seed[i] = False
+                        assign[i] = q_s[j]
+                        break
             decided_parts.append(spark.createDataFrame(
-                pd.DataFrame({"pid": pd.Series(o_pid, dtype="int64"),
-                              "seed": o_seed,
-                              "assign": pd.Series(o_assign,
-                                                  dtype="int64")}),
+                pd.DataFrame({"pid": pd.Series(und_ids),
+                              "seed": seed,
+                              "assign": pd.Series(assign)}),
                 schema))
             break
         rounds += 2 if rounds == 0 and max_rounds >= 2 else 1
