@@ -902,10 +902,16 @@ def q_mosaic_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vtzero_spark.engine import mosaic as mosaicmod
     from vtzero_spark.engine.payload import with_image_bytes
 
-    img = with_image_bytes(
-        synth.images(spark, sf_dir).where(F.col("iid") % 16 == 1))
+    # payload attaches AFTER winner selection (mosaic_tiles' attach
+    # hook): the synthesis stage is opaque to Catalyst, so a
+    # bytes-carrying input would synthesize every corpus row twice
+    # (selection scan + fetch join) instead of <= tiles x grid^2
+    # winners; output is bit-identical (same winners, same per-iid
+    # payload function — tests/test_mosaic.py)
+    img = synth.images(spark, sf_dir).where(F.col("iid") % 16 == 1)
     return mosaicmod.mosaic_tiles(
-        img, zoom=2, extent=16384, thumb=16, grid=8
+        img, zoom=2, extent=16384, thumb=16, grid=8,
+        attach=with_image_bytes
     ).select("z", "x", "y", "n_images", "n_failed",
              F.octet_length("png").alias("png_size"))
 

@@ -154,3 +154,22 @@ def test_argmin_winner_rule_pinned(spark):
     got = PNG.decode_rgb8(bytes(rows[0]["png"]))
     want = thumbnail(decode_payload(pdf["bytes"][1], "png"), 4)
     assert np.array_equal(got[:4, :4], want)
+
+
+def test_attach_hook_is_byte_identical(spark, sf_dir):
+    """mosaic_tiles(attach=...) (payload attached to winners only)
+    must reproduce the bytes-first path exactly."""
+    from pyspark.sql import functions as F
+    from vtzero_spark.engine.payload import with_image_bytes
+
+    raw = synth.images(spark, sf_dir).where(F.col("iid") % 16 == 1)
+    old = mosaic_tiles(with_image_bytes(raw), zoom=2,
+                       extent=16384, thumb=16, grid=8)
+    new = mosaic_tiles(raw, zoom=2, extent=16384, thumb=16,
+                       grid=8, attach=with_image_bytes)
+    cols = ["z", "x", "y", "n_images", "n_failed"]
+    o = sorted(tuple(r) for r in old.select(
+        *cols, F.md5("png").alias("h")).collect())
+    n = sorted(tuple(r) for r in new.select(
+        *cols, F.md5("png").alias("h")).collect())
+    assert o == n and len(o) > 0

@@ -278,3 +278,24 @@ def test_hierarchy_leaves_and_expansion_zooms(spark):
         if nch.get((z - 1, c), 0) > 1:
             carried_id_seen += 1  # a seed child below its own split
     assert split_seen and unsplit_seen and carried_id_seen
+
+
+def test_serial_radius_pairs_equal_cell_join_pairs(spark):
+    """The driver-tier vectorized pair build must produce EXACTLY the
+    pair set of the distributed cell join (ordered half-plane probe),
+    across radii that exercise same-cell, cross-cell and boundary-
+    inclusive pairs."""
+    import numpy as np
+    from vtzero_spark.engine.dbscan import neighbor_pairs
+
+    pts = _lcg_pts(600)
+    df = spark.createDataFrame(pts, "pid long, px long, py long")
+    pid = np.array([p[0] for p in pts], np.int64)
+    px = np.array([p[1] for p in pts], np.int64)
+    py = np.array([p[2] for p in pts], np.int64)
+    for radius in (5, 90, 300, 1000):
+        jvm = {(r["u"], r["v"]) for r in neighbor_pairs(
+            df, radius, ordered=True).select("u", "v").collect()}
+        p_arr, q_arr = sc._serial_radius_pairs(pid, px, py, radius)
+        drv = set(zip(p_arr.tolist(), q_arr.tolist()))
+        assert drv == jvm, f"radius {radius}: pair sets differ"

@@ -959,21 +959,43 @@ def _bad_feature_status(tags, nk: int, nv: int,
 
 
 def _resolve_layer_tags(feats, tabs: _LayerValueTables):
-    """Vectorized tag resolution for one layer: all features' tag pairs
-    are concatenated and validated with array ops (the columnar analog
-    of feature.hpp:298-311 create_properties_map). Returns
-    (kept_key_idx, kept_val_idx, per-feature kept-pair counts,
-    per-feature status list, per-feature bad mask); rare bad features
-    get their exact message from the scalar fallback."""
+    """Vectorized tag resolution for one layer (per-feature objects
+    in): see _resolve_tags_core."""
     nf = len(feats)
+    npairs = np.fromiter((f.tags.size >> 1 for f in feats), np.int64, nf)
+    if int(npairs.sum()) == 0:
+        flat = np.empty(0, np.uint64)
+    else:
+        flat = np.concatenate(
+            [np.asarray(f.tags, np.uint64) for f in feats])
+    return _resolve_tags_core(flat, npairs, tabs,
+                              lambda j: feats[j].tags)
+
+
+def _resolve_layer_tags_block(tflat, toff, tabs: _LayerValueTables):
+    """Vectorized tag resolution over a columnar feature block
+    (tile.parse_features_block arrays in): see _resolve_tags_core."""
+    npairs = np.diff(toff) >> 1
+    return _resolve_tags_core(
+        np.asarray(tflat, np.uint64), npairs, tabs,
+        lambda j: tflat[toff[j]:toff[j + 1]])
+
+
+def _resolve_tags_core(flat, npairs, tabs: _LayerValueTables, get_tags):
+    """Shared tag-resolution core: all features' tag pairs as ONE
+    flat array + per-feature pair counts, validated with array ops
+    (the columnar analog of feature.hpp:298-311
+    create_properties_map). Returns (kept_key_idx, kept_val_idx,
+    per-feature kept-pair counts, per-feature status list,
+    per-feature bad mask); rare bad features get their exact message
+    from the scalar fallback via ``get_tags``."""
+    nf = len(npairs)
     nk = len(tabs.keys_dec)
     nv = tabs.vtype.size
-    npairs = np.fromiter((f.tags.size >> 1 for f in feats), np.int64, nf)
     total = int(npairs.sum())
     if total == 0:
         return (np.empty(0, np.int64), np.empty(0, np.int64),
                 np.zeros(nf, np.int64), ["ok"] * nf, np.zeros(nf, bool))
-    flat = np.concatenate([np.asarray(f.tags, np.uint64) for f in feats])
     ki = flat[0::2]
     vi = flat[1::2]
     pair_feat = np.repeat(np.arange(nf), npairs)
@@ -987,7 +1009,7 @@ def _resolve_layer_tags(feats, tabs: _LayerValueTables):
     if featbad.any():
         for j in np.flatnonzero(featbad):
             statuses[j] = _bad_feature_status(
-                feats[j].tags, nk, nv, tabs.err_msgs)
+                get_tags(j), nk, nv, tabs.err_msgs)
     goodp = ~featbad[pair_feat]
     gki = ki[goodp].astype(np.int64)
     gvi = vi[goodp].astype(np.int64)
@@ -1171,12 +1193,25 @@ def _decode_tile_batches_arrow(batches, want_props: bool = False):
                 continue
             for li, lv in enumerate(views):
                 try:
-                    layer = T.parse_layer(lv)
+                    # columnar-first: the common emission pattern
+                    # parses straight to arrays (zero per-feature
+                    # objects); any deviation falls back to the exact
+                    # per-feature parsers — including their error
+                    # semantics (a feature-level FormatError aborts
+                    # the layer, caught right here as before)
+                    layer = T.parse_layer(lv, parse_features=False)
+                    fviews = layer.feature_views
+                    blk = T.parse_features_block(fviews)
+                    if blk is None:
+                        fast = T._parse_features_fast(fviews)
+                        feats = fast if fast is not None else \
+                            [T.parse_feature(fv) for fv in fviews]
+                    else:
+                        feats = None
                 except MVTError as e:
                     err_rows.append((z, x, y, li, f"{type(e).__name__}: {e}"))
                     continue
-                feats = layer.features
-                nf = len(feats)
+                nf = len(fviews)
                 if nf == 0:
                     continue
                 acc["z"].append(np.full(nf, z, np.int64))
@@ -1187,25 +1222,47 @@ def _decode_tile_batches_arrow(batches, want_props: bool = False):
                 acc["version"].append(np.full(nf, layer.version, np.int32))
                 acc["extent"].append(np.full(nf, layer.extent, np.int32))
                 acc["feature_ordinal"].append(np.arange(nf, dtype=np.int32))
-                acc["feature_id"].append([f.id for f in feats])
-                acc["geom_type"].append(
-                    np.fromiter((f.geom_type for f in feats), np.int32, nf))
-                geoms = [f.geometry for f in feats]
-                gflat_parts.append(
-                    np.concatenate(geoms).astype(np.int64) if geoms
-                    else np.empty(0, np.int64))
-                glens_parts.append(
-                    np.fromiter((g.size for g in geoms), np.int64, nf))
-                acc["geometry_nbytes"].append(
-                    np.fromiter((f.geometry_nbytes for f in feats),
-                                np.int32, nf))
-                acc["num_properties"].append(
-                    np.fromiter((f.tags.size // 2 for f in feats),
-                                np.int32, nf))
+                if blk is not None:
+                    acc["feature_id"].append((blk["ids"],
+                                              ~blk["has_id"]))
+                    acc["geom_type"].append(
+                        blk["gtypes"].astype(np.int32))
+                    gflat_parts.append(blk["gflat"].astype(np.int64))
+                    glens_parts.append(np.diff(blk["goff"]))
+                    acc["geometry_nbytes"].append(
+                        blk["gnb"].astype(np.int32))
+                    acc["num_properties"].append(
+                        (np.diff(blk["toff"]) >> 1).astype(np.int32))
+                else:
+                    ids_l = [f.id for f in feats]
+                    acc["feature_id"].append((
+                        np.array([0 if v is None else v for v in ids_l],
+                                 np.int64),
+                        np.array([v is None for v in ids_l], bool)))
+                    acc["geom_type"].append(
+                        np.fromiter((f.geom_type for f in feats),
+                                    np.int32, nf))
+                    geoms = [f.geometry for f in feats]
+                    gflat_parts.append(
+                        np.concatenate(geoms).astype(np.int64) if geoms
+                        else np.empty(0, np.int64))
+                    glens_parts.append(
+                        np.fromiter((g.size for g in geoms), np.int64, nf))
+                    acc["geometry_nbytes"].append(
+                        np.fromiter((f.geometry_nbytes for f in feats),
+                                    np.int32, nf))
+                    acc["num_properties"].append(
+                        np.fromiter((f.tags.size // 2 for f in feats),
+                                    np.int32, nf))
                 if want_props:
                     tabs = _LayerValueTables(layer)
-                    kki, kvi, counts, statuses, featbad = \
-                        _resolve_layer_tags(feats, tabs)
+                    if blk is not None:
+                        kki, kvi, counts, statuses, featbad = \
+                            _resolve_layer_tags_block(
+                                blk["tflat"], blk["toff"], tabs)
+                    else:
+                        kki, kvi, counts, statuses, featbad = \
+                            _resolve_layer_tags(feats, tabs)
                     pair_k_parts.append(kki + key_base)
                     pair_v_parts.append(kvi + val_base)
                     counts_parts.append(counts)
@@ -1277,7 +1334,12 @@ def _decode_tile_batches_arrow(batches, want_props: bool = False):
                 elif name == "layer_name":
                     cols.append(_pa_str_array(
                         [v for ch in acc[name] for v in ch], pa))
-                elif name in ("decode_status", "feature_id"):
+                elif name == "feature_id":
+                    cols.append(pa.array(
+                        np.concatenate([ch[0] for ch in acc[name]]),
+                        typ,
+                        mask=np.concatenate([ch[1] for ch in acc[name]])))
+                elif name == "decode_status":
                     cols.append(pa.array(
                         [v for ch in acc[name] for v in ch], typ))
                 else:

@@ -98,9 +98,9 @@ def pip_join_cells(points: DataFrame, polys: DataFrame, level: int,
     column instead of (cell_x, cell_y)); identical result rows to
     joins.pip_join. The covering index is broadcast; the exact refine
     is the integer cross-product test from joins.py."""
-    from .joins import _convex_inside_expr
+    from .joins import _convex_inside_edges_expr, with_ring_edges
 
-    index = bbox_covering(polys, level, world)
+    index = with_ring_edges(bbox_covering(polys, level, world))
     pts = point_cells(points, level, world)
     # same scalar L-inf bbox prefilter as joins.pip_join: cull before
     # the ring-array refine (row-identical; bbox contains the ring)
@@ -109,8 +109,8 @@ def pip_join_cells(points: DataFrame, polys: DataFrame, level: int,
     return (
         pts.join(F.broadcast(index), "cell")
         .where(bbox)
-        .where(_convex_inside_expr("wx", "wy"))
-        .drop("cell")
+        .where(_convex_inside_edges_expr("wx", "wy"))
+        .drop("cell", "_edges")
     )
 
 

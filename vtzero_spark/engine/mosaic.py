@@ -63,7 +63,8 @@ from .tiling import EXTENT, ZOOM, assign_tiles
 
 def mosaic_tiles(images: DataFrame, zoom: int = ZOOM, extent: int = EXTENT,
                  thumb: int = 16, grid: int = 8,
-                 broadcast_winners: bool = True) -> DataFrame:
+                 broadcast_winners: bool = True,
+                 attach=None) -> DataFrame:
     """Render one ``grid*thumb``-px square PNG mosaic per zoom-``zoom``
     tile: the tile splits into ``grid x grid`` cells, each cell shows
     the ``thumb x thumb`` thumbnail of its deterministic winner (the
@@ -79,13 +80,26 @@ def mosaic_tiles(images: DataFrame, zoom: int = ZOOM, extent: int = EXTENT,
     ``broadcast_winners=False`` switches the fetch to a shuffle join
     for extreme zoom x occupancy where tiles x grid^2 winner rows
     outgrow a broadcast (e.g. a full zoom-12 pyramid).
+
+    ``attach``: optional callable attaching the ``bytes``/``fmt``
+    payload columns to a winner-filtered frame (e.g.
+    payload.with_image_bytes).  When given, ``images`` carries only
+    (iid, wx, wy[, attach inputs]) and the payload materializes for
+    the <= tiles x grid^2 WINNERS alone — the select-then-decode
+    contract extended through an opaque payload source: a Python
+    synthesis/fetch stage is a black box to Catalyst, so a
+    bytes-carrying input would pay the payload for every corpus row
+    on both the selection scan and the fetch join (measured 3x the
+    query at sf0.1).  Output is bit-identical (same winners, same
+    per-iid payload function; pinned in tests/test_mosaic.py).
     """
     if grid < 1 or thumb < 1:
         raise ValueError(f"grid={grid} and thumb={thumb} must be >= 1")
     t, g = int(thumb), int(grid)
 
+    sel = images.select("iid", "wx", "wy") if attach is None else images
     cells = (
-        assign_tiles(images.select("iid", "wx", "wy"),
+        assign_tiles(sel.select("iid", "wx", "wy"),
                      zoom=zoom, extent=extent)
         .withColumn("cx", F.expr(f"cast((loc_x * {g}) div {extent} as int)"))
         .withColumn("cy", F.expr(f"cast((loc_y * {g}) div {extent} as int)"))
@@ -96,7 +110,11 @@ def mosaic_tiles(images: DataFrame, zoom: int = ZOOM, extent: int = EXTENT,
     )
     if broadcast_winners:
         win_ids = F.broadcast(win_ids)
-    winners = images.select("iid", "bytes", "fmt").join(win_ids, "iid")
+    if attach is None:
+        winners = images.select("iid", "bytes", "fmt").join(win_ids, "iid")
+    else:
+        winners = attach(images.join(win_ids, "iid")) \
+            .select("iid", "bytes", "fmt", "z", "x", "y", "cx", "cy")
     # the fetch output is tiny (<= tiles x grid^2 rows) but inherits
     # the corpus' partitioning; spread so the Python decode stage
     # uses the whole cluster

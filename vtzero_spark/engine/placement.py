@@ -127,16 +127,72 @@ def place_labels(labels: DataFrame, point_id: str = "pid",
                  x_col: str = "px", y_col: str = "py",
                  w_col: str = "w", h_col: str = "h",
                  max_rounds: int = 64,
-                 serial_cap: int = 500_000) -> DataFrame:
+                 serial_cap: int = 500_000,
+                 n_labels: int | None = None) -> DataFrame:
     """Collision-free placement: one row per label with columns
     (pid, placed boolean, blocker long) — exact priority-greedy
     semantics (see the module docstring), resolved through the shared
-    supercluster wavefront."""
-    pts = labels.select(F.col(point_id).cast("long").alias("pid"))
-    pairs = collision_pairs(labels, point_id, x_col, y_col,
-                            w_col, h_col).localCheckpoint(eager=True)
+    supercluster wavefront.
+
+    Serial tier (the greedy_cluster bounded-collect discipline): the
+    5-column label frame collects ONCE when it fits ``serial_cap``
+    and both the overlap pairs and the greedy sweep run vectorized on
+    the driver — label-identical by construction (same pair set, same
+    closed form; sequential-parity pinned in tests).  Past the cap
+    the cell join + distributed wavefront run unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    from .supercluster import _serial_cell_pairs, _serial_sweep
+
+    lab5 = labels.select(
+        F.col(point_id).cast("long").alias("pid"),
+        F.col(x_col).cast("long").alias("px"),
+        F.col(y_col).cast("long").alias("py"),
+        F.col(w_col).cast("long").alias("w"),
+        F.col(h_col).cast("long").alias("h"))
+    lab_ck = None
+    if n_labels is None:
+        lab_ck = lab5.localCheckpoint(eager=True)
+        n_labels = lab_ck.count()
+    if 0 < n_labels <= serial_cap:
+        pp = (lab_ck if lab_ck is not None else lab5).toPandas()
+        pid = pp["pid"].to_numpy(np.int64)
+        px = pp["px"].to_numpy(np.int64)
+        py = pp["py"].to_numpy(np.int64)
+        w = pp["w"].to_numpy(np.int64)
+        h = pp["h"].to_numpy(np.int64)
+        if (w <= 0).any() or (h <= 0).any():
+            raise ValueError("label boxes need positive w and h")
+        ext = int(np.max(np.maximum(w, h)))
+        s = 0
+        while (1 << s) < ext:
+            s += 1
+
+        def refine(du, dv, ii, jj, ex):
+            w_s, h_s = ex
+            return ((np.abs(2 * du) <= w_s[ii] + w_s[jj])
+                    & (np.abs(2 * dv) <= h_s[ii] + h_s[jj]))
+
+        p_arr, q_arr = _serial_cell_pairs(pid, px, py, s, refine,
+                                          extras=(w, h))
+        und_ids = np.sort(pid)
+        seed, assign = _serial_sweep(
+            und_ids, p_arr, q_arr, np.zeros(len(p_arr), bool))
+        return labels.sparkSession.createDataFrame(
+            pd.DataFrame({"pid": pd.Series(und_ids), "placed": seed,
+                          "blocker": pd.Series(assign)}),
+            "pid long, placed boolean, blocker long")
+    pts = (lab_ck if lab_ck is not None else lab5).select("pid")
+    # lazy pair plan: the wavefront checkpoints it itself
+    pairs = collision_pairs(lab_ck if lab_ck is not None else labels,
+                            "pid" if lab_ck is not None else point_id,
+                            *(("px", "py", "w", "h")
+                              if lab_ck is not None
+                              else (x_col, y_col, w_col, h_col)))
     out = wavefront_mis(pts, pairs, max_rounds=max_rounds,
-                        serial_cap=serial_cap)
+                        serial_cap=serial_cap, n_points=n_labels,
+                        pairs_materialized=False)
     return out.select("pid", F.col("seed").alias("placed"),
                       F.col("assign").alias("blocker"))
 

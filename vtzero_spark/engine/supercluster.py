@@ -92,18 +92,104 @@ from .synth import EXTENT, WORLD
 _BCAST_ROWS = 4_000_000
 
 
+def _serial_sweep(und_ids, p_arr, q_arr, flags):
+    """The greedy sweep as VECTORIZED wavefront rounds on collected
+    arrays — the same round rule the distributed loop iterates (see
+    the module docstring), so the fixpoint is the sequential sweep's
+    closed form by the same argument, with zero per-pair Python:
+    each round computes per-probe min decided-seed / min undecided
+    targets with masked segment minima, decides every decidable
+    probe at once, and COMPRESSES the pair set (decided probes and
+    decided-non-seed targets drop), so total work is a geometric
+    series over shrinking arrays (measured ~5x off the per-pair
+    Python walk at the 457k/1.25M scale).  Returns (seed, assign)
+    aligned with the sorted ``und_ids``."""
+    import numpy as np
+
+    n_ids = len(und_ids)
+    seed = np.ones(n_ids, bool)
+    assign = und_ids.copy()
+    if not len(p_arr):
+        return seed, assign
+    INF = np.int64(1) << np.int64(62)
+    # state: 0 undecided, 1 seed, 2 non-seed (index space = und_ids)
+    state = np.zeros(n_ids, np.int8)
+    order = np.lexsort((q_arr, p_arr))
+    p_s, q_s, f_s = p_arr[order], q_arr[order], flags[order]
+    pidx = np.searchsorted(und_ids, p_s)
+    qpos = np.minimum(np.searchsorted(und_ids, q_s),
+                      max(n_ids - 1, 0))
+    q_in = und_ids[qpos] == q_s  # target still undecided at entry
+    # round 1 closed form: a point never appearing as probe has no
+    # smaller conflict and seeds
+    inp = np.zeros(n_ids, bool)
+    inp[pidx] = True
+    state[~inp] = 1
+    while True:
+        # per-pair target status under the CURRENT state
+        qseed = f_s | (q_in & (state[qpos] == 1))
+        qund = ~f_s & q_in & (state[qpos] == 0)
+        starts = np.flatnonzero(np.r_[True, p_s[1:] != p_s[:-1]])
+        gpos = pidx[starts]
+        min_seed = np.minimum.reduceat(
+            np.where(qseed, q_s, INF), starts)
+        min_und = np.minimum.reduceat(
+            np.where(qund, q_s, INF), starts)
+        absorb = (min_seed < INF) & (min_und > min_seed)
+        seeds_now = (min_seed == INF) & (min_und == INF)
+        if not (absorb.any() or seeds_now.any()):
+            # the progress guarantee (module docstring) makes this
+            # unreachable; fail loudly rather than return a partial
+            # labeling if an invariant is ever broken
+            raise RuntimeError(
+                f"serial wavefront stalled with {len(starts)} "
+                "undecided probes")
+        state[gpos[absorb]] = 2
+        assign[gpos[absorb]] = min_seed[absorb]
+        seed[gpos[absorb]] = False
+        state[gpos[seeds_now]] = 1
+        # compress: decided probes drop; decided-non-seed targets
+        # drop (they can never block); decided-seed targets fold
+        # into the flag so state[] is no longer consulted for them
+        qseed = f_s | (q_in & (state[qpos] == 1))
+        keep = (state[pidx] == 0) & (qseed
+                                     | (q_in & (state[qpos] == 0)))
+        # a still-undecided probe whose pairs ALL dropped has every
+        # smaller conflict decided non-seed -> it SEEDS (the
+        # distributed loop's per-round `pairless` anti-join rule);
+        # without this it would vanish from the compressed arrays
+        # undecided and stall its waiters
+        surv = np.add.reduceat(keep.astype(np.int64), starts)
+        lost = (state[gpos] == 0) & (surv == 0)
+        state[gpos[lost]] = 1
+        if not keep.any():
+            break
+        p_s, q_s, qpos, q_in = p_s[keep], q_s[keep], qpos[keep], \
+            q_in[keep]
+        f_s = qseed[keep]
+        pidx = pidx[keep]
+    return seed, assign
+
+
 def wavefront_mis(pts: DataFrame, pairs: DataFrame,
                   max_rounds: int = 64,
-                  serial_cap: int = 500_000) -> DataFrame:
+                  serial_cap: int = 500_000,
+                  n_points: int | None = None,
+                  pairs_materialized: bool = True) -> DataFrame:
     """The shared lex-first-MIS wavefront: given points (pid) and
     ordered CONFLICT pairs (p, q) with q < p — any symmetric conflict
     relation: radius balls (supercluster), collision boxes (label
     placement) — returns (pid, seed, assign) where the seed set is
     the lexicographically-first maximal independent set and every
     non-seed's ``assign`` is its min-id conflicting seed.  ``pairs``
-    must already be localCheckpoint'ed (the loop re-reads and shrinks
-    it every round).  See the module docstring for the round rule and
-    the progress guarantee.
+    must already be localCheckpoint'ed when ``pairs_materialized``
+    (the default; the loop re-reads and shrinks it every round) —
+    callers that hand a LAZY pair plan pass False, and the wavefront
+    first probes the serial tier optimistically (one limit-guarded
+    collect, no checkpoint, no count jobs) before materializing
+    anything.  ``n_points`` skips the point-count job when the caller
+    already knows it.  See the module docstring for the round rule
+    and the progress guarantee.
 
     TWO TIERS, the dbscan-merge / pip-hot-census bounded-collect
     discipline: distributed rounds while the frontier is large; once
@@ -115,8 +201,16 @@ def wavefront_mis(pts: DataFrame, pairs: DataFrame,
     latency-bound distributed and trivial serially.  serial_cap=0
     forces the pure distributed loop (tier equality is pytest-pinned;
     both tiers compute the identical closed form)."""
+    import numpy as np
+    import pandas as pd
+
     spark = pts.sparkSession
+    schema = "pid long, seed boolean, assign long"
     decided_parts: list[DataFrame] = []
+
+    if not pairs_materialized:
+        pairs = pairs.localCheckpoint(eager=True)
+
     und = pts.select("pid").localCheckpoint(eager=True)
     n_und = und.count()
     # q's decided-seed status RIDES THE PAIR ROW (set by the prune
@@ -124,7 +218,6 @@ def wavefront_mis(pts: DataFrame, pairs: DataFrame,
     # it in place — no growing seed-union relation, no extra join
     pairs = pairs.withColumn("q_seed", F.lit(None).cast("boolean"))
     n_pairs = pairs.count()
-    schema = "pid long, seed boolean, assign long"
 
     # size-aware join strategy, decided from the counts the loop
     # already takes (the joins.py broadcast-vs-shuffle discipline):
@@ -147,51 +240,16 @@ def wavefront_mis(pts: DataFrame, pairs: DataFrame,
             # exactly (und, pairs-with-q_seed) — each bounded by
             # serial_cap by the check above.  Arrow/pandas transfer,
             # not Row collect; the q_seed flag makes this a pure
-            # numpy computation (zero further Spark jobs).  The sweep
-            # is sorted-array based: pairs lexsort by (p, q) so each
-            # probe's conflicts are a contiguous ascending-q run, and
-            # the walk takes the FIRST blocking q (== the min, since
-            # runs are sorted) and breaks — total work is bounded by
-            # pairs scanned up to each point's first blocker, not by
-            # a full dict build over every pair (measured 2-3x off
+            # numpy computation (zero further Spark jobs); the sweep
+            # itself is the shared _serial_sweep (measured 2-3x off
             # the old dict/set sweep at the 500k cap).
-            import numpy as np
-            import pandas as pd
-
             pp = pairs.toPandas()
             und_ids = np.sort(und.toPandas()["pid"].to_numpy(np.int64))
-            n_ids = len(und_ids)
-            p_arr = pp["p"].to_numpy(np.int64)
-            q_arr = pp["q"].to_numpy(np.int64)
-            flags = pp["q_seed"].eq(True).to_numpy(dtype=bool)
-            order = np.lexsort((q_arr, p_arr))
-            p_s, q_s, f_s = p_arr[order], q_arr[order], flags[order]
-            starts = np.flatnonzero(
-                np.r_[True, p_s[1:] != p_s[:-1]]) if len(p_s) else \
-                np.empty(0, np.int64)
-            ends = np.r_[starts[1:], len(p_s)] if len(starts) else starts
-            gp = p_s[starts] if len(starts) else p_s
-            # probes are undecided by the pruning invariant; non-
-            # flagged targets are undecided too, so searchsorted is an
-            # exact index for every q the seed[] lookup ever touches
-            # (flagged targets short-circuit before the lookup)
-            pos = np.searchsorted(und_ids, gp)
-            qidx = np.minimum(np.searchsorted(und_ids, q_s),
-                              max(n_ids - 1, 0))
-            # no-probe points seed unconditionally (no smaller
-            # conflict); probe points start as seeds and get blocked
-            # in ascending-pid order — every q < p is already decided
-            # when p is visited, exactly the sequential sweep
-            seed = np.ones(n_ids, bool)
-            assign = und_ids.copy()
-            for k in range(len(gp)):
-                for j in range(starts[k], ends[k]):
-                    if f_s[j] or (und_ids[qidx[j]] == q_s[j]
-                                  and seed[qidx[j]]):
-                        i = pos[k]
-                        seed[i] = False
-                        assign[i] = q_s[j]
-                        break
+            seed, assign = _serial_sweep(
+                und_ids,
+                pp["p"].to_numpy(np.int64),
+                pp["q"].to_numpy(np.int64),
+                pp["q_seed"].eq(True).to_numpy(dtype=bool))
             decided_parts.append(spark.createDataFrame(
                 pd.DataFrame({"pid": pd.Series(und_ids),
                               "seed": seed,
@@ -300,34 +358,148 @@ def wavefront_mis(pts: DataFrame, pairs: DataFrame,
     return out
 
 
+def _serial_radius_pairs(pid, px, py, radius):
+    """Driver-tier ordered conflict pairs (p, q), q < p, d2 <= r^2 —
+    the exact pair SET neighbor_pairs(ordered=True) computes, built
+    fully vectorized on collected arrays: sort by home cell, probe
+    the 5 half-plane neighbor offsets via searchsorted run expansion,
+    refine with exact int64 d2.  No per-cell Python loop."""
+    import numpy as np
+
+    import numpy as np
+
+    s = 0
+    while (1 << s) < radius:
+        s += 1
+    r2 = radius * radius
+
+    def refine(du, dv, _ii, _jj, _ex):
+        return du * du + dv * dv <= r2
+
+    return _serial_cell_pairs(pid, px, py, s, refine)
+
+
+def _serial_cell_pairs(pid, px, py, s, refine, extras=()):
+    """Shared driver-tier half-plane cell expansion: candidates from
+    the 5 half-plane neighbor offsets over 2^s cells (unique-cell
+    binary search + run expansion, no per-cell Python), refined by
+    ``refine(du, dv, ii, jj, extras_sorted)`` (exact int64; ii/jj
+    index the cell-sorted arrays, ``extras_sorted`` are the caller's
+    per-point side arrays in that same order).  Returns ordered pairs
+    (p, q), q < p — the exact pair SET the distributed cell joins
+    compute."""
+    import numpy as np
+
+    n = len(pid)
+    key = ((px >> s) << 32) + (py >> s)
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    pid_s, px_s, py_s = pid[order], px[order], py[order]
+    extras_s = tuple(e[order] for e in extras)
+    # unique occupied cells (sorted) + per-point cell index: the
+    # neighbor lookup then binary-searches the CELL table, not the
+    # point table (~2x fewer, and only once per offset)
+    new_cell = np.r_[True, key_s[1:] != key_s[:-1]]
+    ukeys = key_s[new_cell]
+    ustart = np.flatnonzero(new_cell)
+    ucnt = np.r_[ustart[1:], n] - ustart
+    uidx = np.cumsum(new_cell) - 1            # sorted-point -> ucell
+    nu = len(ukeys)
+    out_p: list[np.ndarray] = []
+    out_q: list[np.ndarray] = []
+    for dx, dy in ((0, 0), (1, 0), (1, 1), (0, 1), (-1, 1)):
+        shift = (np.int64(dx) << 32) + np.int64(dy)
+        m = np.searchsorted(ukeys, ukeys + shift)
+        mc = np.minimum(m, nu - 1)
+        valid = ukeys[mc] == ukeys + shift
+        cnt_u = np.where(valid, ucnt[mc], 0)
+        cnt_pt = cnt_u[uidx]                  # per sorted probe point
+        total = int(cnt_pt.sum())
+        if total == 0:
+            continue
+        ii = np.repeat(np.arange(n), cnt_pt)  # probe (sorted) index
+        starts = np.cumsum(cnt_pt) - cnt_pt
+        jj = np.arange(total) - np.repeat(starts, cnt_pt) \
+            + np.repeat(ustart[mc][uidx], cnt_pt)  # home (sorted) idx
+        du = px_s[ii] - px_s[jj]
+        dv = py_s[ii] - py_s[jj]
+        ok = refine(du, dv, ii, jj, extras_s)
+        if dx == 0 and dy == 0:
+            ok &= pid_s[ii] > pid_s[jj]
+        k = np.flatnonzero(ok)
+        u = pid_s[ii[k]]
+        v = pid_s[jj[k]]
+        out_p.append(np.maximum(u, v))
+        out_q.append(np.minimum(u, v))
+    if not out_p:
+        e = np.empty(0, np.int64)
+        return e, e
+    return np.concatenate(out_p), np.concatenate(out_q)
+
+
 def greedy_cluster(points: DataFrame, radius: int,
                    point_id: str = "pid", x_col: str = "px",
                    y_col: str = "py", max_rounds: int = 64,
-                   serial_cap: int = 500_000) -> DataFrame:
+                   serial_cap: int = 500_000,
+                   n_points: int | None = None) -> DataFrame:
     """One level of greedy clustering: one row per input point with
     columns (pid, seed boolean, assign long) — ``assign`` is the
     min-id seed whose cluster absorbed the point (itself for seeds).
     Exact lex-first-MIS semantics over the radius conflict graph; see
-    the module docstring."""
+    the module docstring.
+
+    Serial tier (the dbscan-merge / route-Dijkstra bounded-collect
+    discipline): when the point count fits ``serial_cap``, the point
+    triples collect ONCE (<= cap rows of three longs) and both the
+    radius pairs and the greedy sweep run vectorized on the driver —
+    label-identical to the distributed path by construction (the pair
+    set is the same set, the sweep is the same closed form; pinned in
+    tests).  Past the cap the cell-join + wavefront path runs
+    unchanged."""
     if radius <= 0:
         raise ValueError(f"radius must be positive, got {radius}")
-    # materialize the 3-long-column projection ONCE: the point frame
-    # is read three times (cell-join home side, probe side, the
-    # wavefront's id spine) — without this an expensive upstream
-    # re-runs per read
-    pts3 = points.select(
+    import numpy as np
+    import pandas as pd
+
+    spark = points.sparkSession
+    pts_sel = points.select(
         F.col(point_id).cast("long").alias("pid"),
         F.col(x_col).cast("long").alias("px"),
-        F.col(y_col).cast("long").alias("py")).localCheckpoint(eager=True)
+        F.col(y_col).cast("long").alias("py"))
+    pts3 = None
+    if n_points is None:
+        # materialize the 3-long-column projection ONCE: every later
+        # read (serial collect, or cell-join home/probe + id spine)
+        # is then a narrow columnar scan — without this an expensive
+        # upstream re-runs per read
+        pts3 = pts_sel.localCheckpoint(eager=True)
+        n_points = pts3.count()
+    if 0 < n_points <= serial_cap:
+        pp = (pts3 if pts3 is not None else pts_sel).toPandas()
+        pid = pp["pid"].to_numpy(np.int64)
+        px = pp["px"].to_numpy(np.int64)
+        py = pp["py"].to_numpy(np.int64)
+        p_arr, q_arr = _serial_radius_pairs(pid, px, py, radius)
+        und_ids = np.sort(pid)
+        seed, assign = _serial_sweep(
+            und_ids, p_arr, q_arr, np.zeros(len(p_arr), bool))
+        return spark.createDataFrame(
+            pd.DataFrame({"pid": pd.Series(und_ids), "seed": seed,
+                          "assign": pd.Series(assign)}),
+            "pid long, seed boolean, assign long")
+    if pts3 is None:
+        pts3 = pts_sel.localCheckpoint(eager=True)
     # ordered conflict pairs (p, q) with q < p and d2 <= radius^2 —
     # the half-plane probe builds each unordered conflict exactly
-    # once (5/9 the join volume of the symmetric set)
+    # once (5/9 the join volume of the symmetric set). The pair plan
+    # stays LAZY: the wavefront's optimistic serial probe collects it
+    # in one pass when it fits, and checkpoints it itself otherwise.
     pairs = (neighbor_pairs(pts3, radius, join_hint="shuffle_hash",
                             ordered=True)
-             .select(F.col("u").alias("p"), F.col("v").alias("q"))
-             .localCheckpoint(eager=True))
+             .select(F.col("u").alias("p"), F.col("v").alias("q")))
     return wavefront_mis(pts3.select("pid"), pairs, max_rounds=max_rounds,
-                         serial_cap=serial_cap)
+                         serial_cap=serial_cap, n_points=n_points,
+                         pairs_materialized=False)
 
 
 def cluster_rollup(points: DataFrame, labels: DataFrame,
@@ -409,7 +581,7 @@ def supercluster_hierarchy(points: DataFrame, radius: int,
         r_z = radius << (max_zoom - 1 - z)
         n_items = items.count()  # cheap: items is checkpointed
         lab = greedy_cluster(items, r_z, max_rounds=max_rounds,
-                             serial_cap=serial_cap)
+                             serial_cap=serial_cap, n_points=n_items)
         edge_parts.append(lab.select(
             F.lit(z).cast("int").alias("zoom"),
             F.col("pid").alias("child_id"),

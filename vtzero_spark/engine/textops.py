@@ -892,8 +892,14 @@ def neardup_md5_pairs(docs: DataFrame, min_lanes: int = 4,
     where n=7 yields 3.6M candidates and 6,657 pairs. The remaining
     candidate heat is identical-prefix template families agreeing on
     all 8 lanes — real near-dups, the quadratic the representative
-    dedup tier (dedup_neardup) exists to collapse."""
-    sig = minhash_md5_signatures(docs, prefix, n)
+    dedup tier (dedup_neardup) exists to collapse.
+
+    The signature table is localCheckpoint'ed before the self-join:
+    Catalyst plans the two join sides as separate subtrees (no
+    exchange reuse — verified in the physical plan), so without it
+    the full shingle-explode + 8-lane md5 aggregation runs TWICE."""
+    sig = minhash_md5_signatures(docs, prefix, n) \
+        .localCheckpoint(eager=True)
     a, b = sig.alias("a"), sig.alias("b")
     cand = a.join(
         b,

@@ -266,6 +266,138 @@ def _parse_features_fast(views: list[bytes]) -> list[Feature] | None:
     return feats
 
 
+def parse_features_block(views: list[bytes]):
+    """COLUMNAR feature parse for the common emission pattern: every
+    feature laid out as ``[type][id?][geometry][tags?]`` (the order
+    build_feature and every encoder here emits, and what real tiles
+    overwhelmingly carry).  The whole batch pre-decodes as one varint
+    stream (the _parse_features_fast trick), then ids / geometry
+    offsets / tag offsets come out as pure array gathers — ZERO
+    per-feature Python objects.  Returns a dict of arrays
+    (ids, has_id, gtypes, gflat, goff, gnb, tflat, toff) or None when
+    any feature deviates from the pattern (unknown fields, fixed wire
+    types, structural errors) — the caller then falls back to the
+    per-feature parsers, which reproduce exact error semantics."""
+    nf = len(views)
+    empty = {
+        "ids": np.empty(0, np.int64), "has_id": np.empty(0, bool),
+        "gtypes": np.empty(0, np.int64),
+        "gflat": np.empty(0, np.uint64), "goff": np.zeros(1, np.int64),
+        "gnb": np.empty(0, np.int64),
+        "tflat": np.empty(0, np.uint64), "toff": np.zeros(1, np.int64),
+    }
+    if nf == 0:
+        return empty
+    buf = b"".join(bytes(v) for v in views)
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    if raw.size == 0:
+        return None
+    is_end = (raw & 0x80) == 0
+    lens = np.fromiter((len(v) for v in views), dtype=np.int64, count=nf)
+    offs = np.zeros(nf + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    nonempty = offs[1:][lens > 0]
+    if nonempty.size and not is_end[nonempty - 1].all():
+        return None
+    try:
+        vals = decode_varint_array(raw)
+    except FormatError:
+        return None
+    cnt_before = np.zeros(raw.size + 1, dtype=np.int64)
+    np.cumsum(is_end, out=cnt_before[1:])
+    ends = np.flatnonzero(is_end)
+    starts_g = np.empty(ends.size, dtype=np.int64)
+    if ends.size:
+        starts_g[0] = 0
+        starts_g[1:] = ends[:-1] + 1
+    nvals = vals.size
+    i0 = cnt_before[offs[:-1]]
+    iN = cnt_before[offs[1:]]
+    # head: [24, gtype] then optionally [8, id]
+    if (iN - i0 < 4).any():
+        return None
+    if not (vals[i0] == 24).all():
+        return None
+    gtypes = vals[i0 + 1].astype(np.int64)
+    if (gtypes > 3).any():
+        return None
+    has_id = vals[i0 + 2] == 8
+    idpos = i0 + 2 + np.where(has_id, 1, 0)
+    if (idpos >= np.minimum(iN, nvals)).any():
+        return None
+    ids_u = np.where(has_id, vals[np.minimum(idpos, nvals - 1)],
+                     np.uint64(0))
+    if (ids_u >= np.uint64(1) << np.uint64(63)).any():
+        return None
+    ids = ids_u.astype(np.int64)
+    gk = i0 + 2 + 2 * has_id          # geometry key position
+    if (gk + 1 >= iN).any():
+        return None
+    if not (vals[gk] == 34).all():
+        return None
+    gnb = vals[gk + 1].astype(np.int64)
+    if (gnb <= 0).any():
+        return None
+    gp0 = gk + 2                       # first geometry varint index
+    if (gp0 >= starts_g.size).any():
+        return None
+    ps = starts_g[gp0]
+    pe = ps + gnb
+    if (pe > offs[1:]).any() or not is_end[pe - 1].all():
+        return None
+    cnt_g = cnt_before[pe] - cnt_before[ps]
+    j = gp0 + cnt_g                    # position after geometry
+    has_tags = j < iN
+    cnt_t = np.zeros(nf, np.int64)
+    tp0 = np.zeros(nf, np.int64)
+    if has_tags.any():
+        jt = j[has_tags]
+        if (jt + 1 >= iN[has_tags]).any():
+            return None
+        if not (vals[jt] == 18).all():
+            return None
+        tnb = vals[jt + 1].astype(np.int64)
+        nonz = tnb > 0
+        ct = np.zeros(jt.size, np.int64)
+        if nonz.any():
+            jtz = jt[nonz] + 2
+            if (jtz >= starts_g.size).any():
+                return None
+            ts = starts_g[jtz]
+            te = ts + tnb[nonz]
+            if (te > offs[1:][has_tags][nonz]).any() \
+                    or not is_end[te - 1].all():
+                return None
+            ct[nonz] = cnt_before[te] - cnt_before[ts]
+        if ((jt + 2 + ct) != iN[has_tags]).any():
+            return None
+        if (ct % 2 != 0).any():
+            return None
+        cnt_t[has_tags] = ct
+        tp0[has_tags] = jt + 2
+    if ((~has_tags) & (j != iN)).any():
+        return None
+
+    def _gather(p0: np.ndarray, cnt: np.ndarray) -> np.ndarray:
+        total = int(cnt.sum())
+        if total == 0:
+            return np.empty(0, np.uint64)
+        starts = np.cumsum(cnt) - cnt
+        gi = np.arange(total) - np.repeat(starts, cnt) \
+            + np.repeat(p0, cnt)
+        return vals[gi]
+
+    goff = np.zeros(nf + 1, np.int64)
+    np.cumsum(cnt_g, out=goff[1:])
+    toff = np.zeros(nf + 1, np.int64)
+    np.cumsum(cnt_t, out=toff[1:])
+    return {
+        "ids": ids, "has_id": has_id, "gtypes": gtypes,
+        "gflat": _gather(gp0, cnt_g), "goff": goff, "gnb": gnb,
+        "tflat": _gather(tp0, cnt_t), "toff": toff,
+    }
+
+
 def parse_layer(buf: bytes, *, parse_features: bool = True) -> Layer:
     version: int | None = None
     name: bytes | None = None
@@ -308,6 +440,7 @@ def parse_layer(buf: bytes, *, parse_features: bool = True) -> Layer:
     else:
         layer.features = []
         layer.num_feature_views = len(feature_views)  # type: ignore[attr-defined]
+        layer.feature_views = feature_views  # type: ignore[attr-defined]
     return layer
 
 
