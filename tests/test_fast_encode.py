@@ -125,3 +125,30 @@ def test_arrow_props_decode_matches_pandas_props_decode(spark, sf_dir):
             ca, cb = pa_[k], pb[k]
             for fld in ("vtype", "sval", "dval", "ival"):
                 assert ca[fld] == cb[fld], (k, fld)
+
+
+def test_geom_tiles_arrow_matches_pandas(spark, sf_dir):
+    """encode_geom_tiles_arrow must be byte-identical to the pandas
+    kernel — with and without a prop_spec, across rect and donut
+    streams (mixed ring windings)."""
+    from pyspark.sql import functions as F
+    from vtzero_spark.engine import geomops, synth, tiling
+
+    img = synth.images(spark, sf_dir)
+    assigned = tiling.assign_tiles(img, zoom=4, extent=4096, buffer=0)
+    for feats in (geomops.rect_stream_features(assigned),
+                  geomops.donut_stream_features(assigned)):
+        a = {(r["z"], r["x"], r["y"]): (r["num_layers"], bytes(r["tile_bytes"]))
+             for r in assemble.encode_geom_tiles_pandas(feats).collect()}
+        b = {(r["z"], r["x"], r["y"]): (r["num_layers"], bytes(r["tile_bytes"]))
+             for r in assemble.encode_geom_tiles_arrow(feats).collect()}
+        assert a == b and len(a) > 0
+    # prop_spec path (the join_attrs shape): region property rides
+    f = geomops.rect_stream_features(assigned).withColumn(
+        "region", F.concat(F.lit("R"), (F.col("feature_id") % 7).cast("string")))
+    spec = [("region", 1, "region")]
+    a = {(r["z"], r["x"], r["y"]): bytes(r["tile_bytes"])
+         for r in assemble.encode_geom_tiles_pandas(f, prop_spec=spec).collect()}
+    b = {(r["z"], r["x"], r["y"]): bytes(r["tile_bytes"])
+         for r in assemble.encode_geom_tiles_arrow(f, prop_spec=spec).collect()}
+    assert a == b and len(a) > 0

@@ -156,3 +156,23 @@ def test_no_cartesian_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_full_range_priority_ids(spark):
+    """Ids near int64 max (the marker-job priority packing
+    (capacity - mass) << 32 | id) must sweep correctly — a sentinel-
+    based masked-min would misclassify them as absent."""
+    base = (1 << 62) + (1 << 61)
+    rows = [(base + i, 100 + 30 * i, 100, 50, 20) for i in range(6)]
+    df = spark.createDataFrame(rows, "pid long, px long, py long, "
+                               "w long, h long")
+    got = {r["pid"]: (r["placed"], r["blocker"])
+           for r in pl.place_labels(df).collect()}
+    # overlapping neighbors alternate: 0 placed, 1 blocked by 0, ...
+    assert got[base] == (True, base)
+    assert got[base + 1] == (False, base)
+    assert got[base + 2] == (True, base + 2)
+    # the distributed tier agrees
+    got0 = {r["pid"]: (r["placed"], r["blocker"])
+            for r in pl.place_labels(df, serial_cap=0).collect()}
+    assert got == got0

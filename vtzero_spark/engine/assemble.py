@@ -529,7 +529,17 @@ def encode_geom_tiles(features: DataFrame, prop_spec=None) -> DataFrame:
     command-stream column (array<long>) — single shuffle on (z,x,y),
     vectorized variable-width varint assembly. Pair with plan-side
     geometry expression builders (geomops.rect_cmds/path_cmds) so the
-    whole footprint construction stays in whole-stage codegen."""
+    whole footprint construction stays in whole-stage codegen.
+
+    Routes through the Arrow kernel (encode_geom_tiles_arrow) — the
+    ListArray buffers feed the assembler directly; byte parity with
+    the pandas kernel is pinned in tests/test_fast_encode.py."""
+    return encode_geom_tiles_arrow(features, prop_spec)
+
+
+def encode_geom_tiles_pandas(features: DataFrame, prop_spec=None) -> DataFrame:
+    """The pandas applyInPandas form of encode_geom_tiles (kept as the
+    parity reference for the Arrow kernel)."""
     from ..mvt.pbf import len_field
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -561,6 +571,65 @@ def encode_geom_tiles(features: DataFrame, prop_spec=None) -> DataFrame:
         )
 
     return features.groupBy("z", "x", "y").applyInPandas(fn, schema=TILE_SCHEMA)
+
+
+def encode_geom_tiles_arrow(features: DataFrame, prop_spec=None) -> DataFrame:
+    """Arrow-native geom-stream tile encode (applyInArrow): the
+    geometry ListArray's values/offsets buffers feed the varint
+    assembler DIRECTLY — no per-row ndarray materialization, no
+    pandas cells (the encode-side twin of the columnar decode).
+    Byte-identical to the pandas encode_geom_tiles kernel (pinned in
+    tests/test_fast_encode.py)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..mvt.pbf import len_field
+
+    def fn(tbl: "pa.Table") -> "pa.Table":
+        tbl = tbl.sort_by([("layer_name", "ascending"),
+                           ("feature_ordinal", "ascending")])
+        z = tbl.column("z")[0].as_py()
+        x = tbl.column("x")[0].as_py()
+        y = tbl.column("y")[0].as_py()
+        lcodes = pc.dictionary_encode(
+            tbl.column("layer_name").combine_chunks()) \
+            .indices.to_numpy(zero_copy_only=False)
+        bounds = np.flatnonzero(np.diff(lcodes)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(tbl)]])
+        ga = tbl.column("geometry").combine_chunks()
+        goffs = ga.offsets.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        gvals = ga.values.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ids_all = tbl.column("feature_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        gt_all = tbl.column("geom_type").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        parts: list[bytes] = []
+        num_layers = 0
+        for s, e in zip(starts, ends):
+            s, e = int(s), int(e)
+            name = tbl.column("layer_name")[s].as_py()
+            dict_result = _build_value_dict_arrow(
+                tbl.slice(s, e - s), prop_spec) if prop_spec else None
+            lb, nf, _, _ = _geomstream_layer_bytes(
+                name, ids_all[s:e], gt_all[s:e],
+                gvals[goffs[s]:goffs[e]], goffs[s:e + 1] - goffs[s],
+                prop_spec, dict_result)
+            if nf > 0:
+                parts.append(len_field(T.TILE_LAYERS, lb))
+                num_layers += 1
+        return pa.table({
+            "z": pa.array([z], pa.int64()),
+            "x": pa.array([x], pa.int64()),
+            "y": pa.array([y], pa.int64()),
+            "num_layers": pa.array([num_layers], pa.int32()),
+            "tile_bytes": pa.array([b"".join(parts)], pa.binary()),
+        })
+
+    return features.groupBy("z", "x", "y").applyInArrow(
+        fn, schema=TILE_SCHEMA)
 
 
 def encode_point_tiles_arrow(features: DataFrame, prop_spec=None) -> DataFrame:

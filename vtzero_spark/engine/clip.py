@@ -517,23 +517,11 @@ def _clip_point_rows(tbl, rows, bounds, pa):
 # ---------------------------------------------------------- DataFrame op
 
 
-def clip_features(
-    features: DataFrame,
-    extent: int = 4096,
-    buffer: int = 0,
-    bounds: tuple | None = None,
-) -> DataFrame:
-    """Clip every feature's ``parts`` to the buffered tile rect
-    ``[-buffer, extent+buffer]²`` (or an explicit ``bounds``
-    (xmin, ymin, xmax, ymax)). Schema-preserving; features whose
-    geometry vanishes are dropped; polylines may split into more
-    parts. One mapInArrow pass, no shuffle.
-    """
+def clip_batches(b: tuple):
+    """Batch-iterator form of clip_features (for composition with a
+    downstream Arrow stage in ONE mapInArrow — the clipped batches
+    then never re-cross the JVM boundary between the two kernels)."""
     import pyarrow as pa
-
-    b = bounds if bounds is not None else (
-        -buffer, -buffer, extent + buffer, extent + buffer)
-    schema = features.schema
 
     def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         for rb in batches:
@@ -562,7 +550,24 @@ def clip_features(
             for out in outs:
                 yield from out.to_batches()
 
-    return features.mapInArrow(fn, schema=schema)
+    return fn
+
+
+def clip_features(
+    features: DataFrame,
+    extent: int = 4096,
+    buffer: int = 0,
+    bounds: tuple | None = None,
+) -> DataFrame:
+    """Clip every feature's ``parts`` to the buffered tile rect
+    ``[-buffer, extent+buffer]²`` (or an explicit ``bounds``
+    (xmin, ymin, xmax, ymax)). Schema-preserving; features whose
+    geometry vanishes are dropped; polylines may split into more
+    parts. One mapInArrow pass, no shuffle.
+    """
+    b = bounds if bounds is not None else (
+        -buffer, -buffer, extent + buffer, extent + buffer)
+    return features.mapInArrow(clip_batches(b), schema=features.schema)
 
 
 def clip_assigned(

@@ -509,7 +509,6 @@ def world_features_to_tiles(p: DataFrame, zoom: int, extent: int,
     # nodes report UnknownPartitioning, so it must come AFTER the
     # kernels to be reused), satisfies its ClusteredDistribution, and
     # keeps the pipeline at exactly ONE shuffle (plan-audited).
-    feats = clip_features(feats, extent=extent, buffer=buffer)
     sc = feats.sparkSession.sparkContext
     if coalesce_lines:
         # tippecanoe --coalesce: merge chained linestrings per tile
@@ -521,11 +520,26 @@ def world_features_to_tiles(p: DataFrame, zoom: int, extent: int,
         # that the encode sees fewer, bigger features).
         from .linemerge import merge_lines
 
+        feats = clip_features(feats, extent=extent, buffer=buffer)
         feats = feats.repartition(sc.defaultParallelism * 2, "x", "y")
         feats = merge_lines(feats)
         feats = cmds_from_parts(feats)
         return assemble.encode_geom_tiles(feats)
-    feats = cmds_from_parts(feats)
+    # clip + parts->cmds FUSED into one mapInArrow: the clipped parts
+    # batches feed the command-stream kernel in-process instead of
+    # re-crossing the Arrow boundary between two Python stages
+    from .clip import clip_batches
+    from .geomops import cmds_batches
+
+    b = (-buffer, -buffer, extent + buffer, extent + buffer)
+    out_fields = [f for f in feats.schema.fields if f.name != "parts"]
+    schema_str = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in out_fields
+    ) + ", geometry array<bigint>"
+    clip_fn = clip_batches(b)
+    cmds_fn = cmds_batches(out_fields)
+    feats = feats.mapInArrow(
+        lambda it: cmds_fn(clip_fn(it)), schema=schema_str)
     feats = feats.repartition(sc.defaultParallelism * 2, "x", "y")
     return assemble.encode_geom_tiles(feats)
 

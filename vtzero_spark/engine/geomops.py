@@ -578,23 +578,13 @@ def _cmds_group(x, y, o1, o2, rows, gtype):
     return out, row_len
 
 
-def cmds_from_parts(features: DataFrame) -> DataFrame:
-    """`parts` (struct-list geometry) -> `geometry` (command-integer
-    array), batch-vectorized: the bridge from the clip/simplify
-    kernels (which produce parts) to the FAST geom-stream encoders
-    (encode_geom_tiles), replacing encode_layers' per-feature
-    Python encode_geometry loop. One mapInArrow pass, no shuffle;
-    byte parity with the scalar encoders pinned in
-    tests/test_geojson.py::test_cmds_from_parts_matches_scalar."""
+def cmds_batches(out_fields):
+    """Batch-iterator form of cmds_from_parts (composable with an
+    upstream Arrow kernel inside ONE mapInArrow)."""
     import pyarrow as pa
 
     from ..mvt.geometry import GEOM_LINESTRING, GEOM_POINT, GEOM_POLYGON
     from .clip import _flat_parts
-
-    out_fields = [f for f in features.schema.fields if f.name != "parts"]
-    schema_str = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in out_fields
-    ) + ", geometry array<bigint>"
 
     def fn(batches):
         for rb in batches:
@@ -628,4 +618,19 @@ def cmds_from_parts(features: DataFrame) -> DataFrame:
             yield pa.RecordBatch.from_arrays(
                 arrays, [f.name for f in out_fields] + ["geometry"])
 
-    return features.mapInArrow(fn, schema=schema_str)
+    return fn
+
+
+def cmds_from_parts(features: DataFrame) -> DataFrame:
+    """`parts` (struct-list geometry) -> `geometry` (command-integer
+    array), batch-vectorized: the bridge from the clip/simplify
+    kernels (which produce parts) to the FAST geom-stream encoders
+    (encode_geom_tiles), replacing encode_layers' per-feature
+    Python encode_geometry loop. One mapInArrow pass, no shuffle;
+    byte parity with the scalar encoders pinned in
+    tests/test_geojson.py::test_cmds_from_parts_matches_scalar."""
+    out_fields = [f for f in features.schema.fields if f.name != "parts"]
+    schema_str = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in out_fields
+    ) + ", geometry array<bigint>"
+    return features.mapInArrow(cmds_batches(out_fields), schema=schema_str)

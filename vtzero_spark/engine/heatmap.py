@@ -119,26 +119,114 @@ def heatmap_pixels(points: DataFrame, zoom: int = ZOOM,
 def heatmap_tiles(points: DataFrame, zoom: int = ZOOM,
                   size: int = TILE_PX, radius: int = RADIUS,
                   weight_col: str | None = None,
-                  world: int = WORLD) -> DataFrame:
+                  world: int = WORLD, impl: str = "direct") -> DataFrame:
     """Per-tile density summary over the seamless global grid: tile
     ownership derives from each SCATTERED pixel, so edge points count
     toward every tile they touch. Columns aliased for the DuckDB
-    twin; peak ties break on (py, px) — deterministic cross-engine."""
-    _, sbits = _shifts(zoom, size, world)
-    pix = heatmap_pixels(points, zoom, size, radius, weight_col, world)
-    return (
-        pix.groupBy(
-            F.shiftright("px", sbits).cast("int").alias("x"),
-            F.shiftright("py", sbits).cast("int").alias("y"))
-        .agg(F.count("*").alias("n_pixels"),
-             F.sum("density").alias("total_mass"),
-             F.max("density").alias("peak_density"),
-             F.max(F.struct("density", "py", "px")).alias("_pk"))
-        .select(F.lit(zoom).cast("int").alias("z"),
-                "x", "y", "n_pixels", "total_mass", "peak_density",
-                F.col("_pk.px").alias("peak_px"),
-                F.col("_pk.py").alias("peak_py"))
-    )
+    twin; peak ties break on (py, px) — deterministic cross-engine.
+
+    impl='direct' (default, the contour _segments_direct shape): ONE
+    point-sized shuffle to tile-aligned pixel blocks with a
+    kernel-radius halo; each block accumulates its own dense density
+    window (integer sort+reduceat — order-independent) and reduces to
+    its one stats row in numpy. Neither the ~piR^2-fold kernel
+    scatter nor the pixel grid ever crosses the wire (the all-JVM
+    tier shuffles min(points*piR^2, touched pixels) rows; at sf0.1
+    that is the whole 16M-pixel grid). impl='pixels' keeps the
+    all-JVM scatter-then-group tier the DuckDB twin mirrors —
+    row-identical by construction and by pytest pin."""
+    pshift, sbits = _shifts(zoom, size, world)
+    if impl == "pixels":
+        pix = heatmap_pixels(points, zoom, size, radius, weight_col,
+                             world)
+        return (
+            pix.groupBy(
+                F.shiftright("px", sbits).cast("int").alias("x"),
+                F.shiftright("py", sbits).cast("int").alias("y"))
+            .agg(F.count("*").alias("n_pixels"),
+                 F.sum("density").alias("total_mass"),
+                 F.max("density").alias("peak_density"),
+                 F.max(F.struct("density", "py", "px")).alias("_pk"))
+            .select(F.lit(zoom).cast("int").alias("z"),
+                    "x", "y", "n_pixels", "total_mass", "peak_density",
+                    F.col("_pk.px").alias("peak_px"),
+                    F.col("_pk.py").alias("peak_py"))
+        )
+    if impl != "direct":
+        raise ValueError(f"unknown impl {impl!r} (direct|pixels)")
+    B = size
+    bbits = sbits
+    npx = world >> pshift
+    R = radius
+    if 2 * (R - 1) > B:
+        raise ValueError(
+            f"kernel radius {R} too large for tile size {B}")
+    offs = [(dr, dc, R * R - dr * dr - dc * dc)
+            for dr in range(-R + 1, R) for dc in range(-R + 1, R)
+            if R * R - dr * dr - dc * dc > 0]
+    dr_a = np.array([o[0] for o in offs], np.int64)
+    dc_a = np.array([o[1] for o in offs], np.int64)
+    k_a = np.array([o[2] for o in offs], np.int64)
+    w = (F.col(weight_col).cast("long") if weight_col
+         else F.lit(1).cast("long"))
+    pts = points.select(
+        F.shiftright("wx", pshift).alias("gx"),
+        F.shiftright("wy", pshift).alias("gy"), w.alias("wt"))
+    # candidate blocks whose pixel window [b*B, b*B+B) the kernel
+    # disk [g-(R-1), g+(R-1)] touches — at most two per axis
+    hib = lambda g: F.shiftright(g + (R - 1), bbits)
+    cand = F.array_distinct(F.array(*[
+        F.struct(bxe.alias("bx"), bye.alias("by"))
+        for bxe in (hib(F.col("gx")) - 1, hib(F.col("gx")))
+        for bye in (hib(F.col("gy")) - 1, hib(F.col("gy")))]))
+    sc = (pts.select("gx", "gy", "wt", F.explode(cand).alias("b"))
+          .select(F.col("b.bx").alias("bx"), F.col("b.by").alias("by"),
+                  "gx", "gy", "wt")
+          .where((F.col("gx") + (R - 1) >= F.col("bx") * B)
+                 & (F.col("gx") - (R - 1) <= F.col("bx") * B + B - 1)
+                 & (F.col("gy") + (R - 1) >= F.col("by") * B)
+                 & (F.col("gy") - (R - 1) <= F.col("by") * B + B - 1)
+                 & (F.col("bx") >= 0) & (F.col("by") >= 0)
+                 & (F.col("bx") < (npx >> bbits))
+                 & (F.col("by") < (npx >> bbits))))
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        bx = int(pdf["bx"].iloc[0])
+        by = int(pdf["by"].iloc[0])
+        x0, y0 = bx << bbits, by << bbits
+        lx = (pdf["gx"].to_numpy() - x0)[:, None] + dc_a[None, :]
+        ly = (pdf["gy"].to_numpy() - y0)[:, None] + dr_a[None, :]
+        val = pdf["wt"].to_numpy()[:, None] * k_a[None, :]
+        ok = ((lx >= 0) & (lx < B) & (ly >= 0) & (ly < B)
+              & (lx + x0 >= 0) & (lx + x0 < npx)
+              & (ly + y0 >= 0) & (ly + y0 < npx))
+        idx = ly[ok] * B + lx[ok]
+        v = val[ok]
+        if idx.size == 0:
+            return pd.DataFrame({c: [] for c in (
+                "z", "x", "y", "n_pixels", "total_mass",
+                "peak_density", "peak_px", "peak_py")})
+        order = np.argsort(idx, kind="stable")
+        idx_s, v_s = idx[order], v[order]
+        starts = np.flatnonzero(np.r_[True, idx_s[1:] != idx_s[:-1]])
+        sums = np.add.reduceat(v_s, starts)
+        cells = idx_s[starts]
+        peak = int(sums.max())
+        # struct-max tie rule (density, py, px): among peak pixels
+        # take max global py then px; cells sort by (ly, lx) == by
+        # (py, px) within the tile, so the LAST peak cell wins
+        pk_cell = int(cells[np.flatnonzero(sums == peak)[-1]])
+        return pd.DataFrame([{
+            "z": zoom, "x": bx, "y": by,
+            "n_pixels": len(cells), "total_mass": int(sums.sum()),
+            "peak_density": peak,
+            "peak_px": x0 + (pk_cell % B),
+            "peak_py": y0 + (pk_cell // B)}])
+
+    return sc.groupBy("bx", "by").applyInPandas(
+        fn, schema="z int, x int, y int, n_pixels long, "
+                   "total_mass long, peak_density long, "
+                   "peak_px long, peak_py long")
 
 
 def heatmap_tiles_sql(src: str = "images", zoom: int = ZOOM,

@@ -79,21 +79,27 @@ def chain_hull(pts: np.ndarray) -> np.ndarray:
     if n <= 2:
         return pts
 
+    # the chain walk runs on PYTHON ints (tolist once): per-element
+    # numpy scalar arithmetic measured ~10x slower for the typical
+    # hull-sized inputs this sees thousands of times per task
+    plist = pts.tolist()
+
     def half(points):
-        out: list[np.ndarray] = []
+        out: list[list[int]] = []
         for p in points:
+            px_, py_ = p
             while len(out) >= 2:
                 o, a = out[-2], out[-1]
-                if (a[0] - o[0]) * (p[1] - o[1]) \
-                        - (a[1] - o[1]) * (p[0] - o[0]) <= 0:
+                if (a[0] - o[0]) * (py_ - o[1]) \
+                        - (a[1] - o[1]) * (px_ - o[0]) <= 0:
                     out.pop()
                 else:
                     break
             out.append(p)
         return out
 
-    lower = half(pts)
-    upper = half(pts[::-1])
+    lower = half(plist)
+    upper = half(plist[::-1])
     ring = lower[:-1] + upper[:-1]
     if len(ring) < 2:        # fully collinear: endpoints only
         return np.array([pts[0], pts[-1]], dtype=np.int64)
@@ -166,8 +172,13 @@ def _final_pass(reduced: DataFrame, build_rows):
                 acc.setdefault(gi, []).append(
                     sub[["px", "py"]].to_numpy(np.int64))
                 counts[gi] = counts.get(gi, 0) + int(sub["_fn"].sum())
-        for gi, chunks in acc.items():
-            yield build_rows(gi, np.concatenate(chunks), counts[gi])
+        # ONE output frame per partition (one Arrow batch), not one
+        # per group — 150 single-row frames each crossing the
+        # boundary measured ~3x the kernels themselves
+        rows = [build_rows(gi, np.concatenate(chunks), counts[gi])
+                for gi, chunks in acc.items()]
+        if rows:
+            yield pd.concat(rows, ignore_index=True)
 
     return reduced.repartition("g").mapInPandas(fn, _OUT_SCHEMAS[build_rows])
 

@@ -74,8 +74,6 @@ def knn_join(
         )
         .withColumn("cell_x", F.expr(f"wx div {cell}"))
         .withColumn("cell_y", F.expr(f"wy div {cell}"))
-        .repartition("cell_x", "cell_y")
-        .persist()
     )
     q_all = queries.select(
         "qid",
@@ -83,7 +81,19 @@ def knn_join(
         F.col("qy").cast("long").alias("qy"),
         F.expr(f"qx div {cell}").alias("qcx"),
         F.expr(f"qy div {cell}").alias("qcy"),
-    ).persist()
+    ).localCheckpoint(eager=True)
+    # size-aware ring strategy (the joins.py broadcast-vs-shuffle
+    # discipline): a bounded query set broadcasts its exploded ring
+    # cells so the POINT side never shuffles or persists (rows
+    # identical — same cells explored, same bound); a corpus-sized
+    # query set falls back to co-partitioning the points once and
+    # shuffling rings to them
+    _BCAST_QUERIES = 100_000
+    n_queries = q_all.count()
+    n_unfinished = n_queries
+    bcast_rings = n_queries <= _BCAST_QUERIES
+    if not bcast_rings:
+        pts = pts.repartition("cell_x", "cell_y").persist()
 
     acc: DataFrame | None = None
     unfinished = q_all
@@ -124,6 +134,8 @@ def knn_join(
                 (F.col("cell_x") >= 0) & (F.col("cell_x") < max_cells)
                 & (F.col("cell_y") >= 0) & (F.col("cell_y") < max_cells)
             )
+        if bcast_rings:
+            ring = F.broadcast(ring)
         cand = ring.join(pts, ["cell_x", "cell_y"]).select(
             "qid",
             F.col(point_id),
@@ -158,23 +170,31 @@ def knn_join(
         )
         bound = (r * cell) * (r * cell)
         finished_df = kth.where(F.col("kth_d") <= bound).select("qid")
+        # one count decides the round: when every unfinished query
+        # finished, skip materializing the empty survivor set (two
+        # jobs saved on the common final round)
+        n_fin = finished_df.count()
+        if n_fin >= n_unfinished:
+            break
+        n_unfinished -= n_fin
         unfinished = unfinished.join(finished_df, "qid", "left_anti") \
             .localCheckpoint(eager=True)
-        if unfinished.limit(1).count() == 0:
-            break
         if max_cells is not None and r >= 2 * max_cells:
             break
 
     knn_join.last_rounds = rounds
     knn_join.last_start_radius = start_radius
     w = Window.partitionBy("qid").orderBy("dist_sq", point_id)
+    # no dedup pass: rounds explore DISJOINT Chebyshev bands
+    # ([0..start] then [r..r] per round) and each point lies in
+    # exactly one cell, so a (qid, point) candidate can only appear
+    # once — the dropDuplicates exchange was pure overhead
     out = (
-        acc.dropDuplicates(["qid", point_id])
-        .withColumn("rank", F.row_number().over(w))
+        acc.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
-    pts.unpersist()
-    q_all.unpersist()
+    if not bcast_rings:
+        pts.unpersist()
     return out
 
 

@@ -233,48 +233,77 @@ def contracted_graph(segs: DataFrame, transfer_eps: int = 64,
     (road_id, pos, vx, vy, nid, lj, lpos, rj, rpos) where lj/rj are
     the junction node ids at the nearest junction positions <=/>= pos
     (the interpolation anchors)."""
-    verts = road_vertices(segs)
+    # one materialization serves both consumers (transfer candidates
+    # and the dup census) — the roads window otherwise re-runs per read
+    verts = road_vertices(segs).localCheckpoint(eager=True)
     tr = transfer_edges(verts, transfer_eps).localCheckpoint(eager=True)
-    tnodes = (tr.select(F.col("src").alias("nid"))
-              .unionByName(tr.select(F.col("dst").alias("nid")))
-              .distinct())
-    v = verts.withColumn("nid", _nid(F.col("vx"), F.col("vy")))
-    last = verts.groupBy("road_id").agg(F.max("pos").alias("_k"))
-    # a coordinate visited MORE THAN ONCE — by another road or by the
-    # same road's own walk crossing itself — is one topological node,
-    # hence a junction (the node id is the packed coordinate, so the
-    # contracted runs meeting there connect through it for free)
-    dups = (verts.select(_nid(F.col("vx"), F.col("vy")).alias("nid"))
-            .groupBy("nid").agg(F.count("*").alias("_n"))
-            .where("_n > 1").select("nid").withColumn("_d", F.lit(1)))
+    # junction nid set: transfer endpoints + requested extras + every
+    # coordinate visited MORE THAN ONCE — by another road or by the
+    # same road's own walk crossing itself (one topological node; the
+    # node id is the packed coordinate, so contracted runs meeting
+    # there connect through it for free). Junction counts are the
+    # contraction premise (junction graph << vertex graph), so the
+    # set is a bounded driver collect — capped loudly.
+    _JUNCTION_CAP = 4_000_000
+    dup_rows = (verts.select(_nid(F.col("vx"), F.col("vy")).alias("nid"))
+                .groupBy("nid").agg(F.count("*").alias("_n"))
+                .where("_n > 1").select("nid")
+                .limit(_JUNCTION_CAP + 1).toPandas())
+    if len(dup_rows) > _JUNCTION_CAP:
+        raise ValueError(
+            f"junction census exceeds {_JUNCTION_CAP} nodes — the "
+            "network is not chain-contractible at this scale")
+    jset = set(dup_rows["nid"].tolist())
+    for r in tr.select("src", "dst").toPandas().itertuples(index=False):
+        jset.add(int(r.src))
+        jset.add(int(r.dst))
     if extra_junctions is not None:
         # e.g. SSSP sources: a mid-chain source must split its chain
         # so its own label (0) anchors the interpolation exactly
-        tnodes = tnodes.unionByName(
-            extra_junctions.select("nid")).distinct()
-    v = (v.join(last, "road_id")
-         .join(tnodes.withColumn("_t", F.lit(1)), "nid", "left")
-         .join(dups, "nid", "left")
-         .withColumn("jflag",
-                     (F.col("pos") == 0) | (F.col("pos") == F.col("_k"))
-                     | F.col("_t").isNotNull() | F.col("_d").isNotNull()))
-    w = Window.partitionBy("road_id").orderBy("pos")
-    # nearest junction at or before / at or after each position
-    jpos = F.when(F.col("jflag"), F.col("pos"))
-    jnid = F.when(F.col("jflag"), F.col("nid"))
-    v = (v.withColumn("lpos", F.last(jpos, ignorenulls=True).over(
-            w.rowsBetween(Window.unboundedPreceding, 0)))
-         .withColumn("lj", F.last(jnid, ignorenulls=True).over(
-            w.rowsBetween(Window.unboundedPreceding, 0)))
-         .withColumn("rpos", F.first(jpos, ignorenulls=True).over(
-            w.rowsBetween(0, Window.unboundedFollowing)))
-         .withColumn("rj", F.first(jnid, ignorenulls=True).over(
-            w.rowsBetween(0, Window.unboundedFollowing))))
-    # edges, skips AND chain all derive from this annotated vertex
-    # table; without the checkpoint each consumer re-runs the join +
-    # double-window subtree (measured twice ~2.5 s each at sf0.1 —
-    # the chain and edge checkpoints in sssp() were recomputing it)
-    v = v.localCheckpoint(eager=True)
+        for v_ in extra_junctions.select("nid").toPandas()["nid"]:
+            jset.add(int(v_))
+    jset_b = segs.sparkSession.sparkContext.broadcast(jset)
+
+    # ONE applyInPandas pass per road replaces the old 3-join +
+    # double-window chain annotation (the fill columns are plain
+    # numpy scans per road): measured ~2x off the contraction wall
+    def _annotate(pdf):
+        pdf = pdf.sort_values("seg", kind="stable")
+        ax = pdf["ax"].to_numpy(np.int64)
+        ay = pdf["ay"].to_numpy(np.int64)
+        k = len(pdf)
+        vx = np.empty(k + 1, np.int64)
+        vy = np.empty(k + 1, np.int64)
+        vx[:k] = ax
+        vy[:k] = ay
+        vx[k] = int(pdf["bx"].iloc[-1])
+        vy[k] = int(pdf["by"].iloc[-1])
+        nid = (vx << _SHIFT) + vy
+        pos = np.arange(k + 1, dtype=np.int64)
+        js = jset_b.value
+        jflag = np.fromiter((int(n) in js for n in nid), bool, k + 1)
+        jflag[0] = jflag[k] = True
+        # forward/backward fill of junction pos; nid via gather
+        # (pos 0 and k are always junctions, so fills never run dry)
+        lpos = np.maximum.accumulate(np.where(jflag, pos, -1))
+        rpos = np.minimum.accumulate(
+            np.where(jflag, pos, np.int64(1) << 60)[::-1])[::-1]
+        rid = int(pdf["road_id"].iloc[0])
+        return pd.DataFrame({
+            "road_id": np.full(k + 1, rid, np.int64),
+            "pos": pos, "vx": vx, "vy": vy, "nid": nid,
+            "lj": nid[lpos], "lpos": lpos,
+            "rj": nid[rpos], "rpos": rpos,
+            "jflag": jflag,
+        })
+
+    import pandas as pd
+
+    v = segs.groupBy("road_id").applyInPandas(
+        _annotate,
+        "road_id long, pos long, vx long, vy long, nid long, "
+        "lj long, lpos long, rj long, rpos long, jflag boolean"
+    ).localCheckpoint(eager=True)
     chain = v.select("road_id", "pos", "vx", "vy", "nid",
                      "lj", "lpos", "rj", "rpos")
     # contracted edges: consecutive junctions along each road, PLUS

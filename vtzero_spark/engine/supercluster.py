@@ -111,7 +111,10 @@ def _serial_sweep(und_ids, p_arr, q_arr, flags):
     assign = und_ids.copy()
     if not len(p_arr):
         return seed, assign
-    INF = np.int64(1) << np.int64(62)
+    # int64 max as the masked-min filler, with PRESENCE tracked by
+    # per-group counts, never by sentinel comparison — ids may use
+    # the full int64 range (marker priorities pack mass<<32|id)
+    INF = np.iinfo(np.int64).max
     # state: 0 undecided, 1 seed, 2 non-seed (index space = und_ids)
     state = np.zeros(n_ids, np.int8)
     order = np.lexsort((q_arr, p_arr))
@@ -135,8 +138,10 @@ def _serial_sweep(und_ids, p_arr, q_arr, flags):
             np.where(qseed, q_s, INF), starts)
         min_und = np.minimum.reduceat(
             np.where(qund, q_s, INF), starts)
-        absorb = (min_seed < INF) & (min_und > min_seed)
-        seeds_now = (min_seed == INF) & (min_und == INF)
+        has_seed = np.add.reduceat(qseed, starts) > 0
+        has_und = np.add.reduceat(qund, starts) > 0
+        absorb = has_seed & (~has_und | (min_und > min_seed))
+        seeds_now = ~has_seed & ~has_und
         if not (absorb.any() or seeds_now.any()):
             # the progress guarantee (module docstring) makes this
             # unreachable; fail loudly rather than return a partial
