@@ -299,3 +299,15 @@ def test_serial_radius_pairs_equal_cell_join_pairs(spark):
         p_arr, q_arr = sc._serial_radius_pairs(pid, px, py, radius)
         drv = set(zip(p_arr.tolist(), q_arr.tolist()))
         assert drv == jvm, f"radius {radius}: pair sets differ"
+
+
+def test_dense_blob_falls_back_to_distributed(spark, monkeypatch):
+    """A candidate volume past the driver cap must NOT collect: the
+    serial tier bails and the distributed wavefront answers,
+    label-identical."""
+    monkeypatch.setattr(sc, "_SERIAL_CAND_CAP", 100)
+    df = spark.createDataFrame([(i, 7, 9) for i in range(1, 65)],
+                               "pid long, px long, py long")
+    lab = _lab(sc.greedy_cluster(df, 10, n_points=64))
+    assert all(a == 1 for _, a in lab.values())
+    assert sum(s for s, _ in lab.values()) == 1

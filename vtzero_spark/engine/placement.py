@@ -174,15 +174,18 @@ def place_labels(labels: DataFrame, point_id: str = "pid",
             return ((np.abs(2 * du) <= w_s[ii] + w_s[jj])
                     & (np.abs(2 * dv) <= h_s[ii] + h_s[jj]))
 
-        p_arr, q_arr = _serial_cell_pairs(pid, px, py, s, refine,
-                                          extras=(w, h))
-        und_ids = np.sort(pid)
-        seed, assign = _serial_sweep(
-            und_ids, p_arr, q_arr, np.zeros(len(p_arr), bool))
-        return labels.sparkSession.createDataFrame(
-            pd.DataFrame({"pid": pd.Series(und_ids), "placed": seed,
-                          "blocker": pd.Series(assign)}),
-            "pid long, placed boolean, blocker long")
+        res = _serial_cell_pairs(pid, px, py, s, refine,
+                                 extras=(w, h))
+        if res is not None:
+            p_arr, q_arr = res
+            und_ids = np.sort(pid)
+            seed, assign = _serial_sweep(
+                und_ids, p_arr, q_arr, np.zeros(len(p_arr), bool))
+            return labels.sparkSession.createDataFrame(
+                pd.DataFrame({"pid": pd.Series(und_ids), "placed": seed,
+                              "blocker": pd.Series(assign)}),
+                "pid long, placed boolean, blocker long")
+        # candidate volume past the driver cap: distributed fallback
     pts = (lab_ck if lab_ck is not None else lab5).select("pid")
     # lazy pair plan: the wavefront checkpoints it itself
     pairs = collision_pairs(lab_ck if lab_ck is not None else labels,

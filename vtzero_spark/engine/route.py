@@ -216,7 +216,7 @@ def transfer_edges(verts: DataFrame, eps: int) -> DataFrame:
 
 
 def contracted_graph(segs: DataFrame, transfer_eps: int = 64,
-                     extra_junctions: DataFrame | None = None
+                     extra_junctions: DataFrame | list[int] | None = None
                      ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Returns (edges, skips, chain).
 
@@ -259,8 +259,14 @@ def contracted_graph(segs: DataFrame, transfer_eps: int = 64,
         jset.add(int(r.dst))
     if extra_junctions is not None:
         # e.g. SSSP sources: a mid-chain source must split its chain
-        # so its own label (0) anchors the interpolation exactly
-        for v_ in extra_junctions.select("nid").toPandas()["nid"]:
+        # so its own label (0) anchors the interpolation exactly.
+        # Accepts a plain int list (the caller already collected its
+        # bounded source set) or a (nid) DataFrame.
+        if isinstance(extra_junctions, DataFrame):
+            extra_junctions = [
+                int(v_) for v_ in
+                extra_junctions.select("nid").toPandas()["nid"]]
+        for v_ in extra_junctions:
             jset.add(int(v_))
     jset_b = segs.sparkSession.sparkContext.broadcast(jset)
 
@@ -398,35 +404,42 @@ def sssp(spark: SparkSession, segs: DataFrame, sources: DataFrame,
     labels ride back as a DataFrame; past the cap the frontier
     Bellman-Ford loop runs fully distributed. Tiers are label-
     identical (pytest-pinned)."""
-    src = sources.select(
-        _nid(F.col("vx"), F.col("vy")).alias("nid")).distinct()
+    import pandas as pd
+
+    # the source set is query-sized by contract (a routing request),
+    # so it collects ONCE and rides everywhere as plain ints — one
+    # job instead of four (distinct-count, junction toPandas,
+    # validation join build, seed checkpoint)
+    src_pd = sources.select(
+        _nid(F.col("vx"), F.col("vy")).alias("nid")).distinct().toPandas()
+    src_nids = [int(v) for v in src_pd["nid"]]
+    n_src = len(src_nids)
+    if n_src == 0:
+        raise ValueError("sssp needs at least one source")
     # sources become junctions, so each source IS a node of the
     # contracted graph and seeds itself at distance 0
     edges, skips, chain = contracted_graph(segs, transfer_eps,
-                                           extra_junctions=src)
+                                           extra_junctions=src_nids)
     edges = edges.localCheckpoint(eager=True)
     # chain feeds source validation AND final interpolation: one
     # materialization (row count == road vertices), not three
     chain = chain.localCheckpoint(eager=True)
-    n_src = src.count()
-    if n_src == 0:
-        raise ValueError("sssp needs at least one source")
-    matched = chain.join(src, "nid").select("nid").distinct().count()
+    matched = chain.where(F.col("nid").isin(src_nids)) \
+        .select("nid").distinct().count()
     if matched < n_src:
         raise ValueError(
             f"{n_src - matched} source(s) are not road vertices — "
             "snap them to the network first (snap.snap_points)")
-    seed = src.select(F.col("nid").alias("node"),
-                      F.lit(0).cast("long").alias("dist"))
-    dist = seed.localCheckpoint(eager=True)
+    seed_pd = pd.DataFrame({"node": pd.Series(src_nids, dtype="int64"),
+                            "dist": np.zeros(n_src, np.int64)})
+    dist = spark.createDataFrame(seed_pd, "node long, dist long")
     n_dist = None
     if edges.count() <= merge_cap:
         # Arrow transfer + namedtuples, not Row collect: at the 500k
         # cap Row materialization alone costs seconds
         labels = _dijkstra(
             edges.toPandas().itertuples(index=False),
-            dist.toPandas().itertuples(index=False))
-        import pandas as pd
+            seed_pd.itertuples(index=False))
 
         # Arrow path, not a python Row list; the label count is known
         # here, so the interpolation joins below can broadcast

@@ -384,6 +384,13 @@ def _serial_radius_pairs(pid, px, py, radius):
     return _serial_cell_pairs(pid, px, py, s, refine)
 
 
+# candidate-expansion bound for the driver-tier pair build: the old
+# counted serial tier refused pair sets past its row cap; this is the
+# same guard applied BEFORE materialization — past it the caller falls
+# back to the distributed path (which spreads the same volume)
+_SERIAL_CAND_CAP = 64_000_000
+
+
 def _serial_cell_pairs(pid, px, py, s, refine, extras=()):
     """Shared driver-tier half-plane cell expansion: candidates from
     the 5 half-plane neighbor offsets over 2^s cells (unique-cell
@@ -392,7 +399,9 @@ def _serial_cell_pairs(pid, px, py, s, refine, extras=()):
     index the cell-sorted arrays, ``extras_sorted`` are the caller's
     per-point side arrays in that same order).  Returns ordered pairs
     (p, q), q < p — the exact pair SET the distributed cell joins
-    compute."""
+    compute — or ``None`` when the candidate volume exceeds
+    ``_SERIAL_CAND_CAP`` (a dense blob; the caller falls back to the
+    distributed tier rather than materializing it on the driver)."""
     import numpy as np
 
     n = len(pid)
@@ -412,6 +421,7 @@ def _serial_cell_pairs(pid, px, py, s, refine, extras=()):
     nu = len(ukeys)
     out_p: list[np.ndarray] = []
     out_q: list[np.ndarray] = []
+    cand_total = 0
     for dx, dy in ((0, 0), (1, 0), (1, 1), (0, 1), (-1, 1)):
         shift = (np.int64(dx) << 32) + np.int64(dy)
         m = np.searchsorted(ukeys, ukeys + shift)
@@ -420,6 +430,9 @@ def _serial_cell_pairs(pid, px, py, s, refine, extras=()):
         cnt_u = np.where(valid, ucnt[mc], 0)
         cnt_pt = cnt_u[uidx]                  # per sorted probe point
         total = int(cnt_pt.sum())
+        cand_total += total
+        if cand_total > _SERIAL_CAND_CAP:
+            return None
         if total == 0:
             continue
         ii = np.repeat(np.arange(n), cnt_pt)  # probe (sorted) index
@@ -484,14 +497,18 @@ def greedy_cluster(points: DataFrame, radius: int,
         pid = pp["pid"].to_numpy(np.int64)
         px = pp["px"].to_numpy(np.int64)
         py = pp["py"].to_numpy(np.int64)
-        p_arr, q_arr = _serial_radius_pairs(pid, px, py, radius)
-        und_ids = np.sort(pid)
-        seed, assign = _serial_sweep(
-            und_ids, p_arr, q_arr, np.zeros(len(p_arr), bool))
-        return spark.createDataFrame(
-            pd.DataFrame({"pid": pd.Series(und_ids), "seed": seed,
-                          "assign": pd.Series(assign)}),
-            "pid long, seed boolean, assign long")
+        res = _serial_radius_pairs(pid, px, py, radius)
+        if res is not None:
+            p_arr, q_arr = res
+            und_ids = np.sort(pid)
+            seed, assign = _serial_sweep(
+                und_ids, p_arr, q_arr, np.zeros(len(p_arr), bool))
+            return spark.createDataFrame(
+                pd.DataFrame({"pid": pd.Series(und_ids), "seed": seed,
+                              "assign": pd.Series(assign)}),
+                "pid long, seed boolean, assign long")
+        # candidate volume past _SERIAL_CAND_CAP (dense blob): run
+        # the distributed path instead of materializing it driver-side
     if pts3 is None:
         pts3 = pts_sel.localCheckpoint(eager=True)
     # ordered conflict pairs (p, q) with q < p and d2 <= radius^2 —
