@@ -170,6 +170,9 @@ def pip_join(
                     [(r["cell_x"], r["cell_y"]) for r in hot_rows],
                     "cell_x long, cell_y long")
                 .withColumn("_hot", F.lit(True)))
+            # (a localCheckpoint of the flagged probe side was tried —
+            # the materialization cost offsets the saved re-scan at
+            # this corpus size; both branches re-read the cheap scan)
             pts_t = pts.join(hot, ["cell_x", "cell_y"], "left")
             idx_t = index.join(hot, ["cell_x", "cell_y"], "left")
             cold = (
