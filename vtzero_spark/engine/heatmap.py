@@ -223,6 +223,13 @@ def heatmap_tiles(points: DataFrame, zoom: int = ZOOM,
             "peak_px": x0 + (pk_cell % B),
             "peak_py": y0 + (pk_cell // B)}])
 
+    # explicit block-keyed width pinned under the groupBy: the point
+    # scatter is a few narrow MB, so AQE otherwise coalesces the
+    # kernel exchange to 1-4 partitions (the contour _segments_direct
+    # lesson); HashPartitioning satisfies the ClusteredDistribution,
+    # so no second exchange appears
+    par = points.sparkSession.sparkContext.defaultParallelism * 2
+    sc = sc.repartition(par, "bx", "by")
     return sc.groupBy("bx", "by").applyInPandas(
         fn, schema="z int, x int, y int, n_pixels long, "
                    "total_mass long, peak_density long, "

@@ -180,7 +180,12 @@ def _final_pass(reduced: DataFrame, build_rows):
         if rows:
             yield pd.concat(rows, ignore_index=True)
 
-    return reduced.repartition("g").mapInPandas(fn, _OUT_SCHEMAS[build_rows])
+    # explicit partition count: a bare repartition("g") is AQE-
+    # coalescable and the reduced frame is tiny, which would run all
+    # groups' final kernels on 1-2 cores (the contour width lesson)
+    par = reduced.sparkSession.sparkContext.defaultParallelism
+    return reduced.repartition(par, "g").mapInPandas(
+        fn, _OUT_SCHEMAS[build_rows])
 
 
 def _vertex_rows(gi: int, pts: np.ndarray, n_points: int) -> pd.DataFrame:
