@@ -152,3 +152,23 @@ def test_geom_tiles_arrow_matches_pandas(spark, sf_dir):
     b = {(r["z"], r["x"], r["y"]): bytes(r["tile_bytes"])
          for r in assemble.encode_geom_tiles_arrow(f, prop_spec=spec).collect()}
     assert a == b and len(a) > 0
+
+
+def test_point_layers_arrow_matches_pandas(spark, sf_dir):
+    """encode_point_layers (Arrow) must be byte- and stats-identical
+    to the pandas kernel."""
+    import __spark_entry__ as em
+
+    f = em._features(spark, sf_dir)
+    sel = f.select(*em.POINT_COLS)
+    a = {(r["z"], r["x"], r["y"], r["layer_name"]):
+         (r["num_features"], r["key_table_size"],
+          r["value_table_size"], bytes(r["layer_bytes"]))
+         for r in assemble.encode_point_layers_pandas(
+             sel, prop_spec=em.PROP_SPEC).collect()}
+    b = {(r["z"], r["x"], r["y"], r["layer_name"]):
+         (r["num_features"], r["key_table_size"],
+          r["value_table_size"], bytes(r["layer_bytes"]))
+         for r in assemble.encode_point_layers(
+             sel, prop_spec=em.PROP_SPEC).collect()}
+    assert a == b and len(a) > 0

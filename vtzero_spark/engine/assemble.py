@@ -710,7 +710,42 @@ def encode_point_layers(features: DataFrame, prop_spec=None) -> DataFrame:
     """Vectorized encode for single-point features with a fixed property
     schema (the 10^12-image hot path). Byte-identical to encode_layers
     on the same input (asserted in tests); use encode_layers for
-    multi-part geometries, null ids, or per-row property shapes."""
+    multi-part geometries, null ids, or per-row property shapes.
+
+    Routes through the Arrow kernel (applyInArrow over the same
+    per-layer groups; strings stay in their utf-8 buffers — the
+    encode_point_tiles_arrow path per group); byte parity with the
+    pandas kernel pinned in tests/test_fast_encode.py."""
+    import pyarrow as pa
+
+    def fn(tbl: "pa.Table") -> "pa.Table":
+        tbl = tbl.sort_by([("feature_ordinal", "ascending")])
+        z = tbl.column("z")[0].as_py()
+        x = tbl.column("x")[0].as_py()
+        y = tbl.column("y")[0].as_py()
+        name = tbl.column("layer_name")[0].as_py()
+        lb, n, ksize, vsize = _point_layer_bytes_arrow(tbl, name,
+                                                       prop_spec)
+        return pa.table({
+            "z": pa.array([z], pa.int64()),
+            "x": pa.array([x], pa.int64()),
+            "y": pa.array([y], pa.int64()),
+            "layer_name": pa.array([name], pa.string()),
+            "num_features": pa.array([n], pa.int64()),
+            "key_table_size": pa.array([ksize], pa.int32()),
+            "value_table_size": pa.array([vsize], pa.int32()),
+            "layer_bytes": pa.array([lb], pa.binary()),
+        })
+
+    return features.groupBy("z", "x", "y", "layer_name").applyInArrow(
+        fn, schema=LAYER_SCHEMA
+    )
+
+
+def encode_point_layers_pandas(features: DataFrame,
+                               prop_spec=None) -> DataFrame:
+    """The pandas applyInPandas form (parity reference for the Arrow
+    kernel above)."""
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         return _encode_point_layer_group(pdf, prop_spec)
 
