@@ -139,6 +139,28 @@ def test_pyramid_conservation_nesting_monotone(spark):
     assert by_zoom[4] == {p[0] for p in pts}
 
 
+def test_pyramid_serial_tier_equals_distributed(spark):
+    """The r6 driver-serial PYRAMID tier (one collect, numpy rollups)
+    must reproduce the distributed per-level loop exactly — every
+    levels row and every edge row, including the div-quantized
+    centroids and the sum_v accumulator."""
+    pts = [(pid, px, py, (pid * 7) % 13) for pid, px, py
+           in _lcg_pts(600, span=50000)]
+    df = spark.createDataFrame(pts, "pid long, px long, py long, v long")
+
+    def _norm(t):
+        lv, ed = t
+        return (sorted(map(tuple, lv.collect())),
+                sorted(map(tuple, ed.collect())))
+
+    fast = _norm(sc.supercluster_hierarchy(
+        df, radius=512, min_zoom=0, max_zoom=4, value_col="v"))
+    slow = _norm(sc.supercluster_hierarchy(
+        df, radius=512, min_zoom=0, max_zoom=4, value_col="v",
+        serial_cap=0))
+    assert fast == slow
+
+
 def test_cluster_tiles_parse_lint_and_conserve_mass(spark):
     pts = _lcg_pts(400, span=65536)
     df = spark.createDataFrame(pts, "pid long, px long, py long")

@@ -153,7 +153,10 @@ def place_labels(labels: DataFrame, point_id: str = "pid",
         F.col(h_col).cast("long").alias("h"))
     lab_ck = None
     if n_labels is None:
-        lab_ck = lab5.localCheckpoint(eager=True)
+        # LAZY checkpoint: the count materializes it, so sizing the
+        # tier and materializing the 5-column frame are ONE job, not
+        # two (every later read still hits the checkpoint)
+        lab_ck = lab5.localCheckpoint(eager=False)
         n_labels = lab_ck.count()
     if 0 < n_labels <= serial_cap:
         pp = (lab_ck if lab_ck is not None else lab5).toPandas()

@@ -236,27 +236,39 @@ def contracted_graph(segs: DataFrame, transfer_eps: int = 64,
     # one materialization serves both consumers (transfer candidates
     # and the dup census) — the roads window otherwise re-runs per read
     verts = road_vertices(segs).localCheckpoint(eager=True)
-    tr = transfer_edges(verts, transfer_eps).localCheckpoint(eager=True)
     # junction nid set: transfer endpoints + requested extras + every
     # coordinate visited MORE THAN ONCE — by another road or by the
     # same road's own walk crossing itself (one topological node; the
     # node id is the packed coordinate, so contracted runs meeting
     # there connect through it for free). Junction counts are the
     # contraction premise (junction graph << vertex graph), so the
-    # set is a bounded driver collect — capped loudly.
+    # set is a bounded driver collect — capped loudly. The transfer
+    # edges themselves are junction-PAIR-sized (they already rode to
+    # the driver for this set), so they collect ONCE here and ride
+    # back as an Arrow frame — no checkpoint + re-collect pair — and
+    # the dup census overlaps the transfer-kernel job from a second
+    # driver thread (guide §2.6: both read the checkpointed verts).
     _JUNCTION_CAP = 4_000_000
-    dup_rows = (verts.select(_nid(F.col("vx"), F.col("vy")).alias("nid"))
-                .groupBy("nid").agg(F.count("*").alias("_n"))
-                .where("_n > 1").select("nid")
-                .limit(_JUNCTION_CAP + 1).toPandas())
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _dup_census():
+        return (verts.select(
+            _nid(F.col("vx"), F.col("vy")).alias("nid"))
+            .groupBy("nid").agg(F.count("*").alias("_n"))
+            .where("_n > 1").select("nid")
+            .limit(_JUNCTION_CAP + 1).toPandas())
+
+    with ThreadPoolExecutor(max_workers=1) as _pool:
+        dup_fut = _pool.submit(_dup_census)
+        tr_pd = transfer_edges(verts, transfer_eps).toPandas()
+        dup_rows = dup_fut.result()
     if len(dup_rows) > _JUNCTION_CAP:
         raise ValueError(
             f"junction census exceeds {_JUNCTION_CAP} nodes — the "
             "network is not chain-contractible at this scale")
     jset = set(dup_rows["nid"].tolist())
-    for r in tr.select("src", "dst").toPandas().itertuples(index=False):
-        jset.add(int(r.src))
-        jset.add(int(r.dst))
+    jset.update(int(v_) for v_ in tr_pd["src"].tolist())
+    jset.update(int(v_) for v_ in tr_pd["dst"].tolist())
     if extra_junctions is not None:
         # e.g. SSSP sources: a mid-chain source must split its chain
         # so its own label (0) anchors the interpolation exactly.
@@ -269,6 +281,15 @@ def contracted_graph(segs: DataFrame, transfer_eps: int = 64,
         for v_ in extra_junctions:
             jset.add(int(v_))
     jset_b = segs.sparkSession.sparkContext.broadcast(jset)
+    # the collected transfer edges ride back as one Arrow frame for
+    # the edge union (same rows the old checkpoint held)
+    _spark = segs.sparkSession
+    _TR_SCHEMA = "src long, dst long, w long"
+    if len(tr_pd):
+        tr = _spark.createDataFrame(tr_pd[["src", "dst", "w"]],
+                                    _TR_SCHEMA)
+    else:
+        tr = _spark.createDataFrame([], _TR_SCHEMA)
 
     # ONE applyInPandas pass per road replaces the old 3-join +
     # double-window chain annotation (the fill columns are plain
@@ -420,25 +441,36 @@ def sssp(spark: SparkSession, segs: DataFrame, sources: DataFrame,
     # contracted graph and seeds itself at distance 0
     edges, skips, chain = contracted_graph(segs, transfer_eps,
                                            extra_junctions=src_nids)
-    edges = edges.localCheckpoint(eager=True)
-    # chain feeds source validation AND final interpolation: one
-    # materialization (row count == road vertices), not three
-    chain = chain.localCheckpoint(eager=True)
-    matched = chain.where(F.col("nid").isin(src_nids)) \
-        .select("nid").distinct().count()
+    # chain is a projection of the annotate pass, which
+    # contracted_graph already checkpointed — both its consumers
+    # (validation, interpolation) replay that checkpoint for free.
+    # The contracted edge list is junction-sized, so the tier choice
+    # and the Dijkstra input come from ONE capped collect (count +
+    # toPandas fused: limit(cap+1) decides the tier AND hands the
+    # small tier its rows), with the source-validation count riding a
+    # second driver thread over the same checkpoint (guide §2.6).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _matched():
+        return chain.where(F.col("nid").isin(src_nids)) \
+            .select("nid").distinct().count()
+
+    with ThreadPoolExecutor(max_workers=1) as _pool:
+        matched_fut = _pool.submit(_matched)
+        edges_pd = edges.limit(merge_cap + 1).toPandas()
+        matched = matched_fut.result()
     if matched < n_src:
         raise ValueError(
             f"{n_src - matched} source(s) are not road vertices — "
             "snap them to the network first (snap.snap_points)")
     seed_pd = pd.DataFrame({"node": pd.Series(src_nids, dtype="int64"),
                             "dist": np.zeros(n_src, np.int64)})
-    dist = spark.createDataFrame(seed_pd, "node long, dist long")
     n_dist = None
-    if edges.count() <= merge_cap:
+    if len(edges_pd) <= merge_cap:
         # Arrow transfer + namedtuples, not Row collect: at the 500k
         # cap Row materialization alone costs seconds
         labels = _dijkstra(
-            edges.toPandas().itertuples(index=False),
+            edges_pd.itertuples(index=False),
             seed_pd.itertuples(index=False))
 
         # Arrow path, not a python Row list; the label count is known
@@ -454,6 +486,7 @@ def sssp(spark: SparkSession, segs: DataFrame, sources: DataFrame,
         # the distributed tier adds the skip shortcuts (distance-
         # preserving) so rounds track log(chain length), not length
         edges = edges.unionByName(skips).localCheckpoint(eager=True)
+        dist = spark.createDataFrame(seed_pd, "node long, dist long")
         frontier = dist
         for _ in range(max_rounds):
             cand = (frontier.join(edges,

@@ -455,6 +455,91 @@ def _serial_cell_pairs(pid, px, py, s, refine, extras=()):
     return np.concatenate(out_p), np.concatenate(out_q)
 
 
+def _trunc_div(a, b):
+    """Spark SQL ``div`` on int64 arrays: integer division truncating
+    toward ZERO (numpy's ``//`` floors, which differs on negative
+    quotients)."""
+    import numpy as np
+
+    q = np.abs(a) // np.abs(b)
+    return np.where((a < 0) != (b < 0), -q, q)
+
+
+def _serial_pyramid(pp, radius: int, min_zoom: int, max_zoom: int,
+                    has_v: bool):
+    """The WHOLE zoom pyramid on the driver from one bounded collect —
+    engaged by ``supercluster_hierarchy`` when the top level fits the
+    serial cap (cluster counts only shrink down the ladder, so every
+    later level fits a fortiori).  Level-by-level this is exactly the
+    serial tier ``greedy_cluster`` already runs (same
+    ``_serial_radius_pairs`` pair set, same ``_serial_sweep`` closed
+    form) plus the rollup as exact int64 ``np.add.at`` accumulations
+    and the ``div`` centroid quantization — bit-identical to the
+    distributed rollup (pinned in tests/test_supercluster.py), with
+    ZERO per-level Spark jobs.  Returns (levels_pdf, edges_pdf), or
+    None when any level's candidate expansion exceeds the driver cap
+    (the caller then runs the distributed loop from the start)."""
+    import numpy as np
+    import pandas as pd
+
+    order = np.argsort(pp["pid"].to_numpy(np.int64), kind="stable")
+    pid = pp["pid"].to_numpy(np.int64)[order]
+    px = pp["px"].to_numpy(np.int64)[order]
+    py = pp["py"].to_numpy(np.int64)[order]
+    nn = pp["n_points"].to_numpy(np.int64)[order]
+    sx = pp["sum_x"].to_numpy(np.int64)[order]
+    sy = pp["sum_y"].to_numpy(np.int64)[order]
+    sv = pp["sum_v"].to_numpy(np.int64)[order] if has_v else None
+    lv_parts: list[tuple] = []
+    ed_parts: list[tuple] = []
+    for z in range(max_zoom - 1, min_zoom - 1, -1):
+        r_z = radius << (max_zoom - 1 - z)
+        res = _serial_radius_pairs(pid, px, py, r_z)
+        if res is None:
+            return None
+        p_arr, q_arr = res
+        _seed, assign = _serial_sweep(pid, p_arr, q_arr,
+                                      np.zeros(len(p_arr), bool))
+        ed_parts.append((z, pid, assign))
+        uq, inv = np.unique(assign, return_inverse=True)
+        k = len(uq)
+        nn2 = np.zeros(k, np.int64)
+        np.add.at(nn2, inv, nn)
+        sx2 = np.zeros(k, np.int64)
+        np.add.at(sx2, inv, sx)
+        sy2 = np.zeros(k, np.int64)
+        np.add.at(sy2, inv, sy)
+        sv2 = None
+        if has_v:
+            sv2 = np.zeros(k, np.int64)
+            np.add.at(sv2, inv, sv)
+        cx = _trunc_div(sx2, nn2)
+        cy = _trunc_div(sy2, nn2)
+        lv_parts.append((z, uq, nn2, sx2, sy2, sv2, cx, cy))
+        # np.unique returns uq SORTED, so the next level's pid array
+        # keeps the sorted invariant _serial_sweep requires
+        pid, px, py, nn, sx, sy, sv = uq, cx, cy, nn2, sx2, sy2, sv2
+    cols = {
+        "zoom": np.concatenate(
+            [np.full(len(t[1]), t[0], np.int32) for t in lv_parts]),
+        "cluster_id": np.concatenate([t[1] for t in lv_parts]),
+        "n_points": np.concatenate([t[2] for t in lv_parts]),
+        "sum_x": np.concatenate([t[3] for t in lv_parts]),
+        "sum_y": np.concatenate([t[4] for t in lv_parts]),
+    }
+    if has_v:
+        cols["sum_v"] = np.concatenate([t[5] for t in lv_parts])
+    cols["cx"] = np.concatenate([t[6] for t in lv_parts])
+    cols["cy"] = np.concatenate([t[7] for t in lv_parts])
+    edges = pd.DataFrame({
+        "zoom": np.concatenate(
+            [np.full(len(t[1]), t[0], np.int32) for t in ed_parts]),
+        "child_id": np.concatenate([t[1] for t in ed_parts]),
+        "parent_id": np.concatenate([t[2] for t in ed_parts]),
+    })
+    return pd.DataFrame(cols), edges
+
+
 def greedy_cluster(points: DataFrame, radius: int,
                    point_id: str = "pid", x_col: str = "px",
                    y_col: str = "py", max_rounds: int = 64,
@@ -489,8 +574,9 @@ def greedy_cluster(points: DataFrame, radius: int,
         # materialize the 3-long-column projection ONCE: every later
         # read (serial collect, or cell-join home/probe + id spine)
         # is then a narrow columnar scan — without this an expensive
-        # upstream re-runs per read
-        pts3 = pts_sel.localCheckpoint(eager=True)
+        # upstream re-runs per read.  LAZY: the count below is the
+        # materializing job, so sizing and checkpointing fuse into one
+        pts3 = pts_sel.localCheckpoint(eager=False)
         n_points = pts3.count()
     if 0 < n_points <= serial_cap:
         pp = (pts3 if pts3 is not None else pts_sel).toPandas()
@@ -593,12 +679,35 @@ def supercluster_hierarchy(points: DataFrame, radius: int,
         F.lit(1).cast("long").alias("n_points"),
         F.col(x_col).cast("long").alias("sum_x"),
         F.col(y_col).cast("long").alias("sum_y"),
-        *vcols).localCheckpoint(eager=True)
+        *vcols).localCheckpoint(eager=False)
     out = items.select(
         F.lit(max_zoom).cast("int").alias("zoom"),
         F.col("pid").alias("cluster_id"), "n_points", "sum_x", "sum_y",
         *vnames, F.col("px").alias("cx"), F.col("py").alias("cy"))
     edge_parts: list[DataFrame] = []
+    spark = points.sparkSession
+    if min_zoom <= max_zoom - 1:
+        # driver-serial PYRAMID tier: when the top level fits the
+        # serial cap, every level below fits too (cluster counts only
+        # shrink), so the whole ladder runs from ONE bounded collect —
+        # same pair sets, same sweep, exact int64 rollups, zero
+        # per-level Spark jobs (see _serial_pyramid)
+        n_top = items.count()
+        if 0 < n_top <= serial_cap:
+            res = _serial_pyramid(items.toPandas(), radius, min_zoom,
+                                  max_zoom, value_col is not None)
+            if res is not None:
+                lv_pd, ed_pd = res
+                lv_schema = (
+                    "zoom int, cluster_id long, n_points long, "
+                    "sum_x long, sum_y long, "
+                    + ("sum_v long, " if value_col is not None else "")
+                    + "cx long, cy long")
+                out = out.unionByName(
+                    spark.createDataFrame(lv_pd, lv_schema))
+                edges = spark.createDataFrame(
+                    ed_pd, "zoom int, child_id long, parent_id long")
+                return out, edges
     for z in range(max_zoom - 1, min_zoom - 1, -1):
         r_z = radius << (max_zoom - 1 - z)
         n_items = items.count()  # cheap: items is checkpointed
