@@ -170,32 +170,33 @@ def pip_join(
                     [(r["cell_x"], r["cell_y"]) for r in hot_rows],
                     "cell_x long, cell_y long")
                 .withColumn("_hot", F.lit(True)))
-            # (a localCheckpoint of the flagged probe side was tried —
-            # the materialization cost offsets the saved re-scan at
-            # this corpus size; both branches re-read the cheap scan)
+            # ONE join carries both tiers (was: cold join UNION hot
+            # join — which scanned the probe source twice and planned
+            # two join subtrees; a localCheckpoint of the flagged
+            # probe side was tried against that shape and lost to the
+            # materialization cost).  Hot-cell probe rows salt by id,
+            # cold rows take salt 0; hot index rows explode salt
+            # ways, cold rows stay single at salt 0.  Within a cell
+            # both sides agree on hotness (same broadcast census), so
+            # the matched pairs are EXACTLY the two-branch union's —
+            # and the hot cells still spread across the salt space,
+            # which is the entire point of the tier.
             pts_t = pts.join(hot, ["cell_x", "cell_y"], "left")
             idx_t = index.join(hot, ["cell_x", "cell_y"], "left")
-            cold = (
-                pts_t.where(F.col("_hot").isNull()).drop("_hot")
-                .join(idx_t.where(F.col("_hot").isNull()).drop("_hot"),
-                      ["cell_x", "cell_y"])
-            )
-            idx_hot = (
-                idx_t.where(F.col("_hot").isNotNull()).drop("_hot")
-                .withColumn(
-                    "_salt",
-                    F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
-            )
-            pts_hot = (
-                pts_t.where(F.col("_hot").isNotNull()).drop("_hot")
-                .withColumn("_salt",
-                            F.pmod(F.xxhash64(F.col(point_id)),
-                                   F.lit(salt)).cast("int"))
-            )
-            joined = cold.unionByName(
-                pts_hot.join(idx_hot, ["cell_x", "cell_y", "_salt"])
-                .drop("_salt")
-            )
+            pts_j = pts_t.withColumn(
+                "_salt",
+                F.when(F.col("_hot").isNotNull(),
+                       F.pmod(F.xxhash64(F.col(point_id)),
+                              F.lit(salt)).cast("int"))
+                .otherwise(F.lit(0))).drop("_hot")
+            idx_j = idx_t.withColumn(
+                "_salt",
+                F.explode(F.when(
+                    F.col("_hot").isNotNull(),
+                    F.sequence(F.lit(0), F.lit(salt - 1)))
+                    .otherwise(F.array(F.lit(0))))).drop("_hot")
+            joined = pts_j.join(
+                idx_j, ["cell_x", "cell_y", "_salt"]).drop("_salt")
     # bbox prefilter: cells are coarse (one covering cell can dwarf the
     # polygon), so a scalar L-inf check culls most candidates before the
     # ring-array refine ever allocates — row-identical (bbox contains

@@ -190,11 +190,16 @@ def merge_lines(features: DataFrame,
     keys = list(keys)
     cols = [c for c in features.columns]
     acc = _check_accumulate(accumulate, cols, keys)
-    lines = features.filter(F.col("geom_type") == _LINESTRING)
-    rest = features.filter(F.col("geom_type") != _LINESTRING)
 
     out_schema = features.schema
 
+    # ONE scan: linestrings and passthrough rows ride the SAME
+    # explode -> group kernel.  (The old lines/rest filter split put
+    # TWO consumers on the input plan; Python stages cannot be
+    # exchange-reused, so the whole upstream — e.g. contour's
+    # marching-squares kernel and the clip pass — executed twice;
+    # measured a full extra kernel pass under contour_tiles.)
+    #
     # One part per row before the pandas kernel, carried as TWO flat
     # long arrays (_xs, _ys) instead of an array<struct> cell: the
     # arrow->pandas converter then hands the kernel clean int64
@@ -204,44 +209,68 @@ def merge_lines(features: DataFrame,
     # _pos keeps the within-feature part order, so the chain
     # materialization stays deterministic; per-feature accumulation
     # dedups on feature_ordinal so exploding never double-counts.
+    # posexplode_outer + _pnull keep empty/null-parts NON-line rows
+    # alive through the explode (the old rest branch passed them
+    # through verbatim); empty-parts LINE features drop, exactly as
+    # the old posexplode did.
     passthrough = [c for c in cols if c != "parts"]
-    lines = (lines
-             .select(*passthrough,
-                     F.posexplode("parts").alias("_pos", "_part"))
-             .withColumn("_xs", F.transform("_part", lambda p: p["x"]))
-             .withColumn("_ys", F.transform("_part", lambda p: p["y"]))
-             .drop("_part"))
+    ex = (features
+          .where(F.col("geom_type").isNotNull())
+          .select(*passthrough,
+                  F.col("parts").isNull().alias("_pnull"),
+                  F.posexplode_outer("parts").alias("_pos", "_part"))
+          .withColumn("_xs", F.transform("_part", lambda p: p["x"]))
+          .withColumn("_ys", F.transform("_part", lambda p: p["y"]))
+          .drop("_part"))
 
     kernel_schema = ", ".join(
         [f"`{f.name}` {f.dataType.simpleString()}"
          for f in out_schema if f.name != "parts"]
         + ["_cx array<array<bigint>>", "_cy array<array<bigint>>"])
+    out_cols = [c for c in cols if c != "parts"] + ["_cx", "_cy"]
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["feature_ordinal", "_pos"], kind="stable")
-        parts: list[np.ndarray] = [
-            np.stack((np.asarray(xs_, np.int64),
-                      np.asarray(ys_, np.int64)), axis=1)
-            for xs_, ys_ in zip(pdf["_xs"], pdf["_ys"])]
-        chains = merge_group_parts(parts)
-        merged = _materialize(parts, chains)
-        per_feat = pdf.drop_duplicates(subset=["feature_ordinal"])
-        ids = per_feat["feature_id"]
-        fid = int(ids.dropna().min()) if ids.notna().any() else None
-        row = {k: pdf.iloc[0][k] for k in keys}
-        row["feature_ordinal"] = pdf["feature_ordinal"].min()
-        row["feature_id"] = fid
-        row["geom_type"] = _LINESTRING
-        row["_cx"] = [ch[:, 0] for ch in merged]
-        row["_cy"] = [ch[:, 1] for ch in merged]
-        row.update(_accumulated(per_feat, acc))
-        for c in cols:
-            if c not in row and c != "parts":
-                row[c] = pdf.iloc[0][c]
-        out_cols = [c for c in cols if c != "parts"] + ["_cx", "_cy"]
-        return pd.DataFrame([row], columns=out_cols)
+        gt = pdf["geom_type"].to_numpy()
+        out_rows: list[dict] = []
+        lp = pdf[(gt == _LINESTRING) & pdf["_pos"].notna().to_numpy()]
+        if len(lp):
+            parts: list[np.ndarray] = [
+                np.stack((np.asarray(xs_, np.int64),
+                          np.asarray(ys_, np.int64)), axis=1)
+                for xs_, ys_ in zip(lp["_xs"], lp["_ys"])]
+            chains = merge_group_parts(parts)
+            merged_arr = _materialize(parts, chains)
+            per_feat = lp.drop_duplicates(subset=["feature_ordinal"])
+            ids = per_feat["feature_id"]
+            fid = int(ids.dropna().min()) if ids.notna().any() else None
+            row = {k: lp.iloc[0][k] for k in keys}
+            row["feature_ordinal"] = lp["feature_ordinal"].min()
+            row["feature_id"] = fid
+            row["geom_type"] = _LINESTRING
+            row["_cx"] = [ch[:, 0] for ch in merged_arr]
+            row["_cy"] = [ch[:, 1] for ch in merged_arr]
+            row.update(_accumulated(per_feat, acc))
+            for c in passthrough:
+                if c not in row:
+                    row[c] = lp.iloc[0][c]
+            out_rows.append(row)
+        others = pdf[gt != _LINESTRING]
+        for _ordn, gg in others.groupby("feature_ordinal", sort=True):
+            row = {c: gg.iloc[0][c] for c in passthrough}
+            if bool(gg["_pnull"].iloc[0]):
+                row["_cx"] = None
+                row["_cy"] = None
+            elif gg["_pos"].isna().all():
+                row["_cx"] = []
+                row["_cy"] = []
+            else:
+                row["_cx"] = [np.asarray(a, np.int64) for a in gg["_xs"]]
+                row["_cy"] = [np.asarray(a, np.int64) for a in gg["_ys"]]
+            out_rows.append(row)
+        return pd.DataFrame(out_rows, columns=out_cols)
 
-    merged = lines.groupBy(*keys).applyInPandas(fn, schema=kernel_schema)
+    merged = ex.groupBy(*keys).applyInPandas(fn, schema=kernel_schema)
     # reassemble array<array<struct<x,y>>> in the JVM (zip_with is a
     # pure codegen projection) and restore the caller's column order
     parts_col = F.zip_with(
@@ -249,4 +278,4 @@ def merge_lines(features: DataFrame,
         lambda cx, cy: F.zip_with(
             cx, cy, lambda x, y: F.struct(x.alias("x"), y.alias("y"))))
     merged = merged.withColumn("parts", parts_col).select(*cols)
-    return merged.unionByName(rest)
+    return merged

@@ -35,6 +35,19 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Catalyst constraint propagation spends O(plan size) driver
+        # time inferring IsNotNull/equivalence predicates per action.
+        # This engine's join keys are non-null BY CONSTRUCTION
+        # (packed coordinates, synth ids, checkpointed projections),
+        # so the inferred filters prune nothing here and planning is
+        # pure overhead — measured ~9% of warm wall across the five
+        # heaviest queries (plans differ only by the inferred Filter
+        # nodes; results identical, full oracle gate re-run).  On a
+        # cluster whose inputs DO carry null join keys the inferred
+        # early filters can prune shuffle bytes — re-enable via
+        # SPARK_GRAFT_CONSTRAINT_PROP=true.
+        .config("spark.sql.constraintPropagation.enabled",
+                os.environ.get("SPARK_GRAFT_CONSTRAINT_PROP", "false"))
     )
     # shuffle/spill on tmpfs when available: the sandbox's disk is the
     # noisiest shared resource; a real cluster would use local NVMe
