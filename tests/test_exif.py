@@ -135,6 +135,21 @@ def test_spark_exif_tiles_end_to_end(spark, sf_dir):
     df.unpersist()
 
 
+def test_exif_index_fused_attach_equals_unfused(spark, sf_dir):
+    """The r6 composition fast path (exif_index(attach_exif(X)) fuses
+    both generators into one Python stage) must be row-identical to
+    the two-stage path."""
+    df = synth.images(spark, sf_dir, with_bytes=True).limit(300)
+    attached = exif.attach_exif(df)
+    fused = exif.exif_index(attached).toPandas()
+    # strip the marker to force the generic two-stage path
+    plain = attached.select(*attached.columns)
+    assert not hasattr(plain, "_vtz_exif_attach")
+    unfused = exif.exif_index(plain).toPandas()
+    key = lambda d: d.sort_values("image_id").reset_index(drop=True)
+    assert key(fused).equals(key(unfused))
+
+
 def test_spark_exif_index_errors_as_data(spark, sf_dir):
     from pyspark.sql import functions as F
 

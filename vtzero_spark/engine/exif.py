@@ -513,7 +513,16 @@ def attach_exif(df: DataFrame, world: int = WORLD) -> DataFrame:
 
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                        for f in df.schema.fields)
-    return df.mapInPandas(gen, schema=schema)
+    out = df.mapInPandas(gen, schema=schema)
+    # composition fast-path marker (the mosaic attach-hook pattern):
+    # exif_index(attach_exif(X)) detects this and fuses both
+    # generators into ONE Python stage, so the payload bytes cross
+    # the Arrow boundary once instead of twice (attach-out + index-in
+    # round trips removed).  Any other consumer sees a plain
+    # DataFrame; transformations drop the attribute, disabling the
+    # fast path — which only ever changes the plan, never a row.
+    out._vtz_exif_attach = (df, gen)
+    return out
 
 
 _INDEX_SCHEMA = ("image_id string, orientation int, dt string, px_w int, "
@@ -563,6 +572,17 @@ def exif_index(df: DataFrame, world: int = WORLD) -> DataFrame:
                 "status": status,
             })
 
+    fused = getattr(df, "_vtz_exif_attach", None)
+    if fused is not None:
+        parent, attach_gen = fused
+        need = ["image_id", "iid", "w", "h", "wx", "wy", "fmt", "bytes"]
+        if all(c in parent.columns for c in need):
+            def gen_fused(batches: Iterator[pd.DataFrame]
+                          ) -> Iterator[pd.DataFrame]:
+                yield from gen(attach_gen(batches))
+
+            return parent.select(*need).mapInPandas(
+                gen_fused, schema=_INDEX_SCHEMA)
     return df.select("image_id", "bytes").mapInPandas(gen, schema=_INDEX_SCHEMA)
 
 

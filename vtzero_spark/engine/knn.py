@@ -81,7 +81,7 @@ def knn_join(
         F.col("qy").cast("long").alias("qy"),
         F.expr(f"qx div {cell}").alias("qcx"),
         F.expr(f"qy div {cell}").alias("qcy"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)  # the count below materializes it
     # size-aware ring strategy (the joins.py broadcast-vs-shuffle
     # discipline): a bounded query set broadcasts its exploded ring
     # cells so the POINT side never shuffles or persists (rows
@@ -89,7 +89,25 @@ def knn_join(
     # query set falls back to co-partitioning the points once and
     # shuffling rings to them
     _BCAST_QUERIES = 100_000
-    n_queries = q_all.count()
+    # the density sample and the query-set sizing count are
+    # independent bounded jobs over different sides — overlap them on
+    # a second driver thread (guide §2.6) instead of paying two
+    # sequential job latencies
+    from concurrent.futures import ThreadPoolExecutor
+
+    samp = None
+    with ThreadPoolExecutor(max_workers=1) as _pool:
+        samp_fut = None
+        if start_radius is None:
+            samp_fut = _pool.submit(
+                lambda: pts.limit(100_000).agg(
+                    F.count("*").alias("n"),
+                    F.approx_count_distinct(
+                        F.struct("cell_x", "cell_y")).alias("c"),
+                ).first())
+        n_queries = q_all.count()
+        if samp_fut is not None:
+            samp = samp_fut.result()
     n_unfinished = n_queries
     bcast_rings = n_queries <= _BCAST_QUERIES
     if not bcast_rings:
@@ -102,11 +120,6 @@ def knn_join(
         max_cells = world // cell
 
     if start_radius is None:
-        samp = pts.limit(100_000).agg(
-            F.count("*").alias("n"),
-            F.approx_count_distinct(
-                F.struct("cell_x", "cell_y")).alias("c"),
-        ).first()
         density = samp["n"] / max(samp["c"], 1) if samp["n"] else 1.0
         start_radius = max(1, math.ceil(
             (math.sqrt(2.0 * k / max(density, 1e-9)) - 1.0) / 2.0))
