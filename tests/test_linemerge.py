@@ -280,3 +280,46 @@ def test_accumulate_attributes(spark):
         LM.merge_lines(feats, accumulate={"nope": "sum"})
     with pytest.raises(ValueError):
         LM.merge_lines(feats, accumulate={"parts": "count"})
+
+
+def test_merge_lines_cmds_matches_unfused(spark):
+    """The r6 fused merge+cmds kernel must equal
+    cmds_from_parts(merge_lines(X)) row for row — geometry ints
+    included — on a mixed corpus (chains, a cycle, a polygon and a
+    point passthrough, two layers)."""
+    from vtzero_spark.engine.geomops import cmds_from_parts
+
+    def ls(*pts):
+        return [[{"x": int(a), "y": int(b)} for a, b in pts]]
+
+    rows = [
+        (1, 0, 0, "roads", 0, 1, 2, ls((0, 0), (5, 0))),
+        (1, 0, 0, "roads", 1, 2, 2, ls((5, 0), (9, 4))),
+        (1, 0, 0, "roads", 2, 3, 2, ls((20, 0), (25, 0))),
+        # cycle
+        (1, 0, 0, "loop", 3, 4, 2, ls((0, 0), (4, 0))),
+        (1, 0, 0, "loop", 4, 5, 2, ls((4, 0), (4, 4))),
+        (1, 0, 0, "loop", 5, 6, 2, ls((4, 4), (0, 0))),
+        # polygon + point passthrough in the same tile group
+        (1, 0, 0, "roads", 6, 7, 3,
+         ls((0, 0), (10, 0), (10, 10), (0, 10), (0, 0))),
+        (1, 0, 0, "roads", 7, 8, 1, ls((3, 3))),
+        # second tile
+        (1, 1, 0, "roads", 8, 9, 2, ls((1, 1), (2, 2))),
+    ]
+    schema = ("z long, x long, y long, layer_name string, "
+              "feature_ordinal long, feature_id long, geom_type int, "
+              "parts array<array<struct<x: long, y: long>>>")
+    feats = spark.createDataFrame(rows, schema)
+    want = cmds_from_parts(LM.merge_lines(feats)).toPandas()
+    got = LM.merge_lines_cmds(feats).toPandas()
+    key = ["z", "x", "y", "layer_name", "feature_ordinal"]
+    want = want.sort_values(key).reset_index(drop=True)
+    got = got.sort_values(key).reset_index(drop=True)
+    assert list(want.columns) == list(got.columns)
+    for c in want.columns:
+        if c == "geometry":
+            assert all(list(a) == list(b)
+                       for a, b in zip(want[c], got[c]))
+        else:
+            assert want[c].tolist() == got[c].tolist()

@@ -518,12 +518,14 @@ def world_features_to_tiles(p: DataFrame, zoom: int, extent: int,
         # exchange — but over the post-merge, shrunken rows, which is
         # the right order of costs (the whole point of coalescing is
         # that the encode sees fewer, bigger features).
-        from .linemerge import merge_lines
+        from .linemerge import merge_lines_cmds
 
         feats = clip_features(feats, extent=extent, buffer=buffer)
         feats = feats.repartition(sc.defaultParallelism * 2, "x", "y")
-        feats = merge_lines(feats)
-        feats = cmds_from_parts(feats)
+        # merge + parts->cmds FUSED in one kernel (the merged parts
+        # would otherwise re-cross the Arrow boundary through a
+        # second Python stage; byte-parity pinned in test_linemerge)
+        feats = merge_lines_cmds(feats)
         return assemble.encode_geom_tiles(feats)
     # clip + parts->cmds FUSED into one mapInArrow: the clipped parts
     # batches feed the command-stream kernel in-process instead of

@@ -45,7 +45,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["merge_group_parts", "merge_lines"]
+__all__ = ["merge_group_parts", "merge_lines", "merge_lines_cmds"]
 
 _LINESTRING = 2
 
@@ -170,6 +170,116 @@ def _accumulated(pdf, acc: dict) -> dict:
     return out
 
 
+def _merge_group_rows(pdf: "pd.DataFrame", keys: Sequence[str],
+                      passthrough: Sequence[str], acc: dict) -> list[dict]:
+    """Shared group kernel body: one tile-group's exploded part rows
+    -> output row dicts carrying _cx/_cy (lists of int64 coordinate
+    arrays; None mirrors a null input parts cell).  Linestring parts
+    merge into one MultiLineString row; other geometries pass through
+    per feature."""
+    pdf = pdf.sort_values(["feature_ordinal", "_pos"], kind="stable")
+    gt = pdf["geom_type"].to_numpy()
+    out_rows: list[dict] = []
+    lp = pdf[(gt == _LINESTRING) & pdf["_pos"].notna().to_numpy()]
+    if len(lp):
+        parts: list[np.ndarray] = [
+            np.stack((np.asarray(xs_, np.int64),
+                      np.asarray(ys_, np.int64)), axis=1)
+            for xs_, ys_ in zip(lp["_xs"], lp["_ys"])]
+        chains = merge_group_parts(parts)
+        merged_arr = _materialize(parts, chains)
+        per_feat = lp.drop_duplicates(subset=["feature_ordinal"])
+        ids = per_feat["feature_id"]
+        fid = int(ids.dropna().min()) if ids.notna().any() else None
+        row = {k: lp.iloc[0][k] for k in keys}
+        row["feature_ordinal"] = lp["feature_ordinal"].min()
+        row["feature_id"] = fid
+        row["geom_type"] = _LINESTRING
+        row["_cx"] = [ch[:, 0] for ch in merged_arr]
+        row["_cy"] = [ch[:, 1] for ch in merged_arr]
+        row.update(_accumulated(per_feat, acc))
+        for c in passthrough:
+            if c not in row:
+                row[c] = lp.iloc[0][c]
+        out_rows.append(row)
+    others = pdf[gt != _LINESTRING]
+    for _ordn, gg in others.groupby("feature_ordinal", sort=True):
+        row = {c: gg.iloc[0][c] for c in passthrough}
+        if bool(gg["_pnull"].iloc[0]):
+            row["_cx"] = None
+            row["_cy"] = None
+        elif gg["_pos"].isna().all():
+            row["_cx"] = []
+            row["_cy"] = []
+        else:
+            row["_cx"] = [np.asarray(a, np.int64) for a in gg["_xs"]]
+            row["_cy"] = [np.asarray(a, np.int64) for a in gg["_ys"]]
+        out_rows.append(row)
+    return out_rows
+
+
+def _explode_parts(features: DataFrame, passthrough: Sequence[str]
+                   ) -> DataFrame:
+    """Shared pre-kernel shape: one part per row as two flat long
+    arrays (_xs, _ys) + _pos/_pnull (see merge_lines)."""
+    return (features
+            .where(F.col("geom_type").isNotNull())
+            .select(*passthrough,
+                    F.col("parts").isNull().alias("_pnull"),
+                    F.posexplode_outer("parts").alias("_pos", "_part"))
+            .withColumn("_xs", F.transform("_part", lambda p: p["x"]))
+            .withColumn("_ys", F.transform("_part", lambda p: p["y"]))
+            .drop("_part"))
+
+
+def merge_lines_cmds(features: DataFrame,
+                     keys: Sequence[str] = ("z", "x", "y", "layer_name"),
+                     accumulate: dict | None = None) -> DataFrame:
+    """``cmds_from_parts(merge_lines(features))`` fused into the ONE
+    merge kernel: each output row's chains feed the shared
+    ``geomops._cmds_group`` encoder in-process, so the merged parts
+    never re-cross the Arrow boundary through a second Python stage
+    (and the JVM zip_with parts rebuild disappears).  Output schema =
+    input minus ``parts`` plus ``geometry array<bigint>`` — exactly
+    the cmds_from_parts contract; byte-identity with the unfused
+    composition is pinned in tests/test_linemerge.py.  Error
+    semantics match: a no-parts feature raises the same
+    GeometryError the downstream cmds pass would have raised."""
+    from ..mvt.geometry import GeometryError
+    from .geomops import _cmds_group
+
+    keys = list(keys)
+    cols = [c for c in features.columns]
+    acc = _check_accumulate(accumulate, cols, keys)
+    passthrough = [c for c in cols if c != "parts"]
+    ex = _explode_parts(features, passthrough)
+    kernel_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}"
+         for f in features.schema if f.name != "parts"]
+        + ["geometry array<bigint>"])
+    out_cols = passthrough + ["geometry"]
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_rows = _merge_group_rows(pdf, keys, passthrough, acc)
+        for row in out_rows:
+            cx = row.pop("_cx")
+            cy = row.pop("_cy")
+            if not cx:  # None or empty: cmds_from_parts raises too
+                raise GeometryError("feature with no parts")
+            xf = np.concatenate(cx)
+            yf = np.concatenate(cy)
+            o2 = np.zeros(len(cx) + 1, np.int64)
+            np.cumsum([len(a) for a in cx], out=o2[1:])
+            o1 = np.array([0, len(cx)], np.int64)
+            flat, _ = _cmds_group(xf, yf, o1, o2,
+                                  np.zeros(1, np.int64),
+                                  int(row["geom_type"]))
+            row["geometry"] = flat
+        return pd.DataFrame(out_rows, columns=out_cols)
+
+    return ex.groupBy(*keys).applyInPandas(fn, schema=kernel_schema)
+
+
 def merge_lines(features: DataFrame,
                 keys: Sequence[str] = ("z", "x", "y", "layer_name"),
                 accumulate: dict | None = None,
@@ -214,14 +324,7 @@ def merge_lines(features: DataFrame,
     # through verbatim); empty-parts LINE features drop, exactly as
     # the old posexplode did.
     passthrough = [c for c in cols if c != "parts"]
-    ex = (features
-          .where(F.col("geom_type").isNotNull())
-          .select(*passthrough,
-                  F.col("parts").isNull().alias("_pnull"),
-                  F.posexplode_outer("parts").alias("_pos", "_part"))
-          .withColumn("_xs", F.transform("_part", lambda p: p["x"]))
-          .withColumn("_ys", F.transform("_part", lambda p: p["y"]))
-          .drop("_part"))
+    ex = _explode_parts(features, passthrough)
 
     kernel_schema = ", ".join(
         [f"`{f.name}` {f.dataType.simpleString()}"
@@ -230,44 +333,7 @@ def merge_lines(features: DataFrame,
     out_cols = [c for c in cols if c != "parts"] + ["_cx", "_cy"]
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["feature_ordinal", "_pos"], kind="stable")
-        gt = pdf["geom_type"].to_numpy()
-        out_rows: list[dict] = []
-        lp = pdf[(gt == _LINESTRING) & pdf["_pos"].notna().to_numpy()]
-        if len(lp):
-            parts: list[np.ndarray] = [
-                np.stack((np.asarray(xs_, np.int64),
-                          np.asarray(ys_, np.int64)), axis=1)
-                for xs_, ys_ in zip(lp["_xs"], lp["_ys"])]
-            chains = merge_group_parts(parts)
-            merged_arr = _materialize(parts, chains)
-            per_feat = lp.drop_duplicates(subset=["feature_ordinal"])
-            ids = per_feat["feature_id"]
-            fid = int(ids.dropna().min()) if ids.notna().any() else None
-            row = {k: lp.iloc[0][k] for k in keys}
-            row["feature_ordinal"] = lp["feature_ordinal"].min()
-            row["feature_id"] = fid
-            row["geom_type"] = _LINESTRING
-            row["_cx"] = [ch[:, 0] for ch in merged_arr]
-            row["_cy"] = [ch[:, 1] for ch in merged_arr]
-            row.update(_accumulated(per_feat, acc))
-            for c in passthrough:
-                if c not in row:
-                    row[c] = lp.iloc[0][c]
-            out_rows.append(row)
-        others = pdf[gt != _LINESTRING]
-        for _ordn, gg in others.groupby("feature_ordinal", sort=True):
-            row = {c: gg.iloc[0][c] for c in passthrough}
-            if bool(gg["_pnull"].iloc[0]):
-                row["_cx"] = None
-                row["_cy"] = None
-            elif gg["_pos"].isna().all():
-                row["_cx"] = []
-                row["_cy"] = []
-            else:
-                row["_cx"] = [np.asarray(a, np.int64) for a in gg["_xs"]]
-                row["_cy"] = [np.asarray(a, np.int64) for a in gg["_ys"]]
-            out_rows.append(row)
+        out_rows = _merge_group_rows(pdf, keys, passthrough, acc)
         return pd.DataFrame(out_rows, columns=out_cols)
 
     merged = ex.groupBy(*keys).applyInPandas(fn, schema=kernel_schema)
