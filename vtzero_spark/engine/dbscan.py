@@ -222,11 +222,17 @@ def dbscan(points: DataFrame, eps: int, min_pts: int,
     # star edges knit the local roots a point received from different
     # cell groups; the contracted graph is cell-sized, not point-sized
     rmin = lr.groupBy("pid").agg(F.min("lroot").alias("rmin"))
+    # LAZY checkpoint + ONE capped collect: len(sp) both decides the
+    # tier and, in the common small tier, already holds the rows —
+    # the separate count and re-collect jobs are gone (the route/
+    # sssp edge-collect discipline); the rare >cap tier re-reads the
+    # checkpoint
     star = (lr.join(rmin, "pid")
             .where(F.col("lroot") != F.col("rmin"))
             .select("rmin", "lroot").distinct()
-            .localCheckpoint(eager=True))
-    n_star = star.count()
+            .localCheckpoint(eager=False))
+    sp = star.limit(contract_cap + 1).toPandas()  # Arrow, not Row
+    n_star = len(sp)
     if n_star == 0:
         root_comp = None
     elif n_star <= contract_cap:
@@ -240,7 +246,6 @@ def dbscan(points: DataFrame, eps: int, min_pts: int,
                 a = parent[a]
             return a
 
-        sp = star.toPandas()  # Arrow, not Row collect (500k cap)
         for ra_, rb_ in zip(sp["rmin"].to_numpy(),
                             sp["lroot"].to_numpy()):
             ra, rb = dfind(int(ra_)), dfind(int(rb_))

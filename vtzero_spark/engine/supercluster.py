@@ -214,10 +214,11 @@ def wavefront_mis(pts: DataFrame, pairs: DataFrame,
     decided_parts: list[DataFrame] = []
 
     if not pairs_materialized:
-        pairs = pairs.localCheckpoint(eager=True)
+        # lazy: the n_pairs count below materializes it in one job
+        pairs = pairs.localCheckpoint(eager=False)
 
-    und = pts.select("pid").localCheckpoint(eager=True)
-    n_und = und.count()
+    und = pts.select("pid").localCheckpoint(eager=False)
+    n_und = und.count()  # materializes the checkpoint
     # q's decided-seed status RIDES THE PAIR ROW (set by the prune
     # join the round q decides): later rounds and the serial tier read
     # it in place — no growing seed-union relation, no extra join
@@ -296,7 +297,8 @@ def wavefront_mis(pts: DataFrame, pairs: DataFrame,
                 "pid", "left_anti")
                 .select("pid", F.lit(True).alias("seed"),
                         F.col("pid").alias("assign")))
-            new = seeds1.unionByName(absorbed).localCheckpoint(eager=True)
+            new = seeds1.unionByName(absorbed) \
+                .localCheckpoint(eager=False)
         elif not decided_parts:
             # max_rounds == 1 legacy shape: round 1 alone (seeds-only)
             new = (und.join(pairs.select(F.col("p").alias("pid")),
@@ -328,10 +330,10 @@ def wavefront_mis(pts: DataFrame, pairs: DataFrame,
                 .select("pid", F.lit(True).alias("seed"),
                         F.col("pid").alias("assign")))
             new = pairless.unionByName(absorbed) \
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
 
         decided_parts.append(new)
-        n_new = new.count()
+        n_new = new.count()  # materializes this round's lazy checkpoint
         n_und -= n_new
         und = und.join(_maybe_b(new, n_new), "pid", "left_anti") \
             .localCheckpoint(eager=True)
@@ -352,8 +354,8 @@ def wavefront_mis(pts: DataFrame, pairs: DataFrame,
                              F.when(F.col("_dseed"), F.lit(True))
                              .otherwise(F.col("q_seed")))
                  .drop("_dseed")
-                 .localCheckpoint(eager=True))
-        n_pairs = pairs.count()
+                 .localCheckpoint(eager=False))
+        n_pairs = pairs.count()  # materializes the pruned pair set
 
     if not decided_parts:
         return spark.createDataFrame([], schema)
