@@ -102,6 +102,20 @@ def test_merge_tiers_label_identical(spark, sf_dir):
     assert a == b
 
 
+def test_interp_tiers_label_identical(spark, sf_dir):
+    """The r6 driver-interpolation tier (numpy gather + segmented min
+    when the Dijkstra labels are already driver-side) must equal the
+    broadcast-join interpolation row for row."""
+    segs = S.roads(spark, sf_dir)
+    src = R.route_sources(spark, sf_dir, 2)
+    a = {(r.vx, r.vy): r.dist
+         for r in R.sssp(spark, segs, src, transfer_eps=160).collect()}
+    b = {(r.vx, r.vy): r.dist
+         for r in R.sssp(spark, segs, src, transfer_eps=160,
+                         interp_cap=0).collect()}
+    assert a == b
+
+
 def test_fixpoint_law_on_output(spark, sf_dir):
     """Optimality certificate: on the returned labeling no original
     edge is relaxable — |dist(a) - dist(b)| <= w for every segment

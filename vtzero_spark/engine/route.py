@@ -412,7 +412,8 @@ def _dijkstra(edge_rows, seed_rows) -> dict[int, int]:
 
 def sssp(spark: SparkSession, segs: DataFrame, sources: DataFrame,
          transfer_eps: int = 64, max_rounds: int = 64,
-         merge_cap: int = 500_000) -> DataFrame:
+         merge_cap: int = 500_000,
+         interp_cap: int = 500_000) -> DataFrame:
     """Shortest network distance from the source set to EVERY road
     vertex. ``sources``: rows (vx, vy) that must be road vertices
     (snap first for arbitrary points). Returns one row per distinct
@@ -466,6 +467,7 @@ def sssp(spark: SparkSession, segs: DataFrame, sources: DataFrame,
     seed_pd = pd.DataFrame({"node": pd.Series(src_nids, dtype="int64"),
                             "dist": np.zeros(n_src, np.int64)})
     n_dist = None
+    labels = None
     if len(edges_pd) <= merge_cap:
         # Arrow transfer + namedtuples, not Row collect: at the 500k
         # cap Row materialization alone costs seconds
@@ -510,9 +512,57 @@ def sssp(spark: SparkSession, segs: DataFrame, sources: DataFrame,
                 break
     # interpolate every chain vertex from its bounding junctions;
     # mid-chain sources also seed directly through their own nid.
-    # The Dijkstra tier KNOWS the label count (driver-sized by the
-    # merge_cap check), so its junction-sized sides broadcast and the
-    # vertex-sized chain never shuffles for these three joins
+    #
+    # Driver tier (the bounded-collect discipline, distributed
+    # fallback unchanged): when the labels are ALREADY driver-side
+    # (Dijkstra tier) and the chain fits the cap, the interpolation
+    # is a pure numpy gather + segmented min — the three broadcast
+    # joins and the (vx, vy) groupBy shuffle disappear.  Arithmetic
+    # mirrors the join projection EXACTLY: a missing label is the
+    # 2^62 sentinel WITHOUT the chain offset (coalesce semantics),
+    # the per-vertex min dedups junction-shared coordinates (nid
+    # bijects (vx, vy) — the packed coordinate), and >= 2^62 -> -1.
+    # Tier equality is pinned in tests/test_route.py.
+    if labels is not None and interp_cap > 0:
+        ch_pd = chain.select("nid", "pos", "lpos", "rpos", "lj", "rj") \
+            .limit(interp_cap + 1).toPandas()
+        if len(ch_pd) <= interp_cap:
+            nid = ch_pd["nid"].to_numpy(np.int64)
+            keys = np.fromiter(labels.keys(), np.int64, len(labels))
+            vals = np.fromiter(labels.values(), np.int64, len(labels))
+            order = np.argsort(keys)
+            keys, vals = keys[order], vals[order]
+            INF = np.int64(1) << 62
+
+            def lab(arr: np.ndarray) -> np.ndarray:
+                if not len(keys):
+                    return np.full(len(arr), INF, np.int64)
+                p = np.searchsorted(keys, arr)
+                pc = np.minimum(p, len(keys) - 1)
+                return np.where(keys[pc] == arr, vals[pc], INF)
+
+            pos = ch_pd["pos"].to_numpy(np.int64)
+            ldist = lab(ch_pd["lj"].to_numpy(np.int64))
+            rdist = lab(ch_pd["rj"].to_numpy(np.int64))
+            dl = np.where(
+                ldist >= INF, INF,
+                ldist + (pos - ch_pd["lpos"].to_numpy(np.int64)) * 5)
+            dr = np.where(
+                rdist >= INF, INF,
+                rdist + (ch_pd["rpos"].to_numpy(np.int64) - pos) * 5)
+            d = np.minimum(np.minimum(dl, dr), lab(nid))
+            o = np.argsort(nid, kind="stable")
+            nid_s, d_s = nid[o], d[o]
+            starts = np.flatnonzero(np.r_[True, nid_s[1:] != nid_s[:-1]])
+            uq = nid_s[starts]
+            dmin = np.minimum.reduceat(d_s, starts)
+            dmin = np.where(dmin >= INF, np.int64(-1), dmin)
+            return spark.createDataFrame(
+                pd.DataFrame({"vx": uq >> _SHIFT,
+                              "vy": uq & ((np.int64(1) << _SHIFT) - 1),
+                              "dist": dmin}),
+                "vx long, vy long, dist long")
+
     def _b(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if n_dist is not None \
             and n_dist <= 4_000_000 else df
