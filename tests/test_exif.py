@@ -249,3 +249,74 @@ def test_upright_pixels_no_exif_defaults_identity(spark):
     P = synth_pixels(77, 32, 16)
     np.testing.assert_array_equal(
         exif.upright_pixels(encode_png(P), "png"), P)
+
+
+def test_exif_index_template_fast_path_matches_scalar(spark):
+    """r6 columnar template parse: adversarial variable-field contents
+    must produce EXACTLY what the scalar walk produces — fast-path
+    rows (planted shape) and demoted rows (off-grid GPS, zero
+    denominator, NUL-embedded datetime, odd ref bytes, non-template
+    length) alike."""
+    import pandas as pd
+    from vtzero_spark.engine.payload import encode_payload
+
+    carrier = encode_payload(7, 16, 16, "jpeg")
+    W = synth.WORLD
+
+    def mk(orient, dt, pw, ph, lat_ref, lat, lon_ref, lon, bo,
+           pad=False):
+        t = exif.build_exif_tiff(orient, dt, pw, ph,
+                                 lat_ref, lat, lon_ref, lon, bo)
+        if pad:
+            t = t + b"\x00"  # non-template length -> scalar walk
+        return exif.insert_exif(carrier, t, "jpeg")
+
+    grid = exif.world_to_dms(12345, 54321, W)
+    cases = [
+        ("planted_ii", mk(3, "2024:01:05 09:00:00", 640, 480,
+                          grid[0], grid[1], grid[2], grid[3], "II")),
+        ("planted_mm", mk(6, "2024:02:06 10:00:00", 320, 240,
+                          grid[0], grid[1], grid[2], grid[3], "MM")),
+        ("nul_dt", mk(1, "2024:01:05\x0009:00:00", 1, 2,
+                      grid[0], grid[1], grid[2], grid[3], "II")),
+        ("odd_ref", mk(1, "2024:01:05 09:00:00", 1, 2,
+                       "X", grid[1], "Y", grid[3], "II")),
+        ("off_grid", mk(1, "2024:01:05 09:00:00", 1, 2,
+                        "N", ((1, 3), (0, 1), (0, 1)),
+                        "E", ((0, 1), (0, 1), (0, 1)), "II")),
+        ("zero_den", mk(1, "2024:01:05 09:00:00", 1, 2,
+                        "N", ((1, 1), (0, 1), (0, 0)),
+                        "E", ((0, 1), (0, 1), (0, 1)), "II")),
+        ("padded", mk(4, "2024:03:07 11:00:00", 9, 9,
+                      grid[0], grid[1], grid[2], grid[3], "II",
+                      pad=True)),
+        ("no_exif", carrier),
+    ]
+    pdf = pd.DataFrame({"image_id": [c[0] for c in cases],
+                        "bytes": [c[1] for c in cases]})
+    df = spark.createDataFrame(pdf, "image_id string, bytes binary")
+    got = {r["image_id"]: r.asDict()
+           for r in exif.exif_index(df).collect()}
+
+    for name, payload in cases:
+        r = got[name]
+        tiff = exif.find_exif(bytes(payload))
+        if tiff is None:
+            assert r["status"] == "no_exif", name
+            continue
+        try:
+            meta = exif.parse_exif_tiff(tiff)
+            want = {
+                "orientation": meta.get("orientation"),
+                "dt": meta.get("datetime_original"),
+                "px_w": meta.get("pixel_w"),
+                "px_h": meta.get("pixel_h"),
+            }
+            wx, wy = exif.gps_to_world(
+                meta["lat_ref"], meta["lat_dms"],
+                meta["lon_ref"], meta["lon_dms"], W)
+            want.update(wx=wx, wy=wy, status="ok")
+        except ValueError as exc:
+            want = {"status": f"corrupt: {exc}"}
+        for k, v in want.items():
+            assert r[k] == v, (name, k, r[k], v)

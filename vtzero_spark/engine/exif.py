@@ -529,6 +529,90 @@ _INDEX_SCHEMA = ("image_id string, orientation int, dt string, px_w int, "
                  "px_h int, wx long, wy long, status string")
 
 
+def _template_struct(bo: str) -> tuple[np.ndarray, np.ndarray]:
+    """(template bytes, variable-byte mask) for the canonical 214-byte
+    planted TIFF layout.  A blob whose NON-variable bytes equal the
+    template is structurally identical to `build_exif_tiff` output
+    (same tags, types, counts, pointers, pads), so its fields can be
+    gathered columnar — the parse_features_block discipline: canonical
+    emission parses vectorized, ANY deviation falls back to the exact
+    per-stream walk."""
+    t = np.frombuffer(build_exif_tiff(
+        1, "0000:00:00 00:00:00", 0, 0,
+        "N", ((0, 1), (0, 1), (0, 1)),
+        "E", ((0, 1), (0, 1), (0, 1)), bo), np.uint8).copy()
+    var = np.zeros(_TIFF_LEN, bool)
+    var[_OFF_IFD0 + 2 + 8:_OFF_IFD0 + 2 + 10] = True   # orientation
+    var[_OFF_EXIF + 14 + 8:_OFF_EXIF + 14 + 12] = True  # px_w
+    var[_OFF_EXIF + 26 + 8:_OFF_EXIF + 26 + 12] = True  # px_h
+    var[_OFF_GPS + 2 + 8] = True                        # lat_ref
+    var[_OFF_GPS + 26 + 8] = True                       # lon_ref
+    var[_OFF_DT:_OFF_DT + 19] = True                    # datetime
+    var[_OFF_LAT:_OFF_LAT + 24] = True                  # lat DMS
+    var[_OFF_LON:_OFF_LON + 24] = True                  # lon DMS
+    return t, var
+
+
+_TEMPLATES = {bo: _template_struct(bo) for bo in ("II", "MM")}
+
+
+def _u(mat: np.ndarray, off: int, width: int, big: bool) -> np.ndarray:
+    """Vectorized unsigned int read of ``width`` bytes at ``off``."""
+    out = np.zeros(len(mat), np.int64)
+    for b in range(width):
+        shift = (width - 1 - b) * 8 if big else b * 8
+        out |= mat[:, off + b].astype(np.int64) << shift
+    return out
+
+
+def _parse_template_rows(mat: np.ndarray, big: bool, world: int):
+    """Columnar field extraction for template-shaped TIFF rows.
+    Returns (orient, pw, ph, wx, wy, lat_ref, lon_ref, ok) — ``ok``
+    False demotes a row to the scalar walk (zero GPS denominator or
+    an off-grid coordinate, whose error strings the scalar path
+    owns)."""
+    m = len(mat)
+    orient = _u(mat, _OFF_IFD0 + 2 + 8, 2, big)
+    pw = _u(mat, _OFF_EXIF + 14 + 8, 4, big)
+    ph = _u(mat, _OFF_EXIF + 26 + 8, 4, big)
+    lat_ref = mat[:, _OFF_GPS + 2 + 8]
+    lon_ref = mat[:, _OFF_GPS + 26 + 8]
+
+    def dms(base):
+        nums = [_u(mat, base + 8 * k, 4, big) for k in range(3)]
+        dens = [_u(mat, base + 8 * k + 4, 4, big) for k in range(3)]
+        return nums, dens
+
+    (lat_n3, lat_d3), (lon_n3, lon_d3) = dms(_OFF_LAT), dms(_OFF_LON)
+    # int64 SAFETY GUARD: the scalar path computes in Python bigints;
+    # the vectorized math is exact only while every product stays
+    # under 2^63.  Restrict the fast path to the PLANTED DMS shape
+    # ((d,1), (m,1), (sec_num, world)) with in-range components and
+    # world <= 2^20 — worst case (num + 180*den) * world < 2.3e18 <
+    # 2^63.  Anything else demotes to the scalar walk, which owns the
+    # general (and the error) cases.
+    ok = np.full(m, world <= (1 << 20), bool)
+    for n3, d3 in ((lat_n3, lat_d3), (lon_n3, lon_d3)):
+        ok &= ((d3[0] == 1) & (d3[1] == 1) & (d3[2] == world)
+               & (n3[0] <= 360) & (n3[1] <= 59)
+               & (n3[2] <= 60 * world))
+
+    def nd(n3):
+        # dd = md = 1, sd = world under the guard
+        den = np.full(m, 3600 * world, np.int64)
+        num = world * (n3[0] * 3600 + n3[1] * 60) + n3[2]
+        return num, den
+
+    lon_num, lon_den = nd(lon_n3)
+    lat_num, lat_den = nd(lat_n3)
+    lon_num = np.where(lon_ref == ord("E"), lon_num, -lon_num)
+    lat_num = np.where(lat_ref == ord("N"), lat_num, -lat_num)
+    wx, rx = np.divmod((lon_num + 180 * lon_den) * world, 360 * lon_den)
+    wy, ry = np.divmod((90 * lat_den - lat_num) * world, 180 * lat_den)
+    ok &= (rx == 0) & (ry == 0)
+    return orient, pw, ph, wx, wy, lat_ref, lon_ref, ok
+
+
 def exif_index(df: DataFrame, world: int = WORLD) -> DataFrame:
     """Parse Exif FROM THE BYTES and recover the world coordinate:
     the ingest step of every geotagged-image pipeline. Output is one
@@ -543,12 +627,59 @@ def exif_index(df: DataFrame, world: int = WORLD) -> DataFrame:
             orient, dt, pw, ph = [None] * n, [None] * n, [None] * n, [None] * n
             wxs, wys, status = [None] * n, [None] * n, ["ok"] * n
             bufs = pdf["bytes"].to_numpy()
+            tiffs: list = [None] * n
             for i in range(n):
                 try:
-                    meta = parse_exif(bytes(bufs[i]))
-                    if meta is None:
+                    tiffs[i] = find_exif(bytes(bufs[i]))
+                    if tiffs[i] is None:
                         status[i] = "no_exif"
+                except ValueError as exc:
+                    status[i] = f"corrupt: {exc}"
+            # TEMPLATE FAST PATH (the parse_features_block discipline):
+            # 214-byte blobs whose structural bytes equal the canonical
+            # template parse as columnar gathers; any deviation — shape,
+            # byte order, DMS form, off-grid GPS — falls to the exact
+            # per-stream walk below, which also owns every error string.
+            done = np.zeros(n, bool)
+            cand = [i for i in range(n)
+                    if tiffs[i] is not None and status[i] == "ok"
+                    and len(tiffs[i]) == _TIFF_LEN]
+            if cand:
+                mat = np.frombuffer(
+                    b"".join(tiffs[i] for i in cand),
+                    np.uint8).reshape(len(cand), _TIFF_LEN)
+                ci = np.asarray(cand, np.int64)
+                for bo in ("II", "MM"):
+                    tmpl, var = _TEMPLATES[bo]
+                    rows = np.flatnonzero(
+                        (mat[:, 0] == tmpl[0]) & (mat[:, 1] == tmpl[1]))
+                    if not len(rows):
                         continue
+                    sub = mat[rows]
+                    shape_ok = (sub[:, ~var] == tmpl[~var]).all(axis=1)
+                    rows = rows[shape_ok]
+                    if not len(rows):
+                        continue
+                    sub = mat[rows]
+                    o_, pw_, ph_, wx_, wy_, _lar, _lor, ok_ = \
+                        _parse_template_rows(sub, bo == "MM", world)
+                    sel = np.flatnonzero(ok_)
+                    for j in sel:
+                        g = int(ci[rows[j]])
+                        orient[g] = int(o_[j])
+                        pw[g] = int(pw_[j])
+                        ph[g] = int(ph_[j])
+                        wxs[g] = int(wx_[j])
+                        wys[g] = int(wy_[j])
+                        raw = sub[j, _OFF_DT:_OFF_DT + 20].tobytes()
+                        dt[g] = raw.split(b"\x00", 1)[0] \
+                            .decode("ascii", "replace")
+                        done[g] = True
+            for i in range(n):
+                if done[i] or status[i] != "ok" or tiffs[i] is None:
+                    continue
+                try:
+                    meta = parse_exif_tiff(tiffs[i])
                     orient[i] = meta.get("orientation")
                     dt[i] = meta.get("datetime_original")
                     pw[i] = meta.get("pixel_w")
