@@ -173,9 +173,21 @@ def place_labels(labels: DataFrame, point_id: str = "pid",
             s += 1
 
         def refine(du, dv, ii, jj, ex):
+            # in-place over the candidate-volume temporaries (du/dv
+            # are refine-owned): ~halves the allocation traffic of
+            # the 16M-candidate pass
             w_s, h_s = ex
-            return ((np.abs(2 * du) <= w_s[ii] + w_s[jj])
-                    & (np.abs(2 * dv) <= h_s[ii] + h_s[jj]))
+            np.abs(du, out=du)
+            du += du
+            wsum = w_s[ii]
+            wsum += w_s[jj]
+            m = du <= wsum
+            np.abs(dv, out=dv)
+            dv += dv
+            hsum = h_s[ii]
+            hsum += h_s[jj]
+            m &= dv <= hsum
+            return m
 
         res = _serial_cell_pairs(pid, px, py, s, refine,
                                  extras=(w, h))

@@ -381,7 +381,11 @@ def _serial_radius_pairs(pid, px, py, radius):
     r2 = radius * radius
 
     def refine(du, dv, _ii, _jj, _ex):
-        return du * du + dv * dv <= r2
+        # in-place: du/dv are refine-owned candidate temporaries
+        du *= du
+        dv *= dv
+        du += dv
+        return du <= r2
 
     return _serial_cell_pairs(pid, px, py, s, refine)
 
